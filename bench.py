@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no driver
+collect overhead) after a JVM/session warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from jobcan_data_integrator_spark import gate as _gate  # noqa: E402
+from jobcan_data_integrator_spark.session import get_spark, load_table  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j3_top_revenue_orders",
+    "j5_nation_revenue",
+    "j8_self_join_disjunct",
+    "a1_pivot_event_values",
+    "a2_ordered_concat_history",
+    "a4_first_event_per_user",
+    "a6_json_reconstruct_user_events",
+    "w_sessionize_events",
+    "w_tumbling_window_counts",
+    "dd_exact_dedup",
+    "dd_minhash_signatures",
+    "dd_lsh_candidate_pairs",
+    "dd_simhash",
+    "sim_cosine_topk",
+    "tx_lang_id",
+    "tx_quality_score",
+    "tx_doc_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("jdi-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch every table and run the flagship once (JVM/codegen warm).
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    queries = _gate.queries()
+    queries["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall-clock (18 queries: TPC-H-ish analytics, "
+                "pivots/windows/JSON-reconstruct, minhash-LSH dedup, simhash, "
+                "cosine top-k, text analysis)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

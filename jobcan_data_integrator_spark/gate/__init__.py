@@ -1,0 +1,71 @@
+"""Correctness-gate query registry.
+
+Every operator family from SURVEY.md §2 (plus the large-scale
+training-data-pipeline operators) is expressed here twice:
+
+1. as an idiomatic PySpark DataFrame program (``spark`` callable taking
+   ``(SparkSession, sf_dir)``), and
+2. as an equivalent ANSI-SQL string a DuckDB oracle can run over the same
+   parquet tables (``oracle``; ``None`` for genuinely non-SQL-expressible
+   operators, which the driver checks rows-only).
+
+Portability rules used throughout (so value hashes match across engines):
+
+- money/float aggregates go through ``decimal`` internally and are cast to
+  ``double`` (or rounded) at the output boundary;
+- every computed column is aliased identically on both sides;
+- sorts that feed ordered aggregations are bound to explicit keys;
+- hashing uses ``md5`` + hex->bigint (``conv`` in Spark, ``('0x'||h)::bigint``
+  in DuckDB) — both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class GateQuery:
+    name: str
+    spark: SparkQuery
+    oracle: str | None
+    doc: str
+
+
+#: name -> GateQuery; populated by the @gate decorator at import time.
+REGISTRY: dict[str, GateQuery] = {}
+
+
+def gate(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
+    """Register a correctness-gate query (decorator)."""
+
+    def wrap(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate gate query name: {name}")
+        REGISTRY[name] = GateQuery(name=name, spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def queries() -> dict[str, SparkQuery]:
+    _ensure_loaded()
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def _ensure_loaded() -> None:
+    # Import side-effect populates REGISTRY.
+    from jobcan_data_integrator_spark.gate import analytic, llm  # noqa: F401
+
+
+_ensure_loaded.__doc__ = "Load all gate modules (idempotent)."

@@ -1,0 +1,534 @@
+"""Training-data-pipeline operators — correctness-gate queries.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+search over embeddings, text analysis (language-ID, quality scoring, token
+counting, fingerprinting), and the multimodal binary-column plumbing.
+
+Portability: all hashing is md5-based — ``conv(substr(md5(x),1,15),16,10)``
+in Spark == ``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB — so Spark
+results hash-match the oracle bit-for-bit.  Spark sides stay JVM-side
+(higher-order functions, no Python UDFs) except the multimodal stub, which
+is deliberately an Arrow-batched ``mapInPandas``.
+
+At 100 TB the shapes here are the scale-correct ones: shingling/minhashing
+is a narrow per-row projection (no shuffle); LSH banding turns the O(n²)
+pair problem into an equi-join on (band_idx, band_key); candidate
+verification joins only the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jobcan_data_integrator_spark.gate import gate
+from jobcan_data_integrator_spark.session import load_table
+
+# Portable 60-bit hash of a string expression (same value in DuckDB via
+# ('0x' || substr(md5(x),1,15))::BIGINT).
+_H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores for CPU-heavy per-row stages.
+
+    The local testdata is one parquet row group = one Spark partition; at
+    real scale the scan has thousands of splits and this repartition is a
+    no-op by key. Hashing/shingling is compute-bound, so parallelism here
+    is the lever (the shuffled payload is just the text column).
+    """
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(spark_parallelism, "doc_id")
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """tokens + 3-gram word shingles (empty array when < 3 tokens)."""
+    return df.withColumn("toks", F.split(F.col("text"), " ")).withColumn(
+        "shingles",
+        F.expr(
+            "case when size(toks) >= 3 then"
+            " transform(sequence(0, size(toks)-3),"
+            "           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            " else array() end"
+        ),
+    )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows — shingles materialized exactly once."""
+    return _with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "dd_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content hash, keep the minimum doc_id "
+    "per group. At scale this is one shuffle on a 128-bit key.",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
+    )
+
+
+@gate(
+    "dd_minhash_signatures",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    )
+    SELECT doc_id, CAST(g.i AS INT) AS h_idx,
+           min(('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT) AS minhash
+    FROM sh, generate_series(0, 7) AS g(i)
+    GROUP BY doc_id, g.i
+    """,
+    doc="MinHash signatures (k=8) over 3-gram word shingles, salted-md5 hash "
+    "family. Shingles are materialized once (explode), the k hashes are one "
+    "narrow projection, and the per-(doc,hash) min aggregates map-side "
+    "before the shuffle — the linear-cost scale shape.",
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signature_rows(spark, sf_dir)
+
+
+def minhash_signature_rows(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 8
+) -> DataFrame:
+    """(doc_id, h_idx int, minhash bigint) — one row per doc per hash fn."""
+    h = _H.format(x="concat(shingle, '#', cast(i as string))")
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(0, {n_hashes - 1}), i -> struct(i, {h} as h))")
+        ).alias("x"),
+    )
+    return hashed.groupBy("doc_id", F.col("x.i").alias("h_idx")).agg(
+        F.min("x.h").alias("minhash")
+    )
+
+
+def minhash_bands(
+    spark: SparkSession, sf_dir: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, band_idx, band_key) — LSH banding of the minhash signature."""
+    sig_rows = minhash_signature_rows(spark, sf_dir, n_hashes)
+    return (
+        sig_rows.groupBy("doc_id", F.expr(f"h_idx div {band_size}").alias("band_idx"))
+        .agg(F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))).alias("mins"))
+        .select(
+            "doc_id",
+            "band_idx",
+            F.md5(
+                F.concat_ws(
+                    "_", F.transform(F.col("mins"), lambda x: x["minhash"].cast("string"))
+                ).cast("binary")
+            ).alias("band_key"),
+        )
+    )
+
+
+@gate(
+    "dd_lsh_candidate_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sig AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT) AS minhash
+      FROM sh, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, g.i
+    ), bands AS (
+      SELECT doc_id, h_idx // 2 AS band_idx,
+             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
+      FROM sig GROUP BY doc_id, h_idx // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: band the k=8 signature into 4 bands of "
+    "2, equi-join on (band_idx, band_key). The O(n²) similarity problem "
+    "becomes a shuffle join on band buckets — the 100 TB-viable shape.",
+)
+def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the banding once — the self-join would otherwise recompute
+    # the whole shingle->minhash pipeline on both sides. At warehouse scale
+    # this intermediate would be a persisted table; locally cache() is the
+    # same plan-reuse decision.
+    bands = minhash_bands(spark, sf_dir).cache()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@gate(
+    "dd_ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 5
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    doc="n-gram Jaccard near-dup: distinct 3-gram shingles, pair intersection "
+    "via shingle equi-join (≥5 shared), |A∩B|/|A∪B|. At scale the shingle "
+    "join would be pre-filtered by the LSH candidates.",
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distinct (doc, shingle) rows feed the self-join twice plus the size
+    # aggregate: materialize once.
+    sh = _shingle_rows(spark, sf_dir).distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 5)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@gate(
+    "dd_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, g.j AS j,
+             CASE WHEN sum(((h >> CAST(g.j AS INT)) & 1) * 2 - 1) > 0
+                  THEN (1::BIGINT << CAST(g.j AS INT)) ELSE 0 END AS bitval
+      FROM th, generate_series(0, 31) AS g(j)
+      GROUP BY doc_id, g.j
+    )
+    SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash (32-bit) over word tokens: per-bit signed vote of the token "
+    "hash bits, majority sign → fingerprint bit. Computed per-row with "
+    "nested higher-order aggregates — zero shuffle.",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
+    h = _H.format(x="t")
+    docs = docs.withColumn("hashes", F.expr(f"transform(toks, t -> {h})"))
+    fp = F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc +"
+        " case when aggregate(hashes, 0L,"
+        "        (a, h) -> a + (pmod(shiftright(h, j), 2) * 2 - 1)) > 0"
+        "      then shiftleft(1L, j) else 0L end)"
+    )
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+    ), sims AS (
+      SELECT q.q_id, c.vec_id,
+             round(
+               list_sum(list_transform(list_zip(q_emb, c_emb), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q_emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c_emb, x -> x * x)))), 6) AS cosine_sim
+      FROM q, c WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cosine_sim FROM sims
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 10
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query vectors, "
+    "JVM-side zip_with dot product in double precision, per-query window "
+    "top-k. Ranking uses the 6-dp-rounded similarity with vec_id tiebreak "
+    "so the cut is deterministic across engines. The LSH-bucketed scale "
+    "path lives in operators/similarity.py.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(q_emb, c_emb, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    norm = "sqrt(aggregate(transform({e}, x -> cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))"
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                F.expr(dot)
+                / (F.expr(norm.format(e="q_emb")) * F.expr(norm.format(e="c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "es": ["el", "la", "de", "y", "es", "que"],
+    "fr": ["le", "la", "de", "et", "est", "que"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@gate(
+    "tx_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["de"])}], t))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["es"])}], t))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["fr"])}], t))) AS s_fr
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                ELSE 'en' END AS predicted_lang,
+           round(CAST(s_en AS DOUBLE) / n_toks, 6) AS en_stopword_ratio
+    FROM scored
+    """,
+    doc="Language-ID heuristic: per-language stopword hit-rate, argmax with "
+    "a fixed priority tiebreak (en>de>es>fr). Narrow projection, no shuffle.",
+)
+def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
+    for lang, words in _STOPWORDS.items():
+        arr = "array(" + _sql_list(words) + ")"
+        docs = docs.withColumn(
+            f"s_{lang}", F.expr(f"size(filter(toks, t -> array_contains({arr}, t)))")
+        )
+    s = {k: F.col(f"s_{k}") for k in _STOPWORDS}
+    predicted = (
+        F.when((s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when((s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]), "fr")
+        .otherwise("en")
+    )
+    return docs.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        F.round(s["en"].cast("double") / F.size("toks"), 6).alias("en_stopword_ratio"),
+    )
+
+
+@gate(
+    "tx_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+           0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
+                 + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                 + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score
+    FROM documents
+    """,
+    doc="Quality scoring: length/stopword-ratio composite (the reference-free "
+    "text-quality operator) — deterministic double math, identical operand "
+    "order on both engines (no rounding: Spark rounds HALF_UP, DuckDB "
+    "half-even, so rounding would DIVERGE at exact boundaries).",
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
+    arr = "array(" + _sql_list(_STOPWORDS["en"]) + ")"
+    n_tokens = F.size("toks")
+    n_chars = F.length("text")
+    stop_ratio = (
+        F.expr(f"size(filter(toks, t -> array_contains({arr}, t)))").cast("double") / n_tokens
+    )
+    quality = (
+        F.lit(0.4) * F.least(n_tokens.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * stop_ratio
+        + F.lit(0.3) * F.least(n_chars.cast("double") / 500, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_actual"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+@gate(
+    "tx_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(letter runs / digit runs / single other chars).",
+)
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("re_tokens"),
+    )
+
+
+@gate(
+    "tx_doc_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           bit_xor(('0x' || substr(md5(tok || '@' || pos), 1, 15))::BIGINT) AS fingerprint,
+           count(*) AS n_tokens
+    FROM toks GROUP BY doc_id
+    """,
+    doc="Positional document fingerprint: XOR-fold of per-(token,position) "
+    "hashes — an order-sensitive rolling-hash-style signature with an "
+    "order-insensitive (hence shuffle-friendly) combine.",
+)
+def tx_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    h = _H.format(x="concat(tok, '@', cast(pos as string))")
+    return (
+        toks.withColumn("h", F.expr(h))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(h)").alias("fingerprint"), F.count("*").alias("n_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing (Arrow-batched; decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "mm_binary_metadata",
+    oracle=None,  # mapInPandas path — driver records rows-only check.
+    doc="Multimodal plumbing: text payload treated as an opaque binary media "
+    "column; metadata extraction runs as Arrow-batched mapInPandas (the real "
+    "decode — image/audio libs — is stubbed with a deterministic fake, see "
+    "operators/multimodal.py). Verifies schema/partitioning/batch shape.",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.multimodal import extract_binary_metadata
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
+    )
+    return extract_binary_metadata(media)

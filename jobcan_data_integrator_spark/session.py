@@ -1,0 +1,104 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for correctness-portability (UTC session timezone so timestamps
+round-trip identically with external oracles) and for scale (AQE on,
+explicit shuffle partitioning).  On a real cluster the same settings
+apply; only master/cores come from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver-generated testdata provides (one parquet file each).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "jobcan-di-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Master defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if unset).
+    ``spark.sql.shuffle.partitions`` defaults to the core count — on a
+    real cluster this would instead be sized to ~2-3x total cores and AQE
+    coalesces small partitions at runtime either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # events.parquet stores TIMESTAMP(NANOS), which Spark cannot read
+        # natively; read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Set the runtime confs the engine depends on, on ANY session.
+
+    The driver passes its own SparkSession (built without our factory), so
+    these must be applied defensively: nanos-parquet reads would otherwise
+    throw PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone would skew
+    timestamp rendering vs the external oracle.
+    """
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on this build — session factory already set it
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table.
+
+    Nanosecond parquet timestamps (events.ts) surface as nanos-since-epoch
+    longs under ``nanosAsLong``; convert to microsecond timestamps by
+    truncating, which matches DuckDB's ns->us handling.
+    """
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every testdata table into a dict keyed by table name."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

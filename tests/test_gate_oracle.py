@@ -1,0 +1,90 @@
+"""Mimic the driver's correctness gate: run every registered gate query in
+Spark AND its DuckDB oracle on the same parquet tables, then compare
+row-count + column names + sorted values exactly.
+
+Exact comparison (not approx) on purpose — the driver hashes values, so any
+float divergence we would tolerate here would fail there.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from jobcan_data_integrator_spark.gate import REGISTRY, _ensure_loaded
+from jobcan_data_integrator_spark.session import TESTDATA_TABLES
+
+_ensure_loaded()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rows(cols, records):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(repr(_norm(r[i])) for i in idx) for r in records),
+    )
+
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_gate_query_matches_oracle(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, sf_dir)
+    s_cols = sdf.columns
+    s_recs = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(q.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_recs = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_recs) == len(d_recs), f"{name}: row counts differ"
+    srt, drt = _rows(s_cols, s_recs), _rows(d_cols, d_recs)
+    mismatches = [(a, b) for a, b in zip(srt, drt) if a != b]
+    assert not mismatches, f"{name}: first value mismatch {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_gate_query_rows_only(spark, sf_dir, name):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, sf_dir)
+    assert len(sdf.columns) > 0
+    assert sdf.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
