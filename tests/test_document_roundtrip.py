@@ -1,0 +1,102 @@
+"""The engine's core correctness contract: shred -> reconstruct ≡ identity.
+
+Mirrors the reference's implicit contract that ``update()`` then
+``retrieve()`` reproduces the API JSON (reference
+``database/requests/__init__.py:31-58`` docstring; SURVEY.md §3.3, §5.2).
+
+Comparison is canonical: keys sorted, nulls and empty containers dropped
+(``to_json`` omits null struct fields; empty arrays shred to zero child
+rows), and the documented coercions applied to the expected side
+(dict specifics -> 1-element list, reference ``_modify_logs.py:31-32``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jobcan_fixtures import canonicalize, make_request_docs
+from jobcan_data_integrator_spark.operators.reconstruct import (
+    reconstruct_request_documents,
+)
+from jobcan_data_integrator_spark.operators.shred import (
+    parse_request_documents,
+    shred_request_documents,
+)
+
+N_DOCS = 24
+
+
+def _coerce_expected(doc: dict) -> dict:
+    """Apply the engine's documented coercions to the raw input."""
+    for ml in (doc.get("detail") or {}).get("modify_logs") or []:
+        for dt in ml.get("detail") or []:
+            sp = dt.get("specifics")
+            if isinstance(sp, dict):
+                dt["specifics"] = [sp]
+    return doc
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    raws = make_request_docs(N_DOCS)
+    raw_df = spark.createDataFrame([(d,) for d in raws], "raw string")
+    tables = shred_request_documents(parse_request_documents(raw_df))
+    rebuilt = {
+        r["id"]: json.loads(r["doc_json"])
+        for r in reconstruct_request_documents(tables).collect()
+    }
+    expected = {d["id"]: _coerce_expected(d) for d in map(json.loads, raws)}
+    return expected, rebuilt, tables
+
+
+def test_all_documents_reconstructed(roundtrip):
+    expected, rebuilt, _ = roundtrip
+    assert sorted(rebuilt) == sorted(expected)
+
+
+@pytest.mark.parametrize("doc_idx", range(N_DOCS))
+def test_roundtrip_identity(roundtrip, doc_idx):
+    expected, rebuilt, _ = roundtrip
+    rid = f"sa-{doc_idx}"
+    exp = canonicalize(expected[rid])
+    got = canonicalize(rebuilt[rid])
+    assert got == exp, (
+        f"{rid}: first diff at "
+        + next(
+            (
+                k
+                for k in sorted(set(exp) | set(got))
+                if exp.get(k) != got.get(k)
+            ),
+            "?",
+        )
+    )
+
+
+def test_dedup_entities(roundtrip):
+    _, _, tables = roundtrip
+    # generic_masters deduped on natural key across item+cell scopes
+    gm = tables["generic_masters"].collect()
+    assert len(gm) == len({r.generic_master_id for r in gm})
+    # shared shipping address across requests -> single row
+    assert tables["shipping_address"].count() == 1
+    # comments deduped within request; associations preserve both scopes
+    assert tables["comment_associations"].count() > tables["comments"].count()
+    # shared file ids deduped globally
+    files = tables["files"].collect()
+    assert len(files) == len({r.id for r in files})
+
+
+def test_idempotent_reingest(spark, roundtrip):
+    """Re-shredding the same documents yields identical surrogate keys."""
+    _, _, tables = roundtrip
+    raw_df = spark.createDataFrame(
+        [(d,) for d in make_request_docs(N_DOCS)], "raw string"
+    )
+    again = shred_request_documents(parse_request_documents(raw_df))
+    for name in ("customized_items", "expense_specific_rows", "comments", "files"):
+        a = {tuple(r) for r in tables[name].collect()}
+        b = {tuple(r) for r in again[name].collect()}
+        assert a == b, f"{name} not idempotent"
