@@ -14,6 +14,9 @@ import json
 import random
 from typing import Any
 
+#: the six form ids hard-coded in the reference views (FIXTURES.md §7).
+FORM_POOL = [54142953, 41052205, 75858728, 11171823, 9782279, 29608169]
+
 STATUSES = [
     "in_progress",
     "completed",
@@ -77,7 +80,7 @@ def make_request_doc(n: int, rng: random.Random) -> dict[str, Any]:
         "id": f"sa-{n}",
         "title": f"経費精算 第{n}号",
         "status": status,
-        "form_id": 54142953 if n % 3 == 0 else 41052205 + (n % 4),
+        "form_id": FORM_POOL[n % len(FORM_POOL)],
         "form_name": f"書式{n % 5}",
         "form_type": "expense",
         "settlement_type": "transfer",
@@ -265,7 +268,7 @@ def make_request_doc(n: int, rng: random.Random) -> dict[str, Any]:
                     "approvers": [
                         {
                             "status": "承認済み" if (s + a) % 2 == 0 else "未承認",
-                            "approved_date": f"2024/03/0{3 + a} 14:0{a}:00"
+                            "approved_date": f"2024-03-0{3 + a} 14:0{a}:00"
                             if (s + a) % 2 == 0
                             else None,
                             "approver_name": f"承認者{a}",
@@ -343,6 +346,153 @@ def make_request_doc(n: int, rng: random.Random) -> dict[str, Any]:
 def make_request_docs(count: int = 24, seed: int = 7) -> list[str]:
     rng = random.Random(seed)
     return [json.dumps(make_request_doc(i, rng), ensure_ascii=False) for i in range(count)]
+
+
+# ---------------------------------------------------------------------------
+# basic entities (the 7 non-request APIs) — keyed to line up with the request
+# fixtures: applicant_code EMP0000-EMP0006, group codes G000-G002, the six
+# FORM_POOL ids, fix_journals.view_id = "sa-N", and company_name matching the
+# companies table (the J9 join in 書式4-1/4-2).
+# ---------------------------------------------------------------------------
+
+_COMPANY_NAMES = ["株式会社サプライ", "有限会社パーツ", "合同会社ロジ"]
+
+
+def _user(i: int) -> dict[str, Any]:
+    bank = (
+        None
+        if i % 3 == 2
+        else {
+            "bank_code": f"{1 + i:04d}",
+            "bank_name": "みずほ銀行" if i % 2 == 0 else "三井住友銀行",
+            "bank_name_kana": "ミズホ" if i % 2 == 0 else "ミツイスミトモ",
+            "branch_code": f"{100 + i}",
+            "branch_name": f"支店{i}",
+            "branch_name_kana": f"シテン{i}",
+            "bank_account_type_code": str(1 + i % 2),
+            "bank_account_code": f"{7000000 + i}",
+            "bank_account_name_kana": f"タナカ タロウ{i}",
+        }
+    )
+    return {
+        "id": 100 + i,
+        "user_code": f"EMP{i:04d}",
+        "email": f"emp{i}@example.co.jp",
+        "last_name": "田中",
+        "first_name": f"太郎{i}",
+        "is_approver": i % 2 == 0,
+        "user_role": i % 3,
+        "memo": "" if i % 4 == 0 else f"メモ{i}",
+        "user_groups": [f"G{g:03d}" for g in range(1 + i % 3)],
+        "user_positions": [
+            {
+                "position_code": f"POS{i % 2}",
+                "group_code": f"G{i % 3:03d}" if i % 4 != 1 else None,
+            }
+        ],
+        "user_bank_account": bank,
+    }
+
+
+def _company(i: int) -> dict[str, Any]:
+    return {
+        "company_code": f"C{i:04d}",
+        "company_name": _COMPANY_NAMES[i % len(_COMPANY_NAMES)] if i < 3 else f"取引先{i}",
+        "zip_code": "100-0001",
+        "address": f"東京都千代田区{i}",
+        "bank_code": "" if i % 4 == 3 else f"{i:04d}",  # '' -> NULL coercion path
+        "bank_name": "みずほ銀行",
+        "branch_code": "" if i % 4 == 3 else f"{200 + i}",
+        "branch_name": f"支店{i}",
+        "bank_account_type_code": ["1", "2", "9", "", "7"][i % 5],  # decode + passthrough
+        "bank_account_code": f"{8000000 + i}",
+        "bank_account_name_kana": f"カ）トリヒキサキ{i}",
+        "invoice_registrated_number": f"T{i:013d}" if i % 2 == 0 else None,
+    }
+
+
+def _fix_journal(jid: int, view_n: int, jtype: str) -> dict[str, Any]:
+    return {
+        "journal_id": jid,
+        "journal_type": jtype,
+        "journal_date": f"2024/03/{1 + view_n % 27:02d}",
+        "req_date": f"2024/03/{1 + view_n % 27:02d}",
+        "journal_summary": f"仕訳{jid}",
+        "view_id": f"sa-{view_n}",
+        "specifics_row_number": jid % 3,
+        "company_code": f"C{view_n % 4:04d}",
+        "company_name": _COMPANY_NAMES[view_n % len(_COMPANY_NAMES)],
+        "user_code": f"EMP{view_n % 7:04d}",
+        "user_name": f"田中太郎{view_n % 7}",
+        "debit_account_title_code": "5101",
+        "debit_account_title_name": "旅費交通費",
+        "debit_amount": 10000 + jid,
+        "debit_tax_amount": 1000,
+        "debit_amount_without_tax": 9000 + jid,
+        "credit_account_title_code": "2101",
+        "credit_account_title_name": "未払金",
+        "credit_amount": 10000 + jid,
+        "credit_tax_amount": 1000,
+        "credit_amount_without_tax": 9000 + jid,
+        "debit_group_code": f"G{view_n % 3:03d}",
+        "debit_group_name": f"営業部{view_n % 3}",
+        "invoice_registrated_number": f"T{jid:013d}" if jid % 2 == 0 else None,
+        "custom_journal_item_list": [
+            {"key": "部門", "value": f"営業部{view_n % 3}", "generic_master_record_code": None},
+            {"key": "案件", "value": f"PJ{view_n % 4}", "generic_master_record_code": f"R{jid:02d}"},
+        ]
+        if jid % 3 != 2
+        else None,
+    }
+
+
+def make_entities(n_requests: int = 24) -> dict[str, list[str]]:
+    """Raw JSON pages for the 7 basic-entity APIs (one string per record)."""
+    ents: dict[str, list[dict[str, Any]]] = {
+        "users": [_user(i) for i in range(7)],
+        "groups": [
+            {
+                "group_code": f"G{g:03d}",
+                "group_name": f"営業部{g}",
+                "parent_group_code": "G000" if g else None,
+                "description": f"グループ{g}" if g % 2 else None,
+            }
+            for g in range(3)
+        ],
+        "positions": [
+            {
+                "position_code": f"POS{p}",
+                "position_name": ["主任", "課長"][p],
+                "description": None,
+            }
+            for p in range(2)
+        ],
+        "projects": [
+            {"project_code": f"P{p:03d}", "project_name": f"PJ{p}"} for p in range(4)
+        ],
+        "companies": [_company(i) for i in range(6)],
+        "forms": [
+            {
+                "id": fid,
+                "category": "支払",
+                "form_type": "expense" if k % 2 == 0 else "payment",
+                "settlement_type": "transfer",
+                "name": f"書式{k}",
+                "view_type": "standard",
+                "description": None,
+            }
+            for k, fid in enumerate(FORM_POOL)
+        ],
+        "fix_journals": [
+            _fix_journal(2 * n + (0 if t == "book" else 1), n, t)
+            for n in range(0, n_requests, 2)
+            for t in ("book", "pay")
+        ],
+    }
+    return {
+        api: [json.dumps(e, ensure_ascii=False) for e in records]
+        for api, records in ents.items()
+    }
 
 
 # ---------------------------------------------------------------------------
