@@ -20,6 +20,13 @@ Design decisions vs the reference (documented divergences, SURVEY.md §4.4):
 
 Positional keys: every child list carries its array index, mirroring
 ``UNIQUE (request_id, item_index)`` etc. (``_table_init.py:85,97,329``).
+
+Every per-request child table also carries a ``request_id`` lineage
+column (the reference's grandchild tables reach the request only through
+FK chains).  That buys two things at scale: uniform
+full-snapshot-per-document MERGE (storage.sync_children scoped by
+request_id — no FK-chase deletes) and request/date partition pruning on
+100 TB child tables.
 """
 
 from __future__ import annotations
@@ -123,10 +130,12 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
 
     cells = (
         ci.select(
+            "request_id",
             "customized_item_id",
             F.posexplode("ci.table").alias("index_1", "row"),
         )
         .select(
+            "request_id",
             "customized_item_id",
             "index_1",
             F.posexplode("row").alias("index_2", "cell"),
@@ -137,6 +146,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["table_data"] = cells.select(
+        "request_id",
         "customized_item_id",
         "index_1",
         "index_2",
@@ -193,6 +203,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
 
     erow = (
         esp.select(
+            "request_id",
             "expense_specific_id",
             F.posexplode("sp.rows").alias("row_index", "r"),
         )
@@ -203,6 +214,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["expense_specific_rows"] = erow.select(
+        "request_id",
         "expense_specific_id",
         "row_index",
         "expense_specific_row_id",
@@ -218,6 +230,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     # custom_items with the union-typed value (string | object) ------------
     cui = (
         erow.select(
+            "request_id",
             "expense_specific_row_id",
             F.posexplode("r.custom_items").alias("item_index", "x"),
         )
@@ -228,6 +241,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["custom_items"] = cui.select(
+        "request_id",
         "expense_specific_row_id",
         "item_index",
         "custom_item_id",
@@ -239,6 +253,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     )
     obj = cui.filter(F.col("_is_obj"))
     out["custom_item_values"] = obj.select(
+        "request_id",
         "custom_item_id",
         F.expr("try_variant_get(x.value, '$.generic_master_code', 'string')").alias(
             "generic_master_code"
@@ -253,6 +268,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         F.expr("try_variant_get(x.value, '$.memo', 'string')").alias("memo"),
     )
     out["custom_item_value_extension_items"] = obj.select(
+        "request_id",
         "custom_item_id",
         F.posexplode(
             F.expr(
@@ -261,6 +277,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
             )
         ).alias("item_index", "ext"),
     ).select(
+        "request_id",
         "custom_item_id",
         "item_index",
         F.col("ext.name").alias("name"),
@@ -287,7 +304,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     )
     prow = (
         psp.select(
-            "payment_specific_id", F.posexplode("sp.rows").alias("row_index", "r")
+            "request_id", "payment_specific_id", F.posexplode("sp.rows").alias("row_index", "r")
         )
         .withColumn(
             "payment_specific_row_id", hkey("psr", "payment_specific_id", "row_index")
@@ -295,6 +312,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["payment_specific_rows"] = prow.select(
+        "request_id",
         "payment_specific_id",
         "row_index",
         "payment_specific_row_id",
@@ -363,6 +381,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         "request_id", hkey("ec", "request_id").alias("ec_id"), F.col("ec.specifics").alias("s")
     ).filter(F.col("s").isNotNull())
     out["ec_specifics"] = ecs.select(
+        "request_id",
         "ec_id",
         hkey("ecs", "request_id").alias("ec_specific_id"),
         *[
@@ -378,9 +397,11 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         ],
     )
     out["ec_specific_rows"] = ecs.select(
+        "request_id",
         hkey("ecs", "request_id").alias("ec_specific_id"),
         F.posexplode("s.rows").alias("row_index", "r"),
     ).select(
+        "request_id",
         "ec_specific_id",
         "row_index",
         *[
@@ -410,9 +431,11 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         F.col("ap.is_route_changed_by_applicant").alias("is_route_changed_by_applicant"),
     )
     out["approval_route_modify_logs"] = ap.select(
+        "request_id",
         ap_id.alias("approval_process_id"),
         F.posexplode("ap.approval_route_modify_logs").alias("log_index", "l"),
     ).select(
+        "request_id",
         "approval_process_id",
         "log_index",
         F.col("l.date").alias("date"),
@@ -430,6 +453,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["approval_steps"] = steps.select(
+        "request_id",
         "approval_process_id",
         "step_index",
         "approval_step_id",
@@ -440,9 +464,11 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     # approver_code included — the reference's upsert drops it despite the
     # column existing (defect noted in SURVEY.md §4.4); we persist it.
     out["approvers"] = steps.select(
+        "request_id",
         "approval_step_id",
         F.posexplode("st.approvers").alias("approver_index", "a"),
     ).select(
+        "request_id",
         "approval_step_id",
         "approver_index",
         *[
@@ -514,7 +540,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     )
     mld = (
         ml.select(
-            "modify_log_id", F.posexplode("m.detail").alias("log_detail_index", "dt")
+            "request_id", "modify_log_id", F.posexplode("m.detail").alias("log_detail_index", "dt")
         )
         .withColumn(
             "modify_log_detail_id", hkey("mld", "modify_log_id", "log_detail_index")
@@ -522,6 +548,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .cache()
     )
     out["modify_log_details"] = mld.select(
+        "request_id",
         "modify_log_id",
         "log_detail_index",
         "modify_log_detail_id",
@@ -539,9 +566,11 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         f" else array(try_variant_get(dt.specifics, '$', '{one_ddl}')) end"
     )
     out["modify_log_detail_specifics"] = mld.select(
+        "request_id",
         "modify_log_detail_id",
         F.posexplode(specifics_arr).alias("specific_index", "sp"),
     ).select(
+        "request_id",
         "modify_log_detail_id",
         "specific_index",
         F.col("sp.status").alias("status"),
@@ -561,22 +590,8 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
 
     file_scopes = [
         _file_scope(ci, "ci.files", PARENT_CUSTOMIZED_ITEM, F.col("customized_item_id")),
-        _file_scope(
-            erow.join(
-                esp.select("expense_specific_id", "request_id"), "expense_specific_id"
-            ),
-            "r.files",
-            PARENT_EXPENSE_ROW,
-            F.col("expense_specific_row_id"),
-        ),
-        _file_scope(
-            prow.join(
-                psp.select("payment_specific_id", "request_id"), "payment_specific_id"
-            ),
-            "r.files",
-            PARENT_PAYMENT_ROW,
-            F.col("payment_specific_row_id"),
-        ),
+        _file_scope(erow, "r.files", PARENT_EXPENSE_ROW, F.col("expense_specific_row_id")),
+        _file_scope(prow, "r.files", PARENT_PAYMENT_ROW, F.col("payment_specific_row_id")),
         _file_scope(steps, "st.files", PARENT_APPROVAL_STEP, F.col("approval_step_id")),
         _file_scope(ap, "ap.after_completion.files", PARENT_AFTER_COMPLETION, None),
         _file_scope(

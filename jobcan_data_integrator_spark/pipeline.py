@@ -1,0 +1,311 @@
+"""The incremental ETL driver: basic data -> form outline -> form detail
+(reference entry points, ``integrator/integrator.py:522-553`` +
+``gateway/gateway.py`` — SURVEY.md §3.1-§3.2, operator families O1-O4,
+I1-I5).
+
+Commit/restart model (divergence from the reference, documented):
+the reference commits per record and drains the work queue per id; we
+batch — one shred + one MERGE per table per phase — and keep the
+reference's crash safety at form granularity: the outline queue entry is
+removed and the form watermark advanced only after every table merge for
+that form's documents succeeded.  Any crash in between re-runs the form;
+deterministic surrogate keys + full-snapshot-per-document MERGE make the
+re-run idempotent.
+
+Scale notes: the fetch loop is serial by API contract (~1.4 req/s —
+SURVEY.md §6); everything from ``parse_request_documents`` on is
+distributed and identical whether rows arrive from this client or from
+a 100 TB bronze replay (``spark.read.text`` over the archive -> the same
+shred + merge path).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from jobcan_data_integrator_spark.operators.entities import ENTITY_APIS, parse_entities
+from jobcan_data_integrator_spark.operators.shred import (
+    parse_request_documents,
+    shred_request_documents,
+)
+from jobcan_data_integrator_spark.sources.client import (
+    BASIC_APIS,
+    CLOSED_STATUSES,
+    JobcanApiClient,
+)
+from jobcan_data_integrator_spark.state import AppState, Checkpoint, Phase
+from jobcan_data_integrator_spark.storage import TableStore
+
+#: write strategy per basic-entity table (SURVEY.md §2.3 idioms):
+#: ("upsert", keys) / ("insert_missing", keys) / ("sync", scope_keys).
+ENTITY_WRITES: dict[str, tuple[str, list[str]]] = {
+    "users": ("upsert", ["id"]),
+    "user_groups": ("sync", ["user_id"]),
+    "user_positions": ("sync", ["user_id"]),
+    "user_bank_accounts": ("sync", ["user_id"]),
+    # N15: groups are insert-only, NULL-safe on (group_name, group_code)
+    "groups": ("insert_missing", ["group_name", "group_code"]),
+    "positions": ("upsert", ["position_code"]),
+    "projects": ("upsert", ["project_code"]),
+    "companies": ("upsert", ["company_code"]),
+    "forms": ("upsert", ["id"]),
+    "fix_journals": ("upsert", ["journal_id"]),
+    "custom_journal_items": ("sync", ["journal_id"]),
+}
+
+#: request-document tables: global dedup entities merge by id, everything
+#: else is a full snapshot per request (N18 semantics).
+REQUEST_WRITES: dict[str, tuple[str, list[str]]] = {
+    "requests": ("upsert", ["id"]),
+    "generic_masters": ("upsert", ["generic_master_id"]),
+    "generic_master_additional_items": ("sync", ["generic_master_id"]),
+    "shipping_address": ("upsert", ["shipping_address_id"]),
+    "files": ("upsert", ["id"]),
+    # default for every other shredded table:
+    "*": ("sync", ["request_id"]),
+}
+
+
+def utc_now_str() -> str:
+    """Watermark stamp in the reference's format (gateway.py:418)."""
+    return datetime.now(timezone.utc).strftime("%Y/%m/%d %H:%M:%S")
+
+
+@dataclass
+class RunSummary:
+    phase: int = Phase.INITIALIZING
+    basic_rows: dict[str, int] = field(default_factory=dict)
+    outline_forms: int = 0
+    outline_ids: int = 0
+    detail_fetched: int = 0
+    detail_failed: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+
+class JobcanPipeline:
+    """One full sync run over an injected client + table store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        client: JobcanApiClient,
+        store: TableStore,
+        checkpoint: Checkpoint,
+        *,
+        now_fn: Callable[[], str] = utc_now_str,
+        include_canceled: bool = True,
+        archive_raw: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.client = client
+        self.store = store
+        self.checkpoint = checkpoint
+        self.now_fn = now_fn
+        self.include_canceled = include_canceled
+        self.archive_raw = archive_raw
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _raw_df(self, objs: list[Any]):
+        # one partition per ~2000 docs: an API-fetched batch is tiny by
+        # contract (≤5000 req/h) — wide parallelism here just multiplies
+        # task overhead across the 31 downstream table writes.  The 100 TB
+        # path is bronze replay (spark.read.text), which partitions by
+        # file splits instead.  (Sliced at parallelize time: coalesce(1)
+        # over a default-parallelism local collection costs seconds/job.)
+        rows = [(json.dumps(o, ensure_ascii=False),) for o in objs]
+        rdd = self.spark.sparkContext.parallelize(rows, max(1, len(rows) // 2000))
+        return self.spark.createDataFrame(rdd, "raw string")
+
+    def _archive(self, api: str, pages: list[Any]) -> None:
+        """Bronze layer (reference S5/S6): append raw pages as JSON lines.
+        A 100 TB backfill replays this directory through the same shred
+        path with zero API calls (reference design note, SURVEY.md §4.1)."""
+        if not (self.archive_raw and pages):
+            return
+        path = self.store.root / "bronze" / api
+        self._raw_df(pages).write.mode("append").text(str(path))
+
+    def _write(self, table: str, df, strategy: dict[str, tuple[str, list[str]]]) -> None:
+        kind, keys = strategy.get(table) or strategy["*"]
+        if kind == "upsert":
+            self.store.merge_upsert(table, df, keys)
+        elif kind == "insert_missing":
+            self.store.merge_insert_missing(table, df, keys)
+        else:
+            self.store.sync_children(table, df, keys)
+
+    # -- phase 1: basic data (O1, gateway.py:277-340) ---------------------------
+
+    def _run_basic_data(self, state: AppState, summary: RunSummary) -> None:
+        if not state.is_future(Phase.BASIC_DATA):
+            return
+        if state.phase < Phase.BASIC_DATA:
+            state.enter_phase(Phase.BASIC_DATA)
+        for api in BASIC_APIS:
+            if not state.is_future(Phase.BASIC_DATA, api):
+                continue
+            res = self.client.fetch_basic_data(api)
+            summary.warnings.extend(res.warnings)
+            if res.failures:
+                # fetch failed mid-pagination: record + retry next run,
+                # keep last run's snapshot (warn-and-continue, I7)
+                state.record_failures([(api, k) for _, k in res.failures])
+                self.checkpoint.save(state)
+                continue
+            self._archive(api, res.raw_pages)
+            ddl, shred = ENTITY_APIS[api]
+            tables = shred(parse_entities(self._raw_df(res.rows), ddl))
+            if not isinstance(tables, dict):
+                tables = {api: tables}
+            try:
+                for name, df in tables.items():
+                    self._write(name, df, ENTITY_WRITES)
+            except Exception as exc:  # db-save failure record (I5)
+                state.record_failures([(api, "save")], save=True)
+                summary.warnings.append(f"save failed for {api}: {exc}")
+            else:
+                summary.basic_rows[api] = len(res.rows)
+                state.take_failures(api)
+                state.mark_done(api)
+            self.checkpoint.save(state)
+
+    # -- phase 2: form outline (gateway.py:342-432) ------------------------------
+
+    def _form_ids(self) -> list[int]:
+        if not self.store.exists("forms"):
+            return []
+        return sorted(r[0] for r in self.store.read("forms").select("id").collect())
+
+    def _run_form_outline(self, state: AppState, summary: RunSummary) -> None:
+        if not state.is_future(Phase.FORM_OUTLINE):
+            return
+        if state.phase < Phase.FORM_OUTLINE:
+            state.enter_phase(Phase.FORM_OUTLINE)
+        for fid in self._form_ids():
+            key = str(fid)
+            if not state.is_future(Phase.FORM_OUTLINE, key):
+                continue
+            outline, res = self.client.fetch_form_outline(
+                fid,
+                applied_after=state.watermarks.get(key),
+                include_canceled=self.include_canceled,
+                now=self.now_fn(),
+            )
+            summary.warnings.extend(res.warnings)
+            self._archive("requests_outline", res.raw_pages)
+            state.outline_queue[key] = {
+                "ids": sorted(outline.ids),
+                # a partial outline must never advance the watermark
+                "last_access": None if res.failures else outline.last_access,
+            }
+            if res.failures:
+                state.record_failures([("form_outline", key)])
+            summary.outline_forms += 1
+            summary.outline_ids += len(outline.ids)
+            state.mark_done(key)
+            # durable after EVERY form (reference _tf_io.py:132-143)
+            self.checkpoint.save(state)
+
+    # -- phase 3: form detail (gateway.py:434-541) --------------------------------
+
+    def _open_ids_by_form(self) -> dict[str, set[str]]:
+        """I2 late-data catch-up: stored requests whose status is still
+        open are re-fetched every run (reference _requests.py:219-251)."""
+        if not self.store.exists("requests"):
+            return {}
+        rows = self.store.read("requests").select("id", "status", "form_id").collect()
+        out: dict[str, set[str]] = {}
+        for r in rows:
+            if r["status"] not in CLOSED_STATUSES:
+                out.setdefault(str(r["form_id"]), set()).add(r["id"])
+        return out
+
+    def _run_form_detail(self, state: AppState, summary: RunSummary) -> None:
+        if not state.is_future(Phase.FORM_DETAIL):
+            return
+        if state.phase < Phase.FORM_DETAIL:
+            state.enter_phase(Phase.FORM_DETAIL)
+        retry_ids = state.take_failures("requests_detail")
+        open_by_form = self._open_ids_by_form()
+
+        targets: dict[str, set[str]] = {}
+        for key, entry in state.outline_queue.items():
+            targets[key] = set(entry["ids"]) | open_by_form.get(key, set())
+        # retry ids whose form is unknown ride along in a catch-all batch
+        known = set().union(*targets.values()) if targets else set()
+        stray = retry_ids - known
+        if stray:
+            targets.setdefault("_retry", set()).update(stray)
+
+        docs: list[dict[str, Any]] = []
+        failed_forms: set[str] = set()
+        pages: list[Any] = []
+        for key in sorted(targets):
+            for rid in sorted(targets[key]):
+                doc, res = self.client.fetch_form_detail(rid)
+                summary.warnings.extend(res.warnings)
+                pages.extend(res.raw_pages)
+                if doc is None:
+                    state.record_failures(res.failures)
+                    summary.detail_failed.append(rid)
+                    failed_forms.add(key)
+                else:
+                    docs.append(doc)
+        self._archive("requests_detail", pages)
+
+        if docs:
+            tables = shred_request_documents(
+                parse_request_documents(self._raw_df(docs))
+            )
+            try:
+                for name, df in tables.items():
+                    self._write(name, df, REQUEST_WRITES)
+            except Exception as exc:
+                state.record_failures(
+                    [("requests_detail", d["id"]) for d in docs], save=True
+                )
+                summary.warnings.append(f"detail save failed: {exc}")
+                self.checkpoint.save(state)
+                return
+        summary.detail_fetched = len(docs)
+
+        # drain + watermark advance only for fully-successful forms
+        # (reference integrator.py:838-853: advance after drain)
+        for key in list(state.outline_queue):
+            if key in failed_forms:
+                continue
+            entry = state.outline_queue.pop(key)
+            if entry.get("last_access"):
+                state.watermarks[key] = entry["last_access"]
+            state.mark_done(key)
+        self.checkpoint.save(state)
+
+    # -- run (O1 phase pipeline + O4 lifecycle) -----------------------------------
+
+    def run(self) -> RunSummary:
+        state = self.checkpoint.load()
+        if state.phase >= Phase.TERMINATING:
+            # previous run completed: new run keeps watermarks + failure
+            # records, restarts the phase cursor (reference restart path)
+            state = AppState(
+                watermarks=state.watermarks,
+                fetch_failures=state.fetch_failures,
+                save_failures=state.save_failures,
+                outline_queue=state.outline_queue,
+            )
+        summary = RunSummary()
+        self._run_basic_data(state, summary)
+        self._run_form_outline(state, summary)
+        self._run_form_detail(state, summary)
+        state.enter_phase(
+            Phase.COMPLETED if not state.outline_queue else Phase.TERMINATING
+        )
+        self.checkpoint.save(state)
+        summary.phase = state.phase
+        return summary

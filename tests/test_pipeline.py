@@ -1,0 +1,183 @@
+"""End-to-end incremental pipeline tests against the mock API
+(SURVEY.md §3.2 + §5.2 item 3): first-run full sync, watermark-driven
+incremental second run, open-status late-data catch-up, crash-resume,
+and failure-record retry."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jobcan_fixtures import make_entities, make_request_docs
+from jobcan_data_integrator_spark.pipeline import JobcanPipeline
+from jobcan_data_integrator_spark.sources.client import JobcanApiClient
+from jobcan_data_integrator_spark.sources.mock_api import MockJobcanApi
+from jobcan_data_integrator_spark.state import Checkpoint, Phase
+from jobcan_data_integrator_spark.storage import TableStore
+
+N_DOCS = 12
+
+
+def _fresh(spark, tmp_path, docs=None):
+    entities = {
+        api: [json.loads(r) for r in records]
+        for api, records in make_entities(N_DOCS).items()
+    }
+    api = MockJobcanApi(
+        entities=entities,
+        documents=docs if docs is not None else [json.loads(d) for d in make_request_docs(N_DOCS)],
+        page_size=5,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    store = TableStore(spark, tmp_path / "tables", write_partitions=1)
+    ckpt = Checkpoint(tmp_path / "ckpt")
+    clock = {"now": "2024/04/01 00:00:00"}
+    pipe = JobcanPipeline(
+        spark,
+        JobcanApiClient(api),
+        store,
+        ckpt,
+        now_fn=lambda: clock["now"],
+        archive_raw=True,
+    )
+    return api, store, ckpt, pipe, clock
+
+
+def test_first_run_full_sync(spark, tmp_path):
+    api, store, ckpt, pipe, _ = _fresh(spark, tmp_path)
+    summary = pipe.run()
+    assert summary.phase == Phase.COMPLETED
+    assert summary.basic_rows["users"] == 7
+    assert summary.detail_fetched == N_DOCS
+    assert store.read("requests").count() == N_DOCS
+    assert store.read("users").count() == 7
+    assert store.read("fix_journals").count() == 12
+    # watermarks advanced for every form
+    st = ckpt.load()
+    assert all(v == "2024/04/01 00:00:00" for v in st.watermarks.values())
+    assert st.outline_queue == {}
+    # bronze archive written
+    assert (store.root / "bronze" / "requests_detail").exists()
+
+
+def test_second_run_fetches_only_changed(spark, tmp_path):
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    pipe.run()
+    api.calls.clear()
+
+    # upstream: one NEW completed doc + one still-open doc already stored
+    docs = [json.loads(d) for d in make_request_docs(N_DOCS + 1)]
+    new_doc = docs[N_DOCS]
+    new_doc["applied_date"] = "2024-04-02 09:00:00"
+    new_doc["status"] = "completed"
+    api.upsert_document(new_doc)
+    clock["now"] = "2024/04/03 00:00:00"
+
+    summary = pipe.run()
+    assert summary.phase == Phase.COMPLETED
+    fetched_details = [
+        p.rstrip("/").rsplit("/", 1)[-1]
+        for p, _ in api.calls
+        if p.startswith("/v1/requests/sa-")
+    ]
+    # the new doc is fetched
+    assert new_doc["id"] in fetched_details
+    # open-status docs are re-fetched (I2); completed old docs are NOT
+    stored = {
+        r["id"]: r["status"] for r in store.read("requests").collect()
+    }
+    open_ids = {
+        i for i, s in stored.items()
+        if s not in {"completed", "rejected", "canceled", "canceled_after_completion"}
+        and i != new_doc["id"]
+    }
+    assert open_ids <= set(fetched_details)
+    closed_old = {
+        i for i, s in stored.items() if s == "completed" and i != new_doc["id"]
+    }
+    assert not (closed_old & set(fetched_details))
+    assert store.read("requests").count() == N_DOCS + 1
+
+
+def test_document_update_replaces_children(spark, tmp_path):
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    pipe.run()
+    # mutate an in-progress doc: fewer customized_items + new title
+    doc = next(d for d in api.documents if d["status"] == "in_progress")
+    before = store.read("customized_items").where(
+        f"request_id = '{doc['id']}'"
+    ).count()
+    assert before > 1
+    doc = json.loads(json.dumps(doc))
+    doc["title"] = "更新済み"
+    doc["detail"]["customized_items"] = doc["detail"]["customized_items"][:1]
+    api.upsert_document(doc)
+    clock["now"] = "2024/04/05 00:00:00"
+    pipe.run()
+    got = store.read("requests").where(f"id = '{doc['id']}'").collect()
+    assert got[0]["title"] == "更新済み"
+    after = store.read("customized_items").where(
+        f"request_id = '{doc['id']}'"
+    ).count()
+    assert after == 1  # stale tails removed (N18)
+
+
+def test_detail_failure_recorded_and_retried(spark, tmp_path):
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    api.fail["sa-3"] = 500
+    summary = pipe.run()
+    assert "sa-3" in summary.detail_failed
+    st = ckpt.load()
+    assert ["requests_detail", "sa-3"] in st.fetch_failures
+    # the failed doc's form kept its queue entry and did NOT advance
+    form_key = str(next(d["form_id"] for d in api.documents if d["id"] == "sa-3"))
+    assert form_key in st.outline_queue
+    assert form_key not in st.watermarks
+
+    # next run: fault cleared -> retried and drained
+    del api.fail["sa-3"]
+    clock["now"] = "2024/04/06 00:00:00"
+    summary2 = pipe.run()
+    assert summary2.phase == Phase.COMPLETED
+    st2 = ckpt.load()
+    assert st2.fetch_failures == []
+    assert st2.outline_queue == {}
+    assert store.read("requests").where("id = 'sa-3'").count() == 1
+
+
+def test_crash_resume_skips_completed_phases(spark, tmp_path):
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+
+    # simulate a crash right after the outline phase: run only 2 phases
+    st = ckpt.load()
+    pipe._run_basic_data(st, __import__("jobcan_data_integrator_spark.pipeline", fromlist=["RunSummary"]).RunSummary())
+    pipe._run_form_outline(st, __import__("jobcan_data_integrator_spark.pipeline", fromlist=["RunSummary"]).RunSummary())
+    assert ckpt.load().phase == Phase.FORM_OUTLINE
+    assert ckpt.load().outline_queue  # work queue durable before crash
+
+    basic_calls_before = len([p for p, _ in api.calls if "users" in p])
+    api.calls.clear()
+    summary = pipe.run()  # resume
+    assert summary.phase == Phase.COMPLETED
+    # basic data and outline were NOT re-fetched on resume
+    assert [p for p, _ in api.calls if "users" in p] == []
+    assert [p for p, q in api.calls if p == "/v1/requests/" and "form_id" in q] == []
+    assert basic_calls_before > 0
+    assert store.read("requests").count() == N_DOCS
+
+
+def test_rerun_after_completion_is_incremental_not_resumed(spark, tmp_path):
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    pipe.run()
+    clock["now"] = "2024/04/07 00:00:00"
+    summary = pipe.run()
+    assert summary.phase == Phase.COMPLETED
+    # basic data IS re-fetched every run (reference full-refetch semantics)
+    assert summary.basic_rows["users"] == 7
+    # but no details: nothing changed and nothing open was missed
+    closed = {"completed", "rejected", "canceled", "canceled_after_completion"}
+    still_open = sum(
+        1 for d in api.documents if d["status"] not in closed
+    )
+    assert summary.detail_fetched == still_open

@@ -1,0 +1,90 @@
+"""Storage-merge tests: the three MERGE primitives (SURVEY.md §2.3) —
+full-row upsert, insert-if-missing with NULL-safe keys (N15), and the
+full-snapshot child sync that fixes the reference's broken tail-trim
+DELETE (N14/N18)."""
+
+from __future__ import annotations
+
+import pytest
+
+from jobcan_data_integrator_spark.storage import TableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TableStore(spark, tmp_path / "tables")
+
+
+def _rows(store, table):
+    return sorted(
+        (tuple(r) for r in store.read(table).collect()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def test_merge_upsert_replaces_and_inserts(spark, store):
+    store.merge_upsert(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), ["id"]
+    )
+    store.merge_upsert(
+        "t", spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string"), ["id"]
+    )
+    assert _rows(store, "t") == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_merge_upsert_idempotent(spark, store):
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.merge_upsert("t", df, ["id"])
+    store.merge_upsert("t", df, ["id"])
+    assert _rows(store, "t") == [(1, "a")]
+
+
+def test_insert_missing_never_updates_null_safe(spark, store):
+    schema = "group_name string, group_code string"
+    store.merge_insert_missing(
+        "g", spark.createDataFrame([("営業", None), ("総務", "S1")], schema),
+        ["group_name", "group_code"],
+    )
+    # same NULL-safe key: NOT inserted; new key: inserted
+    store.merge_insert_missing(
+        "g", spark.createDataFrame([("営業", None), ("営業", "E1")], schema),
+        ["group_name", "group_code"],
+    )
+    assert _rows(store, "g") == [("営業", "E1"), ("営業", None), ("総務", "S1")]
+
+
+def test_sync_children_removes_stale_tails(spark, store):
+    schema = "request_id string, item_index int, v string"
+    store.sync_children(
+        "ci",
+        spark.createDataFrame(
+            [("sa-1", 0, "a"), ("sa-1", 1, "b"), ("sa-2", 0, "x")], schema
+        ),
+        ["request_id"],
+    )
+    # re-ingest sa-1 with a SHORTER list: the index-1 row must disappear
+    store.sync_children(
+        "ci", spark.createDataFrame([("sa-1", 0, "A")], schema), ["request_id"]
+    )
+    assert _rows(store, "ci") == [("sa-1", 0, "A"), ("sa-2", 0, "x")]
+
+
+def test_sync_children_scoped_delete_only(spark, store):
+    """Scopes absent from the update batch are untouched."""
+    schema = "user_id int, group_code string"
+    store.sync_children(
+        "ug", spark.createDataFrame([(1, "G0"), (1, "G1"), (2, "G0")], schema), ["user_id"]
+    )
+    store.sync_children("ug", spark.createDataFrame([(1, "G2")], schema), ["user_id"])
+    assert _rows(store, "ug") == [(1, "G2"), (2, "G0")]
+
+
+def test_delete_scope(spark, store):
+    schema = "request_id string, v int"
+    store.overwrite(
+        "t", spark.createDataFrame([("sa-1", 1), ("sa-2", 2)], schema)
+    )
+    store.delete_scope(
+        "t", spark.createDataFrame([("sa-1",)], "request_id string"), ["request_id"]
+    )
+    assert _rows(store, "t") == [("sa-2", 2)]
