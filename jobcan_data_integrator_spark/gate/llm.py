@@ -353,6 +353,91 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB replica of operators/similarity.py's deterministic LSH bucketing
+#: (integer-quantized hyperplane dot products — see that module's contract).
+_BUCKET_CTE = """
+    e AS (
+      SELECT vec_id, embedding, unnest(embedding) AS comp,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, d, CAST(floor(comp::DOUBLE * 1000) AS BIGINT) AS ei FROM e
+    ), dots AS (
+      SELECT vec_id, g.p AS p,
+             sum(ei * (CASE WHEN ('0x'||substr(md5(g.p || '_' || d),1,15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END)) AS s
+      FROM qz, generate_series(0, 7) AS g(p)
+      GROUP BY vec_id, g.p
+    ), buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p AS INT))
+                                   ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )"""
+
+_COSINE_DUCK = """
+    round(
+      list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+         * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"""
+
+
+@gate(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH {_BUCKET_CTE},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             {_COSINE_DUCK.format(a="vq.emb", b="vc.emb")} AS cosine_sim
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN v vq ON vq.vec_id = q.vec_id
+      JOIN v vc ON vc.vec_id = c.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT q_id, vec_id, cosine_sim FROM sims
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    """,
+    doc="ANN scale path: random-hyperplane LSH buckets (deterministic "
+    "integer-quantized hyperplanes), candidates = same-bucket equi-join, "
+    "exact cosine re-rank, per-query top-5. The 100 TB shape: bucket "
+    "computed at ingest, probes touch one bucket.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@gate(
+    "dd_embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_BUCKET_CTE},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COSINE_DUCK.format(a="va.emb", b="vb.emb")} AS cosine_sim
+      FROM buckets a
+      JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.3
+    """,
+    doc="Embedding-cosine near-dup: LSH-bucket candidate pre-filter + exact "
+    "cosine threshold. Synthetic embeddings are near-orthogonal, so the "
+    "gate cut is 0.3 (real corpora use ~0.95); the plan shape is identical.",
+)
+def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -532,3 +617,39 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
     )
     return extract_binary_metadata(media)
+
+
+@gate(
+    "mm_frame_sample",
+    oracle=None,  # mapInPandas path — driver records rows-only check.
+    doc="Multimodal frame sampling: 1:N Arrow-batched mapInPandas emitting "
+    "every 5th frame of each (stub-decoded) video payload. Narrow op — "
+    "pipelines with the scan, no shuffle.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.multimodal import sample_frames
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return sample_frames(media, every_n=5)
+
+
+@gate(
+    "mm_feature_ann",
+    oracle=None,  # mapInPandas + ANN composition — rows-only check.
+    doc="Multimodal feature extraction (stub encoder -> 16-dim float vector "
+    "via mapInPandas) composed with the LSH ANN operator: media features "
+    "are first-class embeddings for the similarity path.",
+)
+def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.multimodal import extract_features
+    from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    emb = extract_features(media, dim=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5)

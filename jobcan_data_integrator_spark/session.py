@@ -75,6 +75,33 @@ def ensure_engine_confs(spark: SparkSession) -> None:
             pass  # static conf on this build — session factory already set it
 
 
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to the Python workers (idempotent).
+
+    Arrow-batched UDF closures (mapInPandas / applyInPandasWithState)
+    reference functions in this package, which cloudpickle serializes as
+    a module reference — so the workers must be able to import it.  The
+    driver contract hands us an arbitrary SparkSession whose workers
+    don't have the repo on sys.path; ``addPyFile`` of a package zip is
+    the mechanism that works in local AND cluster mode.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_jdi_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    fd, zpath = tempfile.mkstemp(suffix="-jdi-spark.zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in pkg_dir.rglob("*.py"):
+            z.write(p, p.relative_to(pkg_dir.parent))
+    sc.addPyFile(zpath)
+    sc._jdi_pyfiles_added = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table.
 
