@@ -37,10 +37,14 @@ HEADLINE = [
     "dd_minhash_signatures",
     "dd_lsh_candidate_pairs",
     "dd_simhash",
+    "dd_ngram_jaccard_pairs",
+    "dd_embedding_cosine_pairs",
     "sim_cosine_topk",
+    "sim_ann_lsh_topk",
     "tx_lang_id",
     "tx_quality_score",
     "tx_doc_fingerprint",
+    "mm_binary_metadata",
 ]
 
 
@@ -67,9 +71,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-suite wall-clock (18 queries: TPC-H-ish analytics, "
-                "pivots/windows/JSON-reconstruct, minhash-LSH dedup, simhash, "
-                "cosine top-k, text analysis)",
+                "metric": f"headline-suite wall-clock ({len(HEADLINE)} queries: "
+                "TPC-H-ish analytics, pivots/windows/JSON-reconstruct, "
+                "minhash-LSH + simhash + jaccard + embedding dedup, cosine "
+                "top-k + LSH ANN, text analysis, multimodal mapInPandas)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -33,32 +33,44 @@ _H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across cores for CPU-heavy per-row stages.
 
-    The local testdata is one parquet row group = one Spark partition; at
-    real scale the scan has thousands of splits and this repartition is a
-    no-op by key. Hashing/shingling is compute-bound, so parallelism here
-    is the lever (the shuffled payload is just the text column).
+    The local testdata is one parquet row group = one Spark partition, so
+    hash/shingle-heavy queries would otherwise run serial; at real scale
+    the scan has thousands of splits and this repartition-by-key is
+    effectively free relative to the per-row work it parallelizes
+    (measured locally: simhash 7.7s serial -> 0.8s at 32 partitions).
     """
     spark_parallelism = spark.sparkContext.defaultParallelism
     return load_table(spark, sf_dir, "documents").repartition(spark_parallelism, "doc_id")
 
 
-def _with_shingles(df: DataFrame) -> DataFrame:
-    """tokens + 3-gram word shingles (empty array when < 3 tokens)."""
-    return df.withColumn("toks", F.split(F.col("text"), " ")).withColumn(
-        "shingles",
-        F.expr(
-            "case when size(toks) >= 3 then"
-            " transform(sequence(0, size(toks)-3),"
-            "           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
-            " else array() end"
-        ),
-    )
-
-
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows — shingles materialized exactly once."""
-    return _with_shingles(_docs(spark, sf_dir)).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    """(doc_id, shingle) rows: 3-gram word shingles via token explode +
+    window lead.
+
+    NOT the tempting array-transform + explode formulation: explode adds
+    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
+    shingle expression, which Catalyst pushes below the exchange — the
+    full shingle construction then runs twice, serially, on the map side
+    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
+    (doc_id, pos, tok) rows once and builds each shingle exactly once,
+    distributed; it is also literally the DuckDB oracle's shape.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            F.concat(
+                F.col("tok"),
+                F.lit(" "),
+                F.lead("tok", 1).over(w),
+                F.lit(" "),
+                F.lead("tok", 2).over(w),
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -84,28 +96,44 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: universal-hash family h_i(x) = (A[i]*x + B[i]) mod P over a base 60-bit
+#: md5 hash reduced mod P — ONE md5 per shingle instead of k (the md5 was
+#: ~8x of the minhash cost); plain bigint math replays identically in any
+#: engine (P = 2^31 - 1 keeps every product under 2^63).
+_MH_P = 2_147_483_647
+_MH_A = [1103515245, 1103517221, 2654435761, 805306457, 668265263, 374761393, 969581051, 1540483477]
+_MH_B = [12345, 362437, 521288629, 88675123, 5783321, 6543989, 14665, 9999971]
+
+
+def _sql_arr(vals: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
 @gate(
     "dd_minhash_signatures",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
     ), sh AS (
       SELECT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT
+               % {_MH_P} AS hs
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
     )
     SELECT doc_id, CAST(g.i AS INT) AS h_idx,
-           min(('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT) AS minhash
+           min(({_sql_arr(_MH_A)}[g.i + 1] * hs + {_sql_arr(_MH_B)}[g.i + 1])
+               % {_MH_P}) AS minhash
     FROM sh, generate_series(0, 7) AS g(i)
     GROUP BY doc_id, g.i
     """,
-    doc="MinHash signatures (k=8) over 3-gram word shingles, salted-md5 hash "
-    "family. Shingles are materialized once (explode), the k hashes are one "
-    "narrow projection, and the per-(doc,hash) min aggregates map-side "
-    "before the shuffle — the linear-cost scale shape.",
+    doc="MinHash signatures (k=8) over 3-gram word shingles: one md5 per "
+    "shingle reduced mod 2^31-1, then an affine universal-hash family per "
+    "slot. Shingles materialize once, the per-(doc,slot) min aggregates "
+    "map-side before the shuffle — the linear-cost scale shape.",
 )
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_rows(spark, sf_dir)
@@ -115,11 +143,19 @@ def minhash_signature_rows(
     spark: SparkSession, sf_dir: str, n_hashes: int = 8
 ) -> DataFrame:
     """(doc_id, h_idx int, minhash bigint) — one row per doc per hash fn."""
-    h = _H.format(x="concat(shingle, '#', cast(i as string))")
+    base = "pmod(" + _H.format(x="shingle") + f", {_MH_P})"
+    a = "array(" + ", ".join(f"{v}L" for v in _MH_A[:n_hashes]) + ")"
+    b = "array(" + ", ".join(f"{v}L" for v in _MH_B[:n_hashes]) + ")"
     hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(base).alias("hs")
+    ).select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(sequence(0, {n_hashes - 1}), i -> struct(i, {h} as h))")
+            F.expr(
+                f"transform(sequence(0, {n_hashes - 1}), i -> struct(i,"
+                f" pmod(element_at({a}, i + 1) * hs + element_at({b}, i + 1),"
+                f" {_MH_P}) as h))"
+            )
         ).alias("x"),
     )
     return hashed.groupBy("doc_id", F.col("x.i").alias("h_idx")).agg(
@@ -149,19 +185,22 @@ def minhash_bands(
 
 @gate(
     "dd_lsh_candidate_pairs",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
     ), sh AS (
       SELECT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT
+               % {_MH_P} AS hs
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
     ), sig AS (
       SELECT doc_id, g.i AS h_idx,
-             min(('0x' || substr(md5(shingle || '#' || g.i), 1, 15))::BIGINT) AS minhash
+             min(({_sql_arr(_MH_A)}[g.i + 1] * hs + {_sql_arr(_MH_B)}[g.i + 1])
+                 % {_MH_P}) AS minhash
       FROM sh, generate_series(0, 7) AS g(i)
       GROUP BY doc_id, g.i
     ), bands AS (
@@ -206,7 +245,8 @@ def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
-             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
     ), sizes AS (
@@ -223,14 +263,21 @@ def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     """,
-    doc="n-gram Jaccard near-dup: distinct 3-gram shingles, pair intersection "
-    "via shingle equi-join (≥5 shared), |A∩B|/|A∪B|. At scale the shingle "
-    "join would be pre-filtered by the LSH candidates.",
+    doc="n-gram Jaccard near-dup: distinct 3-gram shingles hashed to 60-bit "
+    "ints (the join shuffles 8-byte keys, not ~30-byte strings; the hash is "
+    "the same on both engines so results match exactly), pair intersection "
+    "via equi-join (≥5 shared), |A∩B|/|A∪B|. At scale the join would be "
+    "pre-filtered by the LSH candidates.",
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distinct (doc, shingle) rows feed the self-join twice plus the size
-    # aggregate: materialize once.
-    sh = _shingle_rows(spark, sf_dir).distinct().cache()
+    # Distinct (doc, hashed-shingle) rows feed the self-join twice plus the
+    # size aggregate: materialize once.
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
+        .distinct()
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -652,4 +699,4 @@ def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = extract_features(media, dim=16).select(
         F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
     )
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5, dim=16)

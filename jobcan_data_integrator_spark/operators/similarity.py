@@ -31,17 +31,41 @@ from pyspark.sql.window import Window
 _H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
-def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = 8) -> Column:
+def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """The +-1 hyperplane matrix, derived from md5 parity of (plane, dim).
+
+    Computed ONCE driver-side (hashlib.md5 == SQL md5) and embedded as a
+    literal in the bucket expression — recomputing 512 md5s per ROW kept
+    the old expression ~10x slower; a DuckDB oracle replays the same
+    parity in SQL and lands on identical signs.
+    """
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16) % 2 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_bucket_expr(
+    emb: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> Column:
     """Bucket id in [0, 2^n_planes): bit p = sign of the dot product with
-    pseudo-random hyperplane p (components +-1 from the md5 parity of
-    (p, dim))."""
-    sign = (
-        "case when pmod(" + _H.format(x="concat(p, '_', d)") + ", 2) = 1"
-        " then 1L else -1L end"
+    pseudo-random hyperplane p.  The dot runs on integer-quantized
+    components (floor(x*1000)) so the sign is exact on any engine."""
+    signs = hyperplane_signs(n_planes, dim)
+    signs_lit = (
+        "array("
+        + ",".join("array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs)
+        + ")"
     )
     dot = (
         f"aggregate(sequence(0, size({emb}) - 1), 0L,"
-        f" (a, d) -> a + cast(floor(cast({emb}[d] as double) * 1000) as bigint) * ({sign}))"
+        f" (a, d) -> a + cast(floor(cast({emb}[d] as double) * 1000) as bigint)"
+        f" * element_at(element_at({signs_lit}, p + 1), d + 1))"
     )
     return F.expr(
         f"aggregate(sequence(0, {n_planes - 1}), 0L,"
@@ -49,8 +73,10 @@ def hyperplane_bucket_expr(emb: str = "embedding", n_planes: int = 8) -> Column:
     )
 
 
-def with_lsh_buckets(df: DataFrame, emb: str = "embedding", n_planes: int = 8) -> DataFrame:
-    return df.withColumn("bucket", hyperplane_bucket_expr(emb, n_planes))
+def with_lsh_buckets(
+    df: DataFrame, emb: str = "embedding", n_planes: int = 8, dim: int = 64
+) -> DataFrame:
+    return df.withColumn("bucket", hyperplane_bucket_expr(emb, n_planes, dim))
 
 
 def cosine_expr(a: str, b: str, dp: int = 6) -> Column:
@@ -71,6 +97,7 @@ def ann_topk_lsh(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
@@ -79,10 +106,10 @@ def ann_topk_lsh(
     collisions — the standard trade; multi-probe = union over neighboring
     buckets if needed.
     """
-    c = with_lsh_buckets(emb).select(
+    c = with_lsh_buckets(emb, n_planes=n_planes, dim=dim).select(
         "vec_id", F.col("embedding").alias("c_emb"), "bucket"
     )
-    q = with_lsh_buckets(queries).select(
+    q = with_lsh_buckets(queries, n_planes=n_planes, dim=dim).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
@@ -100,7 +127,7 @@ def ann_topk_lsh(
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.3, n_planes: int = 8
+    emb: DataFrame, threshold: float = 0.3, n_planes: int = 8, dim: int = 64
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket pre-filtered.
 
@@ -109,7 +136,7 @@ def embedding_near_dup_pairs(
     near-duplicate corpora the threshold is ~0.95; the synthetic testdata
     is near-orthogonal so gates exercise the path at a lower cut.
     """
-    b = with_lsh_buckets(emb, n_planes=n_planes).select(
+    b = with_lsh_buckets(emb, n_planes=n_planes, dim=dim).select(
         "vec_id", "embedding", "bucket"
     )
     a = b.alias("a")

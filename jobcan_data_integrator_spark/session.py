@@ -73,6 +73,17 @@ def ensure_engine_confs(spark: SparkSession) -> None:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on this build — session factory already set it
+    try:
+        # right-size shuffles for a single-node session, but only when the
+        # caller left Spark's 200-partition default in place (AQE coalesces
+        # most of the waste, but windows/explicit repartitions don't)
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
 
 
 def ensure_pyfiles(spark: SparkSession) -> None:

@@ -83,6 +83,6 @@ def test_feature_extraction_feeds_similarity(media, spark):
     from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
 
     emb = feats.select(F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding"))
-    topk = ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    topk = ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 2), k=3, dim=16)
     got = topk.collect()
     assert all(r["q_id"] in (0, 1) and r["vec_id"] != r["q_id"] for r in got)
