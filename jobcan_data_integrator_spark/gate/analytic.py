@@ -32,6 +32,124 @@ def _dec(col: str, prec: str = "decimal(18,2)"):
 
 
 # ---------------------------------------------------------------------------
+# Extra join/aggregation families (A3, J2, J9)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "a3_conditional_distinct_concat",
+    oracle="""
+    SELECT user_id,
+           coalesce(string_agg(DISTINCT CASE WHEN value > 100 THEN event_type END,
+                               ', ' ORDER BY CASE WHEN value > 100 THEN event_type END),
+                    'NULL') AS high_value_types,
+           count(DISTINCT CASE WHEN value > 100 THEN event_type END) AS n_high_types,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="A3 (users.py:208-237): conditional GROUP_CONCAT(DISTINCT) with "
+    "explicit sort + COUNT(DISTINCT) guard + the reference's 'NULL' string "
+    "sentinel. collect_set is order-free; array_sort pins the order both "
+    "engines agree on.",
+)
+def a3_conditional_distinct_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cond = F.when(F.col("value") > 100, F.col("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.nullif(F.array_join(F.array_sort(F.collect_set(cond)), ", "), F.lit("")),
+            F.lit("NULL"),
+        ).alias("high_value_types"),
+        F.countDistinct(cond).alias("n_high_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@gate(
+    "j2_composite_key_join",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), purchases AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+             CAST(round(sum(value), 4) AS DOUBLE) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT d.user_id, CAST(d.day AS VARCHAR) AS day, d.n_events,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(p.purchase_value, 0.0) AS purchase_value
+    FROM daily d
+    LEFT JOIN purchases p ON d.user_id = p.user_id AND d.day = p.day
+    """,
+    doc="J2 (create_views.sql:32-42): LEFT join on a composite key "
+    "(user_id, day). Both sides pre-aggregate on the join key, so the "
+    "join shuffles one row per (user, day) — partial-agg-before-join is "
+    "the at-scale shape.",
+)
+def j2_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.count("*").alias("n_events"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).cast("double").alias("purchase_value"),
+        )
+    )
+    return (
+        daily.alias("d")
+        .join(purchases.alias("p"), ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            "n_events",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+@gate(
+    "j9_nonkey_equi_join",
+    oracle="""
+    SELECT p.p_brand AS brand, count(*) AS n_pairs,
+           CAST(round(avg(abs(p.p_retailprice - q.p_retailprice)), 4) AS DOUBLE)
+             AS avg_price_gap
+    FROM part p JOIN part q
+      ON p.p_brand = q.p_brand AND p.p_partkey < q.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="J9 (create_views.sql:461-462): equi-join on a NON-key column "
+    "(brand), the fan-out-risk join. The aggregate collapses the fan-out "
+    "immediately; at 100 TB a hot brand is the classic skew case — AQE "
+    "skew-join splits it, or pre-salt brand with a small modulus.",
+)
+def j9_nonkey_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p = part.alias("p")
+    q = part.alias("q")
+    return (
+        p.join(
+            q,
+            (F.col("p.p_brand") == F.col("q.p_brand"))
+            & (F.col("p.p_partkey") < F.col("q.p_partkey")),
+        )
+        .groupBy(F.col("p.p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("p.p_retailprice") - F.col("q.p_retailprice"))), 4)
+            .cast("double")
+            .alias("avg_price_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1-style pricing summary (aggregation family, SURVEY §2.5)
 # ---------------------------------------------------------------------------
 

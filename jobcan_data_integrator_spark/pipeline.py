@@ -288,6 +288,29 @@ class JobcanPipeline:
 
     # -- run (O1 phase pipeline + O4 lifecycle) -----------------------------------
 
+    def run_with_retry(
+        self,
+        *,
+        backoff: list[float] | None = None,
+        retryable: tuple[type[BaseException], ...] = (ConnectionError, TimeoutError),
+        sleep: Callable[[float], None] | None = None,
+    ) -> RunSummary:
+        """I6: retry the run on transient network errors with the
+        reference's backoff schedule (60s -> 5min -> 15min, then give up
+        — ``app.py:17-36``).  The checkpoint state makes each retry a
+        resume, not a restart."""
+        import time as _time
+
+        sleep = sleep or _time.sleep
+        schedule = list(backoff if backoff is not None else [60.0, 300.0, 900.0])
+        while True:
+            try:
+                return self.run()
+            except retryable:
+                if not schedule:
+                    raise
+                sleep(schedule.pop(0))
+
     def run(self) -> RunSummary:
         state = self.checkpoint.load()
         if state.phase >= Phase.TERMINATING:

@@ -465,6 +465,31 @@ def view_sql(name: str, dialect: Dialect) -> str:
     return sql
 
 
+def export_views(
+    spark: SparkSession,
+    out_dir: str,
+    names: list[str] | None = None,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """BI egress (reference S11): materialize gold views to files.
+
+    The reference's consumers read the SQLite file over ODBC
+    (README.md:43-47); the Spark-native equivalent is gold parquet (or
+    CSV for the 書式 exports, which ARE CSV layouts).  Views must already
+    be registered (register_views).  Returns rows written per view.
+    """
+    counts: dict[str, int] = {}
+    for name in names or [n for n, _ in VIEWS]:
+        df = spark.table(f"`{name}`")
+        writer = df.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(f"{out_dir}/{name}")
+        else:
+            writer.parquet(f"{out_dir}/{name}")
+        counts[name] = df.count()
+    return counts
+
+
 def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
     """Register silver tables + the full view DAG as temp views
     (the reference installs views once at init, gateway.py:103-130)."""
