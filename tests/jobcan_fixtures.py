@@ -504,11 +504,17 @@ def canonicalize(obj: Any) -> Any:
     """Drop nulls and empty arrays/objects recursively; sort keys.
 
     to_json omits null struct fields and the shred pipeline stores no rows
-    for empty arrays, so both sides normalize to this form.
+    for empty arrays, so both sides normalize to this form.  Empty
+    elements inside lists are dropped too: positional row-shredding
+    cannot represent a childless inner collection (e.g. a 2-D table row
+    with zero cells), the same representational loss the reference's
+    (parent_id, index) row encoding has — reconstruction collapses the
+    gap, so the canonical form does as well.
     """
     if isinstance(obj, dict):
         out = {k: canonicalize(v) for k, v in sorted(obj.items())}
         return {k: v for k, v in out.items() if v not in (None, [], {})}
     if isinstance(obj, list):
-        return [canonicalize(v) for v in obj]
+        out_l = [canonicalize(v) for v in obj]
+        return [v for v in out_l if v not in (None, [], {})]
     return obj

@@ -1,0 +1,284 @@
+"""Property-based round-trip: ARBITRARY schema-shaped documents survive
+shred -> reconstruct (SURVEY.md §5.2 item 1).
+
+Hypothesis drives nulls into every optional position, empty vs missing
+collections, unicode text, union-typed values (str | object), dict-vs-
+list modify specifics, and cross-scope duplicate files/comments — the
+exact corners the reference's hand-rolled SQL gets subtly wrong
+(SURVEY.md §4.4).  Each example batches several documents into one
+Spark job to keep wall-clock sane.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jobcan_fixtures import canonicalize
+from jobcan_data_integrator_spark.operators.reconstruct import (
+    reconstruct_request_documents,
+)
+from jobcan_data_integrator_spark.operators.shred import (
+    parse_request_documents,
+    shred_request_documents,
+)
+
+_TEXT = st.text(
+    alphabet="abcxyz 円金額申請日時承認者田中0123,.-：（）",
+    min_size=0,
+    max_size=12,
+)
+_OPT_TEXT = st.none() | _TEXT
+_AMOUNT = st.none() | st.integers(min_value=-(10**9), max_value=10**12)
+_BOOL = st.none() | st.booleans()
+
+
+def _opt_list(elem, max_size=2):
+    return st.none() | st.lists(elem, min_size=0, max_size=max_size)
+
+
+# Files dedup GLOBALLY by id with attribute merge (reference
+# _data_class.py:13-143), and comments dedup by (user_name, date, text)
+# with max(deleted): attributes must be a FUNCTION of the dedup key, as
+# in real data — so both are drawn from fixed pools (ids shared across
+# scopes and documents exercises the merge path).
+_FILE = st.sampled_from(
+    [
+        {"id": "f-1", "name": "領収書.pdf", "type": None, "user_name": "太郎", "date": None, "deleted": True},
+        {"id": "f-2", "name": None, "type": "image/png", "user_name": None, "date": "2024/03/01 10:00:00", "deleted": False},
+        {"id": "f-3", "name": "", "type": None, "user_name": None, "date": None, "deleted": None},
+    ]
+)
+
+_COMMENT = st.sampled_from(
+    [
+        {"user_name": "太郎", "date": "2024/03/01 09:00:00", "text": "承認します", "deleted": False},
+        {"user_name": "花子", "date": None, "text": None, "deleted": True},
+        {"user_name": None, "date": "2024/03/02 09:00:00", "text": "", "deleted": None},
+    ]
+)
+
+_GM = st.none() | st.fixed_dictionaries(
+    {
+        "record_name": _OPT_TEXT,
+        "record_code": _OPT_TEXT,
+        "additional_items": _opt_list(_TEXT),
+    }
+)
+
+_CUSTOM_ITEM = st.fixed_dictionaries(
+    {
+        "name": _OPT_TEXT,
+        "item_type": _OPT_TEXT,
+        # union type: string | object (reference _expense.py:76-84)
+        "value": st.none()
+        | _TEXT
+        | st.fixed_dictionaries(
+            {
+                "generic_master_code": _OPT_TEXT,
+                "generic_master_record_name": _OPT_TEXT,
+                "generic_master_record_code": _OPT_TEXT,
+                "content": _OPT_TEXT,
+                "memo": _OPT_TEXT,
+                "extension_items": _opt_list(
+                    st.fixed_dictionaries({"name": _OPT_TEXT, "value": _OPT_TEXT})
+                ),
+            }
+        ),
+    }
+)
+
+_EXPENSE_ROW = st.fixed_dictionaries(
+    {
+        "row_number": _OPT_TEXT,
+        "use_date": _OPT_TEXT,
+        "group_name": _OPT_TEXT,
+        "project_name": _OPT_TEXT,
+        "content_description": _OPT_TEXT,
+        "breakdown": _OPT_TEXT,
+        "amount": _AMOUNT,
+        "custom_items": _opt_list(_CUSTOM_ITEM),
+        "files": _opt_list(_FILE),
+    }
+)
+
+_DETAIL = st.fixed_dictionaries(
+    {
+        "customized_items": _opt_list(
+            st.fixed_dictionaries(
+                {
+                    "title": _OPT_TEXT,
+                    "content": _OPT_TEXT,
+                    "generic_master": _GM,
+                    "files": _opt_list(_FILE),
+                    "table": st.none()
+                    | st.lists(
+                        st.lists(
+                            st.fixed_dictionaries(
+                                {
+                                    "column_number": st.none()
+                                    | st.integers(0, 5),
+                                    "value": _OPT_TEXT,
+                                    "generic_master": _GM,
+                                }
+                            ),
+                            min_size=0,
+                            max_size=2,
+                        ),
+                        min_size=0,
+                        max_size=2,
+                    ),
+                }
+            )
+        ),
+        "expense": st.none()
+        | st.fixed_dictionaries(
+            {
+                "amount": _AMOUNT,
+                "related_request_title": _OPT_TEXT,
+                "related_request_id": _OPT_TEXT,
+                "use_suspense_payment": _BOOL,
+                "content_description": _OPT_TEXT,
+                "advanced_payment": _AMOUNT,
+                "suspense_payment_amount": _AMOUNT,
+                "specifics": _opt_list(
+                    st.fixed_dictionaries(
+                        {"type": _OPT_TEXT, "rows": _opt_list(_EXPENSE_ROW)}
+                    )
+                ),
+            }
+        ),
+        "approval_process": st.none()
+        | st.fixed_dictionaries(
+            {
+                "is_route_changed_by_applicant": _BOOL,
+                "approval_route_modify_logs": _opt_list(
+                    st.fixed_dictionaries({"date": _OPT_TEXT, "user_name": _OPT_TEXT})
+                ),
+                "steps": _opt_list(
+                    st.fixed_dictionaries(
+                        {
+                            "name": _OPT_TEXT,
+                            "condition": _OPT_TEXT,
+                            "status": _OPT_TEXT,
+                            "approvers": _opt_list(
+                                st.fixed_dictionaries(
+                                    {
+                                        "status": _OPT_TEXT,
+                                        "approved_date": _OPT_TEXT,
+                                        "approver_name": _OPT_TEXT,
+                                        "approver_code": _OPT_TEXT,
+                                        "proxy_approver_name": _OPT_TEXT,
+                                        "proxy_approver_code": _OPT_TEXT,
+                                    }
+                                )
+                            ),
+                            "comments": _opt_list(_COMMENT),
+                            "files": _opt_list(_FILE),
+                        }
+                    )
+                ),
+                "after_completion": st.none()
+                | st.fixed_dictionaries(
+                    {"comments": _opt_list(_COMMENT), "files": _opt_list(_FILE)}
+                ),
+            }
+        ),
+        "viewers": _opt_list(
+            st.fixed_dictionaries(
+                {
+                    "user_name": _OPT_TEXT,
+                    "status": _OPT_TEXT,
+                    "group": _OPT_TEXT,
+                    "position": _OPT_TEXT,
+                }
+            )
+        ),
+        "modify_logs": _opt_list(
+            st.fixed_dictionaries(
+                {
+                    "date": _OPT_TEXT,
+                    "user_name": _OPT_TEXT,
+                    "detail": _opt_list(
+                        st.fixed_dictionaries(
+                            {
+                                "title": _OPT_TEXT,
+                                "old": _OPT_TEXT,
+                                "new": _OPT_TEXT,
+                                "log_type": _OPT_TEXT,
+                                # dict OR list (reference _modify_logs.py:31-32)
+                                "specifics": st.none()
+                                | st.fixed_dictionaries(
+                                    {"status": _OPT_TEXT, "difference": _OPT_TEXT}
+                                )
+                                | st.lists(
+                                    st.fixed_dictionaries(
+                                        {"status": _OPT_TEXT, "difference": _OPT_TEXT}
+                                    ),
+                                    max_size=2,
+                                ),
+                            }
+                        )
+                    ),
+                }
+            )
+        ),
+        "default_attachment_files": _opt_list(_FILE, max_size=3),
+    }
+)
+
+_DOC = st.fixed_dictionaries(
+    {
+        "title": _OPT_TEXT,
+        "status": st.sampled_from(
+            ["in_progress", "completed", "canceled_after_completion", None]
+        ),
+        "form_id": st.none() | st.integers(1, 10**8),
+        "total_amount": _AMOUNT,
+        "is_content_changed": _BOOL,
+        "applied_date": _OPT_TEXT,
+        "detail": st.none() | _DETAIL,
+    }
+)
+
+
+def _coerce_expected(doc: dict) -> dict:
+    for ml in (doc.get("detail") or {}).get("modify_logs") or []:
+        for dt in ml.get("detail") or []:
+            if isinstance(dt.get("specifics"), dict):
+                dt["specifics"] = [dt["specifics"]]
+    return doc
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=4))
+def test_roundtrip_property(spark, docs):
+    for i, d in enumerate(docs):
+        d["id"] = f"sa-{i}"
+    raw = spark.createDataFrame(
+        [(json.dumps(d, ensure_ascii=False),) for d in docs], "raw string"
+    )
+    tables = shred_request_documents(parse_request_documents(raw))
+    rebuilt = {
+        r["id"]: json.loads(r["doc_json"])
+        for r in reconstruct_request_documents(tables).collect()
+    }
+    for d in docs:
+        exp = canonicalize(_coerce_expected(d))
+        got = canonicalize(rebuilt[d["id"]])
+        assert got == exp, (
+            f"{d['id']}: diff at "
+            + str(
+                [
+                    k
+                    for k in sorted(set(exp) | set(got))
+                    if exp.get(k) != got.get(k)
+                ][:3]
+            )
+        )
