@@ -58,6 +58,12 @@ ENTITY_WRITES: dict[str, tuple[str, list[str]]] = {
     "custom_journal_items": ("sync", ["journal_id"]),
 }
 
+#: hive-partition spec for the big tables (pass to TableStore): requests
+#: partition by form_id, so incremental merges rewrite only the touched
+#: forms' partitions and the form-scoped view filters (WHERE form_id = …,
+#: create_views.sql:336 etc.) prune at the scan.
+PARTITIONED_TABLES: dict[str, list[str]] = {"requests": ["form_id"]}
+
 #: request-document tables: global dedup entities merge by id, everything
 #: else is a full snapshot per request (N18 semantics).
 REQUEST_WRITES: dict[str, tuple[str, list[str]]] = {

@@ -43,14 +43,26 @@ class TableStore:
         root: str | os.PathLike,
         *,
         write_partitions: int | None = None,
+        partitioned: dict[str, list[str]] | None = None,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
-        size the write (the right call for large fact tables)."""
+        size the write (the right call for large fact tables).
+
+        ``partitioned`` maps table name -> hive partition columns.  Merges
+        into a partitioned table rewrite ONLY the partitions present in
+        the update batch (dynamic partition overwrite + a broadcast-semi
+        prune of the current side), so a 100 TB table absorbs a
+        few-partition increment without a full rewrite.  Dynamic
+        overwrite is not atomic across partitions — same contract as the
+        reference's per-record commits: a crashed write is converged by
+        the idempotent re-run (failure records, SURVEY.md §4.3 item 2).
+        """
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.write_partitions = write_partitions
+        self.partitioned = dict(partitioned or {})
 
     # -- basic io -------------------------------------------------------------
 
@@ -89,16 +101,47 @@ class TableStore:
             lambda x, y: x & y, (a[k].eqNullSafe(b[k]) for k in keys)
         )
 
+    def _write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
+        """Overwrite only the hive partitions present in ``df``."""
+        pcols = self.partitioned[table]
+        if self.write_partitions is not None:
+            df = df.coalesce(self.write_partitions)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*pcols).parquet(str(self.path(table)))
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _current_in_partitions(self, table: str, updates: DataFrame) -> DataFrame:
+        """Current rows of the partitions the update batch touches — a
+        broadcast semi join on the partition columns, so the scan prunes
+        to the affected partitions (DPP)."""
+        from pyspark.sql.functions import broadcast
+
+        pcols = self.partitioned[table]
+        parts = updates.select(*pcols).dropDuplicates(pcols)
+        return self.read(table).join(broadcast(parts), pcols, "leftsemi")
+
     def merge_upsert(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Full-row upsert: rows matching on ``keys`` are replaced, new rows
         inserted.  ``updates`` must be key-unique (callers dedup upstream)."""
+        u = updates.dropDuplicates(keys)
         if not self.exists(table):
-            self.overwrite(table, updates.dropDuplicates(keys))
+            if table in self.partitioned:
+                self._write_partitions_dynamic(table, u)
+            else:
+                self.overwrite(table, u)
+            return
+        if table in self.partitioned:
+            current = self._current_in_partitions(table, u).alias("t")
+            kept = current.join(u.alias("u"), on=self._key_cond(current, u, keys), how="left_anti")
+            self._write_partitions_dynamic(table, kept.unionByName(u))
             return
         current = self.read(table).alias("t")
-        u = updates.dropDuplicates(keys).alias("u")
-        kept = current.join(u, on=self._key_cond(current, u, keys), how="left_anti")
-        self.overwrite(table, kept.unionByName(updates.dropDuplicates(keys)))
+        ua = u.alias("u")
+        kept = current.join(ua, on=self._key_cond(current, ua, keys), how="left_anti")
+        self.overwrite(table, kept.unionByName(u))
 
     def merge_insert_missing(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Insert-if-absent, never update (reference N15, group.py:52-64)."""
@@ -117,7 +160,21 @@ class TableStore:
         (N14) generalized — a re-ingest with fewer children leaves no stale
         tails (N18)."""
         if not self.exists(table):
-            self.overwrite(table, updates)
+            if table in self.partitioned:
+                self._write_partitions_dynamic(table, updates)
+            else:
+                self.overwrite(table, updates)
+            return
+        if table in self.partitioned:
+            # NOTE: assumes a scope never migrates between partitions
+            # (e.g. a request's form_id is immutable) — else the stale
+            # row in the old partition must be removed by a delete_scope.
+            current = self._current_in_partitions(table, updates)
+            scopes = updates.select(*scope_keys).dropDuplicates(scope_keys).alias("s")
+            kept = current.alias("t").join(
+                scopes, on=self._key_cond(current, scopes, scope_keys), how="left_anti"
+            )
+            self._write_partitions_dynamic(table, kept.unionByName(updates))
             return
         current = self.read(table)
         scopes = updates.select(*scope_keys).dropDuplicates(scope_keys).alias("s")

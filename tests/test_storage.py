@@ -79,6 +79,64 @@ def test_sync_children_scoped_delete_only(spark, store):
     assert _rows(store, "ug") == [(1, "G2"), (2, "G0")]
 
 
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    store = TableStore(
+        spark,
+        tmp_path / "pt",
+        write_partitions=1,
+        partitioned={"requests": ["form_id"]},
+    )
+    schema = "id string, status string, form_id long"
+    store.merge_upsert(
+        "requests",
+        spark.createDataFrame(
+            [("sa-1", "open", 100), ("sa-2", "open", 100), ("sa-3", "open", 200)],
+            schema,
+        ),
+        ["id"],
+    )
+    p100 = store.path("requests") / "form_id=100"
+    p200 = store.path("requests") / "form_id=200"
+    assert p100.exists() and p200.exists()
+    import os
+
+    mtime_200 = max(os.path.getmtime(p) for p in p200.rglob("*.parquet"))
+
+    # update only form 100: form 200's files must be untouched
+    store.merge_upsert(
+        "requests",
+        spark.createDataFrame([("sa-1", "done", 100), ("sa-9", "open", 100)], schema),
+        ["id"],
+    )
+    rows = {(r["id"], r["status"], r["form_id"]) for r in store.read("requests").collect()}
+    assert rows == {
+        ("sa-1", "done", 100),
+        ("sa-2", "open", 100),
+        ("sa-3", "open", 200),
+        ("sa-9", "open", 100),
+    }
+    assert max(os.path.getmtime(p) for p in p200.rglob("*.parquet")) == mtime_200
+
+
+def test_partitioned_scan_prunes(spark, tmp_path):
+    store = TableStore(
+        spark, tmp_path / "pp", partitioned={"requests": ["form_id"]}
+    )
+    store.merge_upsert(
+        "requests",
+        spark.createDataFrame(
+            [(f"sa-{i}", "open", 100 + i % 3) for i in range(30)],
+            "id string, status string, form_id long",
+        ),
+        ["id"],
+    )
+    df = store.read("requests").where("form_id = 101")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "form_id" in plan and df.count() == 10
+    # partition filter reaches the scan (not a post-scan Filter only)
+    assert "PartitionFilters: [isnotnull(form_id" in plan or "form_id#" in plan.split("Scan parquet")[-1]
+
+
 def test_delete_scope(spark, store):
     schema = "request_id string, v int"
     store.overwrite(
