@@ -41,6 +41,7 @@ HEADLINE = [
     "dd_embedding_cosine_pairs",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
     "tx_lang_id",
     "tx_quality_score",
     "tx_doc_fingerprint",

@@ -713,3 +713,144 @@ def w_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FK-chain joins, fan-out collapse, 2-D shred, open-items catch-up
+# (SURVEY §2.4 J4, §2.5 A5, §2.2 N3, §2.9 I2)
+# ---------------------------------------------------------------------------
+
+
+@gate(
+    "j4_fk_chain_left_joins",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, l.l_linenumber, l.l_quantity
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="J4 (create_views.sql:182-199, approval_process ⟕ steps ⟕ approvers): "
+    "a two-level LEFT FK chain that preserves parents without children at "
+    "every level. Both joins share the child side's natural shuffle key, so "
+    "the second join reuses the first's partitioning (one exchange per side).",
+)
+def j4_fk_chain_left_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .select("c_custkey", "o_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@gate(
+    "a5_fanout_collapse",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           (min(struct_pack(ln := l.l_linenumber, pk := l.l_partkey))).pk
+             AS first_partkey,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    doc="A5 (create_views.sql:337-338 etc.): GROUP BY collapsing a fan-out "
+    "join back to one row per parent. SQLite silently takes an arbitrary "
+    "row for bare columns; here the 'first' is pinned deterministically — "
+    "min(struct(sort_key, payload)) — which is also algebraic, so it "
+    "partial-aggregates map-side before the shuffle (no window needed).",
+)
+def a5_fanout_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.min(F.struct("l_linenumber", "l_partkey"))["l_partkey"].alias(
+                "first_partkey"
+            ),
+            F.count("*").alias("n_lines"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+@gate(
+    "n3_2d_table_shred",
+    oracle="""
+    WITH numbered AS (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber,
+                                         [l_quantity, l_extendedprice, l_discount])
+               - 1 AS index_1,
+             [l_quantity, l_extendedprice, l_discount] AS cells
+      FROM lineitem
+    )
+    SELECT l_orderkey, CAST(index_1 AS INT) AS index_1,
+           CAST(generate_subscripts(cells, 1) - 1 AS INT) AS index_2,
+           unnest(cells) AS cell_value
+    FROM numbered
+    """,
+    doc="N3 (_customized_items.py:21-56, table_data rows keyed "
+    "(customized_item_id, index_1, index_2)): 2-D grid shredding via nested "
+    "posexplode — each level's array position becomes part of the natural "
+    "key, exactly the reference's UNIQUE(…, index_1, index_2) contract. "
+    "The grid is built with a sorted collect_list so row order is explicit.",
+)
+def n3_2d_table_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    grid = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber"),
+                        F.array(
+                            "l_quantity", "l_extendedprice", "l_discount"
+                        ).alias("cells"),
+                    )
+                )
+            ).alias("rows")
+        )
+        .select("l_orderkey", F.expr("transform(rows, r -> r.cells)").alias("grid"))
+    )
+    return grid.select(
+        "l_orderkey", F.posexplode("grid").alias("index_1", "row_cells")
+    ).select(
+        "l_orderkey",
+        "index_1",
+        F.posexplode("row_cells").alias("index_2", "cell_value"),
+    )
+
+
+@gate(
+    "i2_open_items_catchup",
+    oracle="""
+    SELECT DISTINCT o_orderkey, o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '1999-01-01 00:00:00' OR o_orderstatus = 'O'
+    """,
+    doc="I2 (gateway/gateway.py:497-501, doc/実行フロー.md:149-175): the "
+    "late-data catch-up work queue — union of the watermark-filtered new "
+    "items and the still-open items whose status can still change, "
+    "deduplicated. Both branches are pushed-down scans of the same table; "
+    "at scale the watermark predicate prunes date partitions.",
+)
+def i2_open_items_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    new_items = o.filter(F.col("o_orderdate") > F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    open_items = o.filter(F.col("o_orderstatus") == "O")
+    return new_items.unionByName(open_items).distinct()

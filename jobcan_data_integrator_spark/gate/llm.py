@@ -485,6 +485,57 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
+@gate(
+    "sim_ann_ivf_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cell_id, q AS cq FROM e WHERE vec_id < 16
+    ), dots AS (
+      SELECT e.vec_id, cent.cell_id,
+             list_sum(list_transform(list_zip(e.q, cent.cq),
+                                     p -> p[1] * p[2])) AS dot
+      FROM e, cent
+    ), assign AS (
+      SELECT vec_id, cell_id FROM dots
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell_id) = 1
+    ), probe AS (
+      SELECT vec_id AS q_id, cell_id FROM dots WHERE vec_id < 5
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell_id) <= 2
+    ), sims AS (
+      SELECT p.q_id, a.vec_id,
+             round(
+               list_sum(list_transform(list_zip(eq.emb, ec.emb), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(eq.emb, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ec.emb, x -> x * x)))), 6) AS cosine_sim
+      FROM probe p
+      JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id <> p.q_id
+      JOIN e eq ON eq.vec_id = p.q_id
+      JOIN e ec ON ec.vec_id = a.vec_id
+    )
+    SELECT q_id, vec_id, cosine_sim FROM sims
+    QUALIFY row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine_sim DESC, vec_id) <= 5
+    """,
+    doc="IVF-flat ANN: deterministic coarse quantizer (seed centroids, "
+    "integer-quantized inner-product argmax), queries probe their 2 best of "
+    "16 cells, exact double-cosine re-rank, per-query top-5. The scale shape "
+    "that complements the LSH path: cell assigned at ingest, table "
+    "clustered by cell, probes read n_probe/n_cells of the data.",
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -154,3 +154,86 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def quantized_expr(emb: str = "embedding") -> Column:
+    """array<bigint> of floor(component * 1000) — the integer quantization
+    both the LSH and IVF coarse steps rank on, so cell/bucket assignment is
+    exact integer math on any engine (float fold order can never flip it)."""
+    return F.expr(
+        f"transform({emb}, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+    )
+
+
+def ivf_cell_dots(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell_id, dot): integer dot product of every vector against
+    every centroid.  ``centroids`` is small (n_cells rows) and broadcast —
+    the assignment pass is a narrow map over the vector table."""
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (a, v) -> a + v)"),
+        )
+        .select("vec_id", "cell_id", "dot")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer -> probe n cells -> exact re-rank.
+
+    Centroids are the seed vectors ``vec_id < n_cells`` (deterministic
+    "training"; a production build would run k-means and persist the
+    codebook — the query-path plan is identical).  Every vector is assigned
+    to the centroid maximizing the integer-quantized inner product
+    (tie-break: lowest cell id); a query probes its ``n_probe`` best cells
+    and re-ranks candidates by exact double cosine.
+
+    The 100 TB shape: ``cell_id`` is computed once at ingest (narrow, no
+    shuffle), the table is partitioned/clustered by cell, and each probe
+    reads ``n_probe``/``n_cells`` of the data instead of all of it.  The
+    brute-force baseline is gate ``sim_cosine_topk``; the hyperplane
+    alternative is ``ann_topk_lsh``.
+    """
+    cent = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell_id"), quantized_expr().alias("cq"))
+    )
+    vq = emb.select("vec_id", quantized_expr().alias("q"))
+    dots = ivf_cell_dots(vq, cent)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell_id"))
+    assign = (
+        dots.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    probe = (
+        ivf_cell_dots(queries.select("vec_id", quantized_expr().alias("q")), cent)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), "cell_id")
+    )
+    q_emb = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c_emb = emb.select("vec_id", F.col("embedding").alias("c_emb"))
+    sims = (
+        F.broadcast(probe)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_emb), "q_id")
+        .join(c_emb, "vec_id")
+        .withColumn("cosine_sim", cosine_expr("q_emb", "c_emb"))
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine_sim")
+    )
