@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
+    "sim_ivf_train_kmeans",
     "tx_lang_id",
     "tx_quality_score",
     "tx_doc_fingerprint",
@@ -75,7 +76,8 @@ def main() -> None:
                 "metric": f"headline-suite wall-clock ({len(HEADLINE)} queries: "
                 "TPC-H-ish analytics, pivots/windows/JSON-reconstruct, "
                 "minhash-LSH + simhash + jaccard + embedding dedup, cosine "
-                "top-k + LSH ANN, text analysis, multimodal mapInPandas)",
+                "top-k + LSH/IVF ANN + k-means codebook training, text "
+                "analysis, multimodal mapInPandas)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

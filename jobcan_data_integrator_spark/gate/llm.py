@@ -536,6 +536,24 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=16, n_probe=2)
 
 
+@gate(
+    "sim_ivf_train_kmeans",
+    oracle=None,  # iterative algorithm — driver records a rows-only check;
+    # tests/test_similarity_kmeans.py pins exact values vs a NumPy replica.
+    doc="IVF codebook training: 2 Lloyd iterations over integer-quantized "
+    "embeddings (argmax-dot assign, floor-mean update) — all-integer math, "
+    "so the result is bit-stable under any partitioning. Output is the "
+    "per-cell member count + centroid checksum. Per iteration: one "
+    "broadcast score pass + one (cell, dim)-keyed shuffle that partial-"
+    "aggregates to 16x64 groups regardless of corpus size.",
+)
+def sim_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.similarity import ivf_codebook_stats
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_codebook_stats(emb, n_cells=16, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -237,3 +237,73 @@ def ann_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine_sim")
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, n_cells: int = 16, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over integer-quantized vectors — the IVF codebook
+    trainer behind ``ann_topk_ivf``'s coarse quantizer.
+
+    Returns ``(centroids, assignment)``: ``centroids`` is
+    (cell_id, cq array<bigint>), ``assignment`` is (vec_id, cell_id) for
+    the final iteration.
+
+    Every step is exact integer arithmetic, so the result is bit-stable
+    under any partitioning or execution order (float means would drift
+    with partition-combine order):
+
+    - init: seed centroids = quantized vectors with ``vec_id < n_cells``;
+    - assign: argmax integer dot product, ties to the lowest cell;
+    - update: per-dimension floor(sum/count) over members (sums of
+      quantized components stay far below 2^53, so the double division
+      inside ``floor`` is exact).
+
+    Scale shape per iteration: one broadcast cross-score (narrow), one
+    shuffle keyed (cell_id, dim) with map-side partial sums — 16x64
+    groups regardless of corpus size — and a 16-row collect into the
+    next broadcast.  Cells that lose all members drop out (their bucket
+    simply stops matching).  This is the genuinely iterative operator
+    family (non-SQL-expressible; the driver records a rows-only check,
+    tests pin exact values against an independent NumPy replica).
+    """
+    vq = emb.select("vec_id", quantized_expr().alias("q"))
+    cent = vq.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("q").alias("cq")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell_id"))
+    assign = None
+    for _ in range(iters):
+        assign = (
+            ivf_cell_dots(vq, cent)
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell_id")
+        )
+        sums = (
+            assign.join(vq, "vec_id")
+            .select("cell_id", F.posexplode("q").alias("d", "v"))
+            .groupBy("cell_id", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        cent = (
+            sums.withColumn("c", F.floor(F.col("s") / F.col("n")).cast("bigint"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select("cell_id", F.expr("transform(dc, x -> x.c)").alias("cq"))
+        )
+    return cent, assign
+
+
+def ivf_codebook_stats(emb: DataFrame, n_cells: int = 16, iters: int = 2) -> DataFrame:
+    """(cell_id, n_members, centroid_checksum): trained-codebook summary —
+    the deterministic, hashable face of ``train_ivf_centroids``."""
+    cent, assign = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+    sizes = assign.groupBy("cell_id").agg(F.count("*").alias("n_members"))
+    checks = cent.select(
+        "cell_id",
+        F.expr("aggregate(cq, 0L, (a, v) -> a + v)").alias("centroid_checksum"),
+    )
+    return sizes.join(checks, "cell_id").select(
+        "cell_id", "n_members", "centroid_checksum"
+    )

@@ -1,0 +1,97 @@
+"""IVF k-means trainer — exact-value check against an independent NumPy
+replica.
+
+The gate has no SQL oracle (iterative algorithm), so this test is its
+correctness anchor: the Spark pipeline and a from-scratch NumPy Lloyd's
+implementation must agree BIT-FOR-BIT, which only holds because both run
+the same all-integer arithmetic (quantize -> integer dot argmax ->
+floor-mean).  Any float drift or ordering nondeterminism in the Spark
+side breaks this immediately.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from jobcan_data_integrator_spark.operators.similarity import (
+    ivf_codebook_stats,
+    train_ivf_centroids,
+)
+
+N_CELLS = 16
+ITERS = 2
+
+
+def _numpy_reference(sf_dir: str):
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = tbl["vec_id"].to_numpy()
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(vec_ids)
+    vec_ids, emb = vec_ids[order], emb[order]
+    q = np.floor(emb * 1000).astype(np.int64)
+
+    cent_ids = [int(v) for v in vec_ids if v < N_CELLS]
+    cents = {cid: q[np.where(vec_ids == cid)[0][0]].copy() for cid in cent_ids}
+    assign = {}
+    for _ in range(ITERS):
+        assign = {}
+        cell_list = sorted(cents)
+        cmat = np.stack([cents[c] for c in cell_list])
+        dots = q @ cmat.T  # int64 exact
+        for i, vid in enumerate(vec_ids):
+            best = max(range(len(cell_list)), key=lambda j: (dots[i, j], -cell_list[j]))
+            assign[int(vid)] = cell_list[best]
+        new = {}
+        for cid in cell_list:
+            members = [i for i, vid in enumerate(vec_ids) if assign[int(vid)] == cid]
+            if not members:
+                continue
+            s = q[members].sum(axis=0)
+            n = len(members)
+            new[cid] = np.array([math.floor(x / n) for x in s], dtype=np.int64)
+        cents = new
+    return cents, assign
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, sf_dir):
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent, assign = train_ivf_centroids(emb, n_cells=N_CELLS, iters=ITERS)
+    return (
+        {r["cell_id"]: np.array(r["cq"], dtype=np.int64) for r in cent.collect()},
+        {r["vec_id"]: r["cell_id"] for r in assign.collect()},
+    )
+
+
+def test_assignment_matches_numpy(spark_result, sf_dir):
+    _, np_assign = _numpy_reference(sf_dir)
+    s_cent, s_assign = spark_result
+    assert s_assign == np_assign
+
+
+def test_centroids_match_numpy_exactly(spark_result, sf_dir):
+    np_cent, _ = _numpy_reference(sf_dir)
+    s_cent, _ = spark_result
+    assert sorted(s_cent) == sorted(np_cent)
+    for cid in np_cent:
+        assert np.array_equal(s_cent[cid], np_cent[cid]), f"cell {cid} differs"
+
+
+def test_codebook_stats_consistent(spark, sf_dir):
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = {r["cell_id"]: r for r in ivf_codebook_stats(emb, N_CELLS, ITERS).collect()}
+    np_cent, np_assign = _numpy_reference(sf_dir)
+    for cid, c in np_cent.items():
+        n = sum(1 for v in np_assign.values() if v == cid)
+        if n == 0:
+            continue
+        assert stats[cid]["n_members"] == n
+        assert stats[cid]["centroid_checksum"] == int(c.sum())
