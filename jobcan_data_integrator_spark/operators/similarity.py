@@ -165,17 +165,54 @@ def quantized_expr(emb: str = "embedding") -> Column:
     )
 
 
-def ivf_cell_dots(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cell_id, dot): integer dot product of every vector against
-    every centroid.  ``centroids`` is small (n_cells rows) and broadcast —
-    the assignment pass is a narrow map over the vector table."""
+def _cents_row(cent: DataFrame) -> DataFrame:
+    """Fold the (cell_id, cq) codebook into ONE row holding a sorted array —
+    broadcast-joined onto the vector table so scoring needs no shuffle and
+    no n_cells-fold row blow-up."""
+    return cent.agg(F.array_sort(F.collect_list(F.struct("cell_id", "cq"))).alias("cents"))
+
+
+#: per-row scores against every centroid: array<struct<dot bigint, cell bigint>>
+_SCORES = (
+    "transform(cents, c -> struct("
+    "aggregate(zip_with(q, c.cq, (x, y) -> x * y), 0L, (a, v) -> a + v) as dot,"
+    " c.cell_id as cell))"
+)
+
+
+def assign_cells(
+    vq: DataFrame, cent: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, *keep, cell_id): nearest-centroid assignment as a PURE MAP.
+
+    ``vq`` must carry the quantized vector as column ``q``.  The argmax
+    (tie -> lowest cell, matching ORDER BY dot DESC, cell_id) folds over
+    the in-row score array — zero shuffle, no window, no per-centroid row
+    explosion; the only exchange anywhere is the 16-row codebook fold.
+    ``keep`` carries extra columns through (e.g. ``q`` itself, so callers
+    never need to join the assignment back to the vectors)."""
+    best = (
+        f"aggregate({_SCORES},"
+        " struct(cast(-9223372036854775807 as bigint) as dot, cast(-1 as bigint) as cell),"
+        " (b, s) -> if(s.dot > b.dot, s, b)).cell"
+    )
+    return vq.crossJoin(F.broadcast(_cents_row(cent))).select(
+        "vec_id", *keep, F.expr(best).alias("cell_id")
+    )
+
+
+def probe_cells(vq: DataFrame, cent: DataFrame, n_probe: int) -> DataFrame:
+    """(vec_id, cell_id): each vector's top ``n_probe`` cells, ranked by
+    (dot DESC, cell ASC) via an in-row sort of the score array — same
+    zero-shuffle shape as ``assign_cells``."""
+    ranked = (
+        f"slice(array_sort(transform({_SCORES},"
+        f" s -> struct(-s.dot as ndot, s.cell as cell))), 1, {n_probe})"
+    )
     return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "dot",
-            F.expr("aggregate(zip_with(q, cq, (x, y) -> x * y), 0L, (a, v) -> a + v)"),
-        )
-        .select("vec_id", "cell_id", "dot")
+        vq.crossJoin(F.broadcast(_cents_row(cent)))
+        .select("vec_id", F.explode(F.expr(ranked)).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell_id"))
     )
 
 
@@ -206,19 +243,10 @@ def ann_topk_ivf(
         .select(F.col("vec_id").alias("cell_id"), quantized_expr().alias("cq"))
     )
     vq = emb.select("vec_id", quantized_expr().alias("q"))
-    dots = ivf_cell_dots(vq, cent)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell_id"))
-    assign = (
-        dots.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
-    )
-    probe = (
-        ivf_cell_dots(queries.select("vec_id", quantized_expr().alias("q")), cent)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("q_id"), "cell_id")
-    )
+    assign = assign_cells(vq, cent)
+    probe = probe_cells(
+        queries.select("vec_id", quantized_expr().alias("q")), cent, n_probe
+    ).withColumnRenamed("vec_id", "q_id")
     q_emb = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -259,10 +287,12 @@ def train_ivf_centroids(
       quantized components stay far below 2^53, so the double division
       inside ``floor`` is exact).
 
-    Scale shape per iteration: one broadcast cross-score (narrow), one
-    shuffle keyed (cell_id, dim) with map-side partial sums — 16x64
-    groups regardless of corpus size — and a 16-row collect into the
-    next broadcast.  Cells that lose all members drop out (their bucket
+    Scale shape per iteration: assignment is a pure map (in-row argmax
+    against the broadcast codebook — no window, no join-back, because
+    ``assign_cells`` carries ``q`` through); the update is one shuffle
+    keyed (cell_id, dim) with map-side partial sums — 16x64 groups
+    regardless of corpus size — and a 16-row fold into the next
+    broadcast.  Cells that lose all members drop out (their bucket
     simply stops matching).  This is the genuinely iterative operator
     family (non-SQL-expressible; the driver records a rows-only check,
     tests pin exact values against an independent NumPy replica).
@@ -271,18 +301,12 @@ def train_ivf_centroids(
     cent = vq.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"), F.col("q").alias("cq")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell_id"))
     assign = None
     for _ in range(iters):
-        assign = (
-            ivf_cell_dots(vq, cent)
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell_id")
-        )
+        assigned = assign_cells(vq, cent, keep=("q",))
+        assign = assigned.select("vec_id", "cell_id")
         sums = (
-            assign.join(vq, "vec_id")
-            .select("cell_id", F.posexplode("q").alias("d", "v"))
+            assigned.select("cell_id", F.posexplode("q").alias("d", "v"))
             .groupBy("cell_id", "d")
             .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
         )
