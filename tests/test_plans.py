@@ -104,6 +104,14 @@ def test_ivf_probe_and_queries_broadcast(spark, sf_dir):
     )
 
 
+def test_ivf_training_assignment_is_windowless(spark, sf_dir):
+    """Cell assignment must stay a pure map (in-row argmax over the
+    broadcast codebook). A Window node here means someone reintroduced
+    the n_cells-fold row explosion + sort shuffle per iteration."""
+    plan = _gate_plan(spark, sf_dir, "sim_ivf_train_kmeans")
+    assert "Window" not in plan
+
+
 def test_i2_catchup_pushes_predicates(spark, sf_dir):
     plan = _gate_plan(spark, sf_dir, "i2_open_items_catchup")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
