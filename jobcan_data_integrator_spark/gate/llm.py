@@ -720,11 +720,26 @@ def tx_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "mm_binary_metadata",
-    oracle=None,  # mapInPandas path — driver records rows-only check.
+    # The stub decode is sha256-derived, so even the mapInPandas path gets a
+    # full value-level oracle: DuckDB's sha256(VARCHAR) hashes the same UTF-8
+    # bytes the Spark side encodes into the binary payload.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 'text/plain' AS mime,
+             octet_length(encode(text)) AS n_bytes, sha256(text) AS h
+      FROM documents
+    )
+    SELECT doc_id, mime, n_bytes, h AS sha256,
+           CAST(64 + ('0x' || substr(h, 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(h, 3, 2))::INT % 192 AS INT) AS height,
+           CAST(1 + ('0x' || substr(h, 5, 2))::INT % 30 AS INT) AS n_frames
+    FROM m
+    """,
     doc="Multimodal plumbing: text payload treated as an opaque binary media "
     "column; metadata extraction runs as Arrow-batched mapInPandas (the real "
-    "decode — image/audio libs — is stubbed with a deterministic fake, see "
-    "operators/multimodal.py). Verifies schema/partitioning/batch shape.",
+    "decode — image/audio libs — is stubbed with a deterministic sha256-"
+    "derived fake, see operators/multimodal.py), which lets the oracle check "
+    "VALUES, not just rows. Verifies schema/partitioning/batch shape.",
 )
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import extract_binary_metadata
