@@ -510,10 +510,25 @@ def canonicalize(obj: Any) -> Any:
     with zero cells), the same representational loss the reference's
     (parent_id, index) row encoding has — reconstruction collapses the
     gap, so the canonical form does as well.
+
+    ``default_attachment_files`` is compared as a MULTISET: both this
+    engine and the reference store default attachments as one association
+    row per file with a repeat COUNT (reference
+    _default_attachment_files.py:24-37 and its row-repeating CTE
+    :59-86), so an input that interleaves duplicates, e.g.
+    [f-3, f-1, f-3], is unrepresentable and reconstructs with the
+    repeats adjacent — the counts, not the interleaving, are the
+    contract.
     """
     if isinstance(obj, dict):
         out = {k: canonicalize(v) for k, v in sorted(obj.items())}
-        return {k: v for k, v in out.items() if v not in (None, [], {})}
+        out = {k: v for k, v in out.items() if v not in (None, [], {})}
+        if isinstance(out.get("default_attachment_files"), list):
+            out["default_attachment_files"] = sorted(
+                out["default_attachment_files"],
+                key=lambda e: json.dumps(e, sort_keys=True, ensure_ascii=False),
+            )
+        return out
     if isinstance(obj, list):
         out_l = [canonicalize(v) for v in obj]
         return [v for v in out_l if v not in (None, [], {})]
