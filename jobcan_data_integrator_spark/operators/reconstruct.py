@@ -408,3 +408,31 @@ def reconstruct_request_documents(t: dict[str, DataFrame]) -> DataFrame:
         F.col("request_id").alias("id"),
         F.to_json(F.struct(*header, detail.alias("detail"))).alias("doc_json"),
     )
+
+
+def reconstruct_fix_journals(
+    fix_journals: DataFrame, custom_journal_items: DataFrame
+) -> DataFrame:
+    """(journal_id, journal_json): rebuild the ``/v1/fix_journal/`` API JSON
+    from the two silver tables — reference ``fix_journal.py:152-205`` parity
+    (the JSON_OBJECT + correlated JSON_GROUP_ARRAY retrieve).
+
+    The reference's group-array has no ORDER BY — it rides SQLite rowid
+    insertion order, which REPLACE churn scrambles; the child table keys
+    rows by (journal_id, key), so the representable contract is a
+    per-key multiset.  We pin the rebuilt list to key order: deterministic
+    and stable under re-ingest.
+    """
+    items = custom_journal_items.groupBy("journal_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("key", "value", "generic_master_record_code"))
+        ).alias("custom_journal_item_list")
+    )
+    j = fix_journals.join(items, "journal_id", "left")
+    cols = [F.col(c) for c in fix_journals.columns]
+    return j.select(
+        "journal_id",
+        F.to_json(
+            F.struct(*cols, F.col("custom_journal_item_list"))
+        ).alias("journal_json"),
+    )

@@ -100,3 +100,44 @@ def test_idempotent_reingest(spark, roundtrip):
         a = {tuple(r) for r in tables[name].collect()}
         b = {tuple(r) for r in again[name].collect()}
         assert a == b, f"{name} not idempotent"
+
+
+def test_fix_journal_roundtrip(spark):
+    """Shred -> reconstruct identity for the fix_journal entity family
+    (reference fix_journal.py:86-135 write path, :152-205 retrieve)."""
+    import json
+
+    from jobcan_fixtures import canonicalize, make_entities
+    from jobcan_data_integrator_spark import schemas
+    from jobcan_data_integrator_spark.operators.entities import (
+        parse_entities,
+        shred_fix_journals,
+    )
+    from jobcan_data_integrator_spark.operators.reconstruct import (
+        reconstruct_fix_journals,
+    )
+
+    raw_journals = make_entities(8)["fix_journals"]
+    raw = spark.createDataFrame([(s,) for s in raw_journals], "raw string")
+    t = shred_fix_journals(parse_entities(raw, schemas.FIX_JOURNAL_DDL))
+    rebuilt = {
+        r["journal_id"]: json.loads(r["journal_json"])
+        for r in reconstruct_fix_journals(
+            t["fix_journals"], t["custom_journal_items"]
+        ).collect()
+    }
+    assert len(rebuilt) == len(raw_journals)
+
+    def _norm(doc):
+        # the child table keys rows by (journal_id, key): list order is not
+        # representable, so compare the items as a key-sorted multiset
+        items = doc.get("custom_journal_item_list")
+        if items:
+            doc["custom_journal_item_list"] = sorted(
+                items, key=lambda it: (it.get("key") or "")
+            )
+        return canonicalize(doc)
+
+    for s in raw_journals:
+        d = json.loads(s)
+        assert _norm(rebuilt[d["journal_id"]]) == _norm(d), d["journal_id"]
