@@ -108,3 +108,55 @@ ENTITY_APIS = {
     "forms": (schemas.FORM_DDL, shred_forms),
     "fix_journals": (schemas.FIX_JOURNAL_DDL, shred_fix_journals),
 }
+
+
+def retrieve_users(t: dict[str, DataFrame]) -> DataFrame:
+    """One row per user with child collections re-aggregated — the read
+    path of the user family (reference users.py:185-237: GROUP_CONCAT
+    with DISTINCT + NULL sentinel, correlated json_object per bank row).
+
+    Deviations, both deliberate: SQLite's GROUP_CONCAT order is
+    nondeterministic, so both concatenated lists are pinned to sorted
+    order; JSON rendering omits null fields (to_json), matching the
+    document-reconstruct path. The reference's single fan-out join +
+    bare GROUP BY becomes three independent pre-aggregations joined on
+    user_id — same result, no row explosion, each aggregation partial-
+    combines map-side.
+    """
+    gc = F.col("group_code").cast("string")
+    groups = (
+        t["user_groups"]
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.countDistinct("group_code") > 0,
+                F.array_join(
+                    F.array_sort(F.collect_set(F.coalesce(gc, F.lit("NULL")))), ","
+                ),
+            ).alias("groups")
+        )
+    )
+    positions = (
+        t["user_positions"]
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.countDistinct("position_code") > 0,
+                F.array_join(
+                    F.array_sort(
+                        F.collect_set(F.to_json(F.struct("position_code", "group_code")))
+                    ),
+                    ",",
+                ),
+            ).alias("positions")
+        )
+    )
+    bank_cols = [c for c in t["user_bank_accounts"].columns if c != "user_id"]
+    bank = t["user_bank_accounts"].select(
+        "user_id", F.to_json(F.struct(*bank_cols)).alias("bank_account")
+    )
+    u = t["users"].withColumnRenamed("id", "user_id")
+    out = u
+    for part in (groups, positions, bank):
+        out = out.join(part, "user_id", "left")
+    return out.withColumnRenamed("user_id", "id")

@@ -141,3 +141,67 @@ def test_fix_journal_roundtrip(spark):
     for s in raw_journals:
         d = json.loads(s)
         assert _norm(rebuilt[d["journal_id"]]) == _norm(d), d["journal_id"]
+
+
+def test_retrieve_users_matches_python_replica(spark):
+    """retrieve_users vs a pure-Python replica of the reference query
+    (users.py:185-237), including the NULL sentinel and count-distinct
+    guards; list order pinned to sorted (the reference's GROUP_CONCAT
+    order is unspecified)."""
+    import json
+
+    from jobcan_fixtures import make_entities
+    from jobcan_data_integrator_spark import schemas
+    from jobcan_data_integrator_spark.operators.entities import (
+        parse_entities,
+        retrieve_users,
+        shred_users,
+    )
+
+    raw_users = [json.loads(s) for s in make_entities(8)["users"]]
+    raw = spark.createDataFrame(
+        [(json.dumps(u, ensure_ascii=False),) for u in raw_users], "raw string"
+    )
+    t = shred_users(parse_entities(raw, schemas.USER_DDL))
+    got = {r["id"]: r.asDict() for r in retrieve_users(t).collect()}
+    assert len(got) == len(raw_users)
+
+    for u in raw_users:
+        row = got[u["id"]]
+        gcs = u.get("user_groups") or []
+        exp_groups = (
+            ",".join(sorted({g if g is not None else "NULL" for g in gcs}))
+            if any(g is not None for g in gcs)
+            else None
+        )
+        assert row["groups"] == exp_groups, u["id"]
+
+        ups = u.get("user_positions") or []
+        if any(p.get("position_code") is not None for p in ups):
+            exp_pos = sorted(
+                {
+                    json.dumps(
+                        {
+                            k: v
+                            for k, v in (
+                                ("position_code", p.get("position_code")),
+                                ("group_code", p.get("group_code")),
+                            )
+                            if v is not None
+                        },
+                        ensure_ascii=False,
+                        separators=(",", ":"),
+                    )
+                    for p in ups
+                }
+            )
+            assert row["positions"] == ",".join(exp_pos), u["id"]
+        else:
+            assert row["positions"] is None, u["id"]
+
+        ba = u.get("user_bank_account")
+        if ba is None:
+            assert row["bank_account"] is None, u["id"]
+        else:
+            exp_ba = {k: v for k, v in ba.items() if v is not None}
+            assert json.loads(row["bank_account"]) == exp_ba, u["id"]
