@@ -37,6 +37,7 @@ HEADLINE = [
     "dd_minhash_signatures",
     "dd_lsh_candidate_pairs",
     "dd_simhash",
+    "dd_simhash_pairs",
     "dd_ngram_jaccard_pairs",
     "dd_embedding_cosine_pairs",
     "sim_cosine_topk",

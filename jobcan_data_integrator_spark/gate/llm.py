@@ -327,6 +327,11 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested higher-order aggregates — zero shuffle.",
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_signatures(spark, sf_dir)
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 32-bit per-row fingerprint, zero shuffle."""
     docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
     h = _H.format(x="t")
     docs = docs.withColumn("hashes", F.expr(f"transform(toks, t -> {h})"))
@@ -337,6 +342,81 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      then shiftleft(1L, j) else 0L end)"
     )
     return docs.select("doc_id", fp.alias("simhash"))
+
+
+#: the simhash signature as a DuckDB CTE chain (shared by two oracles)
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ), bits AS (
+      SELECT doc_id, g.j AS j,
+             CASE WHEN sum(((h >> CAST(g.j AS INT)) & 1) * 2 - 1) > 0
+                  THEN (1::BIGINT << CAST(g.j AS INT)) ELSE 0 END AS bitval
+      FROM th, generate_series(0, 31) AS g(j)
+      GROUP BY doc_id, g.j
+    ), sig AS (
+      SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@gate(
+    "dd_simhash_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}, blocks AS (
+      SELECT doc_id, simhash,
+             g.b AS b, (simhash >> CAST(8 * g.b AS INT)) & 255 AS block_val
+      FROM sig, generate_series(0, 3) AS g(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blocks a JOIN blocks b
+        ON a.b = b.b AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    doc="SimHash near-dup pairs via the pigeonhole block-join: the 32-bit "
+    "fingerprint splits into 4 byte blocks, and any pair within Hamming "
+    "distance 3 must agree on at least one whole block — so candidates are "
+    "an equi-join on (block_idx, block_value) instead of an O(n²) scan, "
+    "then the exact Hamming filter. The signature is computed once "
+    "(cached; persisted at ingest in a real deployment).",
+)
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_signatures(spark, sf_dir).cache()
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "block_val", F.expr("(simhash >> cast(8 * b as int)) & 255")
+    )
+    a = blocks.alias("a")
+    c = blocks.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # ---------------------------------------------------------------------------
