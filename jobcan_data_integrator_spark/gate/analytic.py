@@ -663,8 +663,8 @@ def n_repeat_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged)
     SELECT user_id, session_seq, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end

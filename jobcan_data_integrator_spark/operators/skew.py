@@ -66,13 +66,17 @@ def salted_join(
     skew split cannot apply (e.g. the join is below another exchange).
     Replication multiplies the other side by n_salts — keep it the
     smaller input.
+
+    Key comparison is null-UNSAFE (``=``), matching the plain
+    ``big.join(other, on)`` this is a drop-in replacement for: rows with
+    a NULL join key never match.
     """
     b = big.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     o = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     cond: Column = reduce(
-        lambda x, y: x & y, (b[k].eqNullSafe(o[k]) for k in on)
+        lambda x, y: x & y, ((b[k] == o[k]) for k in on)
     ) & (b["_salt"] == o["_salt"])
     joined = b.join(o, cond, how)
     # drop the salt + the duplicated key columns from the other side

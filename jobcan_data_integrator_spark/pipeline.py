@@ -212,6 +212,11 @@ class JobcanPipeline:
             }
             if res.failures:
                 state.record_failures([("form_outline", key)])
+            else:
+                # a clean fetch supersedes any stale failure record for
+                # this form — otherwise it would sit in the checkpoint
+                # JSON forever (records are keyed, never bulk-drained)
+                state.clear_failure("form_outline", key)
             summary.outline_forms += 1
             summary.outline_ids += len(outline.ids)
             state.mark_done(key)
@@ -222,14 +227,29 @@ class JobcanPipeline:
 
     def _open_ids_by_form(self) -> dict[str, set[str]]:
         """I2 late-data catch-up: stored requests whose status is still
-        open are re-fetched every run (reference _requests.py:219-251)."""
+        open are re-fetched every run (reference _requests.py:219-251).
+
+        The status filter runs in Spark (pushed to the parquet scan), so
+        only the open set — small by construction: requests drain to a
+        closed status — ever reaches the driver.  Collecting the full
+        table here would pull every request id ever seen at 100 TB.
+        """
         if not self.store.exists("requests"):
             return {}
-        rows = self.store.read("requests").select("id", "status", "form_id").collect()
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.store.read("requests")
+            .filter(
+                ~F.col("status").isin(*sorted(CLOSED_STATUSES))
+                | F.col("status").isNull()
+            )
+            .select("id", "form_id")
+            .collect()
+        )
         out: dict[str, set[str]] = {}
         for r in rows:
-            if r["status"] not in CLOSED_STATUSES:
-                out.setdefault(str(r["form_id"]), set()).add(r["id"])
+            out.setdefault(str(r["form_id"]), set()).add(r["id"])
         return out
 
     def _run_form_detail(self, state: AppState, summary: RunSummary) -> None:

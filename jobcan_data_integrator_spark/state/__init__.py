@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from enum import IntEnum
 from pathlib import Path
 
@@ -97,6 +97,14 @@ class AppState:
         self.save_failures = [p for p in self.save_failures if p[0] != api_type]
         return keys
 
+    def clear_failure(self, api_type: str, key: str) -> None:
+        """Drop one (api_type, key) record from both buckets — used when a
+        later fetch of the same unit succeeds, so stale records don't
+        accumulate in the checkpoint forever."""
+        pair = [api_type, key]
+        self.fetch_failures = [p for p in self.fetch_failures if p != pair]
+        self.save_failures = [p for p in self.save_failures if p != pair]
+
     # -- merge (I3 + failure-record merge rules, status.py:780-911) ----------
 
     def merge(self, other: "AppState") -> "AppState":
@@ -127,7 +135,10 @@ class Checkpoint:
         if not self.path.exists():
             return AppState()
         data = json.loads(self.path.read_text(encoding="utf-8"))
-        return AppState(**data)
+        # tolerate checkpoints written by a newer version: unknown fields
+        # are dropped instead of crashing every subsequent run
+        known = {f.name for f in fields(AppState)}
+        return AppState(**{k: v for k, v in data.items() if k in known})
 
     def save(self, state: AppState) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")

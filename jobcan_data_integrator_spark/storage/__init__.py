@@ -69,10 +69,36 @@ class TableStore:
     def path(self, table: str) -> Path:
         return self.root / table
 
+    def _recover(self, table: str) -> None:
+        """Converge a half-finished ``overwrite`` swap.
+
+        The swap is two renames (live -> .old, .tmp -> live); a crash
+        between them leaves the table directory missing while the data
+        sits intact in ``.old-*``.  Without recovery the next merge sees
+        ``exists() == False`` and silently rebuilds the table from the
+        incremental batch alone — so every read path funnels through
+        here first.  A leftover ``.tmp-*`` is an unswapped (possibly
+        torn) write and is discarded; a leftover ``.old-*`` alongside a
+        live table is already-superseded data and is discarded too.
+        """
+        target = self.path(table)
+        olds = sorted(
+            self.root.glob(f"{table}.old-*"), key=lambda p: p.stat().st_mtime
+        )
+        if olds and not target.exists():
+            os.replace(olds.pop(), target)
+        if target.exists():
+            for p in olds:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in self.root.glob(f"{table}.tmp-*"):
+            shutil.rmtree(p, ignore_errors=True)
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return self.path(table).exists()
 
     def read(self, table: str) -> DataFrame:
+        self._recover(table)
         return self.spark.read.parquet(str(self.path(table)))
 
     def read_or_empty(self, table: str, like: DataFrame) -> DataFrame:

@@ -127,25 +127,51 @@ _STATE_SCHEMA = StructType(
 
 
 def sessionize_events_stream(
-    events: DataFrame, gap_seconds: int = 1800
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator.
 
     Input: streaming (user_id long, ts timestamp).  Keeps one open
     session per user in state; an event farther than ``gap_seconds`` from
-    the session end closes it (emitted) and opens a new one.  State is
+    the session closes it (emitted) and opens a new one.  State is
     O(active users) — the ``applyInPandasWithState`` shape the reference's
     per-key progress map (I4) would take as a true stream.
+
+    The open session of an idle user is flushed by an event-time timeout
+    once the watermark passes ``session_end + gap`` — without it the last
+    session of every user would sit in state forever and never be
+    emitted in append mode.  An out-of-order event landing within the
+    gap BEFORE the open session's start extends the session backwards
+    (``start = min(start, t)``); events later than the watermark bound
+    are dropped by Spark before they reach this operator.
     """
     from jobcan_data_integrator_spark.session import ensure_pyfiles
 
     ensure_pyfiles(events.sparkSession)
     gap_ms = gap_seconds * 1000
+    events = events.withWatermark("ts", watermark)
 
     def _update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+
+        def _emit(rows: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n_events = state.get
+            state.remove()
+            yield _emit([(user_id, start_ms, end_ms, n_events)])
+            return
+
         if state.exists:
             start_ms, end_ms, n_events = state.get
         else:
@@ -159,28 +185,31 @@ def sessionize_events_stream(
             if start_ms < 0:
                 start_ms = end_ms = t
                 n_events = 1
-            elif t - end_ms <= gap_ms:
+            elif start_ms - gap_ms <= t <= end_ms + gap_ms:
+                # in-gap event, possibly before the open session's start
+                start_ms = min(start_ms, t)
                 end_ms = max(end_ms, t)
                 n_events += 1
-            else:
+            elif t > end_ms + gap_ms:
                 out.append((user_id, start_ms, end_ms, n_events))
                 start_ms = end_ms = t
                 n_events = 1
+            else:
+                # stray event wholly before the open session (> gap):
+                # its session can never grow — emit as a singleton
+                out.append((user_id, t, t, 1))
         state.update((start_ms, end_ms, n_events))
+        # flush once event time passes the open session's close point;
+        # incoming rows satisfy t >= watermark, so this is always ahead
+        # of the current watermark as the API requires
+        state.setTimeoutTimestamp(end_ms + gap_ms + 1)
         if out:
-            yield pd.DataFrame(
-                {
-                    "user_id": [r[0] for r in out],
-                    "session_start": [pd.Timestamp(r[1], unit="ms") for r in out],
-                    "session_end": [pd.Timestamp(r[2], unit="ms") for r in out],
-                    "n_events": [r[3] for r in out],
-                }
-            )
+            yield _emit(out)
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         SESSION_SCHEMA,
         _STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )

@@ -185,3 +185,34 @@ def test_rerun_after_completion_is_incremental_not_resumed(spark, tmp_path):
         1 for d in api.documents if d["status"] not in closed
     )
     assert summary.detail_fetched == still_open
+
+
+def test_open_ids_collect_is_filtered_to_open_set(spark, tmp_path):
+    """I2 catch-up must collect ONLY the open rows (filter pushed into
+    Spark) — collecting the full requests table onto the driver is the
+    100 TB scale-killer flagged in round 1."""
+    from jobcan_data_integrator_spark.sources.client import CLOSED_STATUSES
+
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    pipe.run()
+    stored = {r["id"]: r["status"] for r in store.read("requests").collect()}
+    expect_open = {i for i, s in stored.items() if s not in CLOSED_STATUSES}
+    assert expect_open and len(expect_open) < len(stored)  # both kinds exist
+    got = pipe._open_ids_by_form()
+    got_ids = set().union(*got.values()) if got else set()
+    assert got_ids == expect_open
+
+
+def test_outline_failure_record_cleared_on_clean_fetch(spark, tmp_path):
+    """A stale ('form_outline', key) failure record must not persist in
+    the checkpoint after a later outline fetch for that form succeeds."""
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+    pipe.run()
+    st = ckpt.load()
+    form_key = str(api.documents[0]["form_id"])
+    st.record_failures([("form_outline", form_key)])
+    ckpt.save(st)
+    clock["now"] = "2024/04/08 00:00:00"
+    pipe.run()
+    st2 = ckpt.load()
+    assert ["form_outline", form_key] not in st2.fetch_failures

@@ -95,3 +95,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert loaded.__dict__ == st.__dict__
     cp.clear()
     assert cp.load().phase == Phase.INITIALIZING
+
+
+def test_clear_failure_single_record():
+    st = AppState()
+    st.record_failures([("form_outline", "1"), ("form_outline", "2")])
+    st.record_failures([("form_outline", "1")], save=True)
+    st.clear_failure("form_outline", "1")
+    assert st.fetch_failures == [["form_outline", "2"]]
+    assert st.save_failures == []
+
+
+def test_checkpoint_load_ignores_unknown_fields(tmp_path):
+    """A checkpoint written by a newer version (extra field) must load,
+    not crash every subsequent run with a TypeError."""
+    import json
+
+    cp = Checkpoint(tmp_path / "ckpt")
+    cp.save(AppState(phase=Phase.FORM_DETAIL, watermarks={"1": "2024/03/01 00:00:00"}))
+    data = json.loads(cp.path.read_text())
+    data["future_field"] = {"x": 1}
+    cp.path.write_text(json.dumps(data))
+    loaded = cp.load()
+    assert loaded.phase == Phase.FORM_DETAIL
+    assert loaded.watermarks == {"1": "2024/03/01 00:00:00"}

@@ -146,3 +146,37 @@ def test_delete_scope(spark, store):
         "t", spark.createDataFrame([("sa-1",)], "request_id string"), ["request_id"]
     )
     assert _rows(store, "t") == [("sa-2", 2)]
+
+
+def test_recover_from_crashed_swap(spark, store):
+    """A crash between overwrite()'s two renames leaves the live dir
+    missing and the data in .old-* — every read path must restore it
+    instead of letting the next merge rebuild from the batch alone."""
+    import os
+
+    store.merge_upsert(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), ["id"]
+    )
+    root = store.root
+    os.replace(store.path("t"), root / "t.old-deadbeef")
+    (root / "t.tmp-cafe0123").mkdir()  # torn unswapped write
+    assert store.exists("t")  # recovery ran
+    assert not (root / "t.old-deadbeef").exists()
+    assert not (root / "t.tmp-cafe0123").exists()
+    # a merge after the crash still sees the prior rows
+    store.merge_upsert(
+        "t", spark.createDataFrame([(3, "c")], "id int, v string"), ["id"]
+    )
+    assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_recover_drops_superseded_old_dirs(spark, store):
+    """A crash after the second rename but before cleanup leaves a
+    .old-* next to a live table — it is stale and must be dropped."""
+    import shutil
+
+    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    shutil.copytree(store.path("t"), store.root / "t.old-12345678")
+    store.merge_upsert("t", spark.createDataFrame([(2, "b")], "id int, v string"), ["id"])
+    assert not list(store.root.glob("t.old-*"))
+    assert _rows(store, "t") == [(1, "a"), (2, "b")]

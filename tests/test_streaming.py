@@ -83,32 +83,75 @@ def test_windowed_counts_with_watermark(spark, tmp_path, bronze):
 def test_sessionize_stateful_operator(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
-    # user 1: two sessions (gap > 30 min); user 2: one session
-    events = [
-        {"user_id": 1, "ts": "2024-03-01 10:00:00"},
-        {"user_id": 1, "ts": "2024-03-01 10:10:00"},
-        {"user_id": 1, "ts": "2024-03-01 12:00:00"},  # new session
-        {"user_id": 2, "ts": "2024-03-01 09:00:00"},
-    ]
-    (src / "e0.json").write_text("\n".join(json.dumps(e) for e in events))
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .json(str(src))
     )
-    sessions = S.sessionize_events_stream(stream, gap_seconds=1800)
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName("sessions")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
-        .start()
+    sessions = S.sessionize_events_stream(
+        stream, gap_seconds=1800, watermark="1 hour"
     )
-    q.awaitTermination()
-    rows = spark.sql("select * from sessions").collect()
-    # only user 1's FIRST session closed (second stays open in state;
-    # user 2's single session stays open)
+
+    def _drain(name: str) -> list:
+        # foreachBatch (not the memory sink): it supports restarting from
+        # the same checkpoint, which this test does three times
+        out: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    # run A: user 1 has two sessions in-batch (gap > 30 min) -> first one
+    # closes immediately; user 2 opens a session.  watermark -> 8:00
+    # (max event time 9:00 - 1h).
+    events = [
+        {"user_id": 1, "ts": "2024-03-01 08:00:00"},
+        {"user_id": 1, "ts": "2024-03-01 08:10:00"},
+        {"user_id": 1, "ts": "2024-03-01 09:00:00"},  # new session
+        {"user_id": 2, "ts": "2024-03-01 09:00:00"},
+    ]
+    (src / "e0.json").write_text("\n".join(json.dumps(e) for e in events))
+    rows = _drain("sessions_a")
     assert len(rows) == 1
     r = rows[0]
     assert r["user_id"] == 1 and r["n_events"] == 2
     assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+
+    # run B: an out-of-order event 15 min BEFORE user 2's open-session
+    # start (within gap, above the 8:00 watermark) must extend the
+    # session backwards.  user 1's 12:00 event closes their 9:00 session
+    # and advances the watermark to 11:00.
+    (src / "e1.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"user_id": 2, "ts": "2024-03-01 08:45:00"},
+                {"user_id": 1, "ts": "2024-03-01 12:00:00"},
+            ]
+        )
+    )
+    # availableNow runs a trailing no-new-data batch after the watermark
+    # advances to 11:00 — past user 2's close point (9:30) — so the
+    # idle-session TIMEOUT flushes user 2 in the same run, with the
+    # backward-merged start.
+    rows = {(r["user_id"], r["n_events"]): r for r in _drain("sessions_b")}
+    assert len(rows) == 2
+    assert rows[(1, 1)]["session_start"].hour == 9
+    u2 = rows[(2, 2)]
+    assert (u2["session_start"].hour, u2["session_start"].minute) == (8, 45)
+    assert (u2["session_end"].hour, u2["session_end"].minute) == (9, 0)
+
+    # run C: user 1's 12:00 session closes via the new 13:00 event; user
+    # 2's state is gone (removed at timeout), nothing re-emits.
+    (src / "e2.json").write_text(
+        json.dumps({"user_id": 1, "ts": "2024-03-01 13:00:00"})
+    )
+    rows = _drain("sessions_c")
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 1)]
+    assert rows[0]["session_start"].hour == 12
