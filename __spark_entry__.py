@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for the
-    mapInPandas multimodal path, which the driver checks rows-only)."""
+    """DuckDB-runnable ANSI SQL oracle per query — every gate has one,
+    including the mapInPandas multimodal stubs (sha256-replayable) and
+    the unrolled 2-iteration k-means trainer."""
     return _gate.oracle_sql()

@@ -266,8 +266,10 @@ def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup: distinct 3-gram shingles hashed to 60-bit "
     "ints (the join shuffles 8-byte keys, not ~30-byte strings; the hash is "
     "the same on both engines so results match exactly), pair intersection "
-    "via equi-join (≥5 shared), |A∩B|/|A∪B|. At scale the join would be "
-    "pre-filtered by the LSH candidates.",
+    "via equi-join (≥5 shared), |A∩B|/|A∪B|. EXHAUSTIVE-VERIFY VARIANT: "
+    "the unfiltered shingle self-join is quadratic on hot shingles, so at "
+    "scale use dd_lsh_verified_pairs (exact Jaccard over LSH candidates "
+    "only) — this gate stays as the small-corpus ground-truth reference.",
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distinct (doc, hashed-shingle) rows feed the self-join twice plus the
@@ -286,6 +288,111 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= 5)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@gate(
+    "dd_lsh_verified_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), shw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM shw
+    ), sig AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(({_sql_arr(_MH_A)}[g.i + 1] * (shingle % {_MH_P})
+                  + {_sql_arr(_MH_B)}[g.i + 1]) % {_MH_P}) AS minhash
+      FROM shw, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, g.i
+    ), bands AS (
+      SELECT doc_id, h_idx // 2 AS band_idx,
+             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
+      FROM sig GROUP BY doc_id, h_idx // 2
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+    doc="The SCALE-CORRECT dedup composition: exact n-gram Jaccard computed "
+    "ONLY over MinHash-LSH candidate pairs. The broadcast candidate set "
+    "prunes the shingle join to |cands|·|shingles-per-doc| rows — linear in "
+    "candidates — instead of the unfiltered self-join's quadratic blow-up "
+    "on hot shingles (see dd_ngram_jaccard_pairs, the small-corpus "
+    "ground-truth variant). This is the verify stage of the standard "
+    "MinHash→LSH→exact-Jaccard dedup pipeline at 100 TB.",
+)
+def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir).cache()
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        F.broadcast(cands)
+        .join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -618,8 +725,55 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "sim_ivf_train_kmeans",
-    oracle=None,  # iterative algorithm — driver records a rows-only check;
-    # tests/test_similarity_kmeans.py pins exact values vs a NumPy replica.
+    # Two Lloyd iterations unroll into two CTE rounds: assign = argmax
+    # integer dot (QUALIFY row_number), update = floor(sum/count) per
+    # (cell, dim).  All-integer math (the one double division inside
+    # floor is exact below 2^53), so DuckDB replays Spark bit-for-bit.
+    # tests/test_similarity_kmeans.py additionally pins a NumPy replica.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), cent0 AS (
+      SELECT vec_id AS cell_id, q AS cq FROM e WHERE vec_id < 16
+    ), dots1 AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(list_zip(e.q, c.cq), p -> p[1] * p[2])) AS dot
+      FROM e, cent0 c
+    ), assign1 AS (
+      SELECT vec_id, cell_id FROM dots1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ), mem1 AS (
+      SELECT a.cell_id, generate_subscripts(e.q, 1) - 1 AS d, unnest(e.q) AS v
+      FROM assign1 a JOIN e ON e.vec_id = a.vec_id
+    ), cent1 AS (
+      SELECT cell_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY d) AS cq
+      FROM (SELECT cell_id, d, sum(v) AS s, count(*) AS n
+            FROM mem1 GROUP BY cell_id, d) t1
+      GROUP BY cell_id
+    ), dots2 AS (
+      SELECT e.vec_id, c.cell_id,
+             list_sum(list_transform(list_zip(e.q, c.cq), p -> p[1] * p[2])) AS dot
+      FROM e, cent1 c
+    ), assign2 AS (
+      SELECT vec_id, cell_id FROM dots2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ), mem2 AS (
+      SELECT a.cell_id, generate_subscripts(e.q, 1) - 1 AS d, unnest(e.q) AS v
+      FROM assign2 a JOIN e ON e.vec_id = a.vec_id
+    ), cent2 AS (
+      SELECT cell_id, CAST(sum(c) AS BIGINT) AS centroid_checksum
+      FROM (SELECT cell_id, d, CAST(floor(sum(v) / count(*)) AS BIGINT) AS c
+            FROM mem2 GROUP BY cell_id, d) t2
+      GROUP BY cell_id
+    ), sizes AS (
+      SELECT cell_id, count(*) AS n_members FROM assign2 GROUP BY cell_id
+    )
+    SELECT s.cell_id, s.n_members, c.centroid_checksum
+    FROM sizes s JOIN cent2 c USING (cell_id)
+    """,
     doc="IVF codebook training: 2 Lloyd iterations over integer-quantized "
     "embeddings (argmax-dot assign, floor-mean update) — all-integer math, "
     "so the result is bit-stable under any partitioning. Output is the "
@@ -832,10 +986,29 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "mm_frame_sample",
-    oracle=None,  # mapInPandas path — driver records rows-only check.
+    # Full value oracle despite the mapInPandas path: the stub decoder's
+    # frame count and per-frame payload are sha256-derived, and DuckDB can
+    # replay both (frame payload hash = sha256(text-bytes || 4-byte
+    # big-endian index); indexes stay < 128 so chr() emits single bytes).
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             1 + ('0x' || substr(sha256(text), 5, 2))::INT % 30 AS n_frames
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 5)) AS i
+      FROM m
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           sha256(text || chr(0) || chr(0) || chr(0) || chr(CAST(i AS INT)))
+             AS frame_sha256
+    FROM f
+    """,
     doc="Multimodal frame sampling: 1:N Arrow-batched mapInPandas emitting "
     "every 5th frame of each (stub-decoded) video payload. Narrow op — "
-    "pipelines with the scan, no shuffle.",
+    "pipelines with the scan, no shuffle. The gate projects the frame "
+    "payload as its hex digest so the oracle checks VALUES, not just rows.",
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import sample_frames
@@ -843,15 +1016,69 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
-    return sample_frames(media, every_n=5)
+    return sample_frames(media, every_n=5).select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex("frame_payload")).alias("frame_sha256"),
+    )
+
+
+#: DuckDB replica of operators/multimodal.extract_features(dim=16): sha256
+#: digest repeated to 64 bytes, each feature = bytes[4i:4i+4] big-endian
+#: / 2^31 - 1, rounded to float32 exactly like the Arrow FloatType column.
+_FEATURES_CTE = """
+    f AS (
+      SELECT doc_id AS vec_id,
+             list_transform(generate_series(0, 15),
+               i -> CAST(('0x' || substr(sha256(text), CAST(8*(i%8)+1 AS INT), 8))::BIGINT
+                         / 2147483648.0 - 1.0 AS REAL)) AS embedding
+      FROM documents
+    )"""
+
+#: _BUCKET_CTE over the feature CTE instead of the embeddings table.
+_FEATURE_BUCKET_CTE = """
+    e AS (
+      SELECT vec_id, embedding, unnest(embedding) AS comp,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM f
+    ), qz AS (
+      SELECT vec_id, d, CAST(floor(comp::DOUBLE * 1000) AS BIGINT) AS ei FROM e
+    ), dots AS (
+      SELECT vec_id, g.p AS p,
+             sum(ei * (CASE WHEN ('0x'||substr(md5(g.p || '_' || d),1,15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END)) AS s
+      FROM qz, generate_series(0, 7) AS g(p)
+      GROUP BY vec_id, g.p
+    ), buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p AS INT))
+                                   ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )"""
 
 
 @gate(
     "mm_feature_ann",
-    oracle=None,  # mapInPandas + ANN composition — rows-only check.
+    oracle=f"""
+    WITH {_FEATURES_CTE},
+    {_FEATURE_BUCKET_CTE},
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM f),
+    sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             {_COSINE_DUCK.format(a="vq.emb", b="vc.emb")} AS cosine_sim
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN v vq ON vq.vec_id = q.vec_id
+      JOIN v vc ON vc.vec_id = c.vec_id
+      WHERE q.vec_id < 3
+    )
+    SELECT q_id, vec_id, cosine_sim FROM sims
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    """,
     doc="Multimodal feature extraction (stub encoder -> 16-dim float vector "
     "via mapInPandas) composed with the LSH ANN operator: media features "
-    "are first-class embeddings for the similarity path.",
+    "are first-class embeddings for the similarity path. Fully oracled — "
+    "the stub features are sha256-derived and float32-rounded identically "
+    "in DuckDB, and the LSH bucketing is the deterministic integer replica.",
 )
 def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import extract_features
