@@ -126,6 +126,109 @@ def ann_topk_lsh(
     )
 
 
+def lsh_probe_buckets_expr(
+    emb: str = "embedding", n_planes: int = 8, dim: int = 64, n_probe: int = 2
+) -> Column:
+    """array<bigint> of ``n_probe`` bucket ids to probe for one vector:
+    its exact bucket plus the buckets reached by flipping the
+    ``n_probe - 1`` LOWEST-MARGIN bits (the planes whose integer dot
+    product is closest to zero — the standard multi-probe LSH heuristic:
+    a near neighbor most likely lands just across the weakest plane).
+
+    Margins are exact integer dots (same quantization as the bucket), so
+    the probe set is deterministic on any engine; ties break on the
+    plane index.  Query-side only — the candidate table keeps ONE bucket
+    per vector, so each (query, candidate) pair matches at most one
+    probe and needs no dedup.
+    """
+    signs = hyperplane_signs(n_planes, dim)
+    signs_lit = (
+        "array("
+        + ",".join("array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs)
+        + ")"
+    )
+    dot = (
+        f"aggregate(sequence(0, size({emb}) - 1), 0L,"
+        f" (a, d) -> a + cast(floor(cast({emb}[d] as double) * 1000) as bigint)"
+        f" * element_at(element_at({signs_lit}, p + 1), d + 1))"
+    )
+    dots = f"transform(sequence(0, {n_planes - 1}), p -> struct(({dot}) as s, p as p))"
+    bucket = (
+        f"aggregate({dots}, 0L,"
+        " (acc, x) -> acc + if(x.s > 0, shiftleft(1L, x.p), 0L))"
+    )
+    flips = (
+        f"slice(array_sort(transform({dots},"
+        f" x -> struct(abs(x.s) as a, x.p as p))), 1, {n_probe - 1})"
+    )
+    return F.expr(
+        f"concat(array({bucket}),"
+        f" transform({flips}, f -> ({bucket}) ^ shiftleft(1L, f.p)))"
+    )
+
+
+def ann_topk_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Multi-probe variant of ``ann_topk_lsh``: each query probes its own
+    bucket plus the ``n_probe - 1`` neighboring buckets across its
+    weakest hyperplanes, recovering the recall a single bucket loses at
+    the boundary.  Cost scales with ``n_probe`` on the (small, broadcast)
+    query side only — the candidate table is still hit by equi-join."""
+    c = with_lsh_buckets(emb, n_planes=n_planes, dim=dim).select(
+        "vec_id", F.col("embedding").alias("c_emb"), "bucket"
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            lsh_probe_buckets_expr("embedding", n_planes, dim, n_probe)
+        ).alias("q_bucket"),
+    )
+    sims = (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn("cosine_sim", cosine_expr("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine_sim")
+    )
+
+
+def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """(q_id, n_hit, recall): fraction of the exact top-k recovered by the
+    ANN result.  ``truth`` must be the brute-force (q_id, vec_id) top-k."""
+    t = truth.select("q_id", "vec_id")
+    hits = (
+        t.join(ann.select("q_id", "vec_id"), ["q_id", "vec_id"], "leftsemi")
+        .groupBy("q_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        t.groupBy("q_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.3, n_planes: int = 8, dim: int = 64
 ) -> DataFrame:
