@@ -61,8 +61,50 @@ ENTITY_WRITES: dict[str, tuple[str, list[str]]] = {
 #: hive-partition spec for the big tables (pass to TableStore): requests
 #: partition by form_id, so incremental merges rewrite only the touched
 #: forms' partitions and the form-scoped view filters (WHERE form_id = …,
-#: create_views.sql:336 etc.) prune at the scan.
-PARTITIONED_TABLES: dict[str, list[str]] = {"requests": ["form_id"]}
+#: create_views.sql:336 etc.) prune at the scan.  The keyed bronze
+#: archive partitions by api_type for the same reason (sources/bronze.py).
+PARTITIONED_TABLES: dict[str, list[str]] = {
+    "requests": ["form_id"],
+    "bronze_responses": ["api_type"],
+}
+
+#: request-child tables sync-scoped by ``request_id`` (REQUEST_WRITES "*").
+#: Too high-cardinality to hive-partition on the key itself, so the store
+#: hash-buckets them (``_pbucket = pmod(xxhash64(request_id), 64)``): an
+#: incremental batch rewrites only the buckets its request_ids hash into —
+#: 1/64 of the table per touched bucket instead of a full-table rewrite.
+REQUEST_CHILD_TABLES = (
+    "customized_items",
+    "table_data",
+    "expense",
+    "expense_specifics",
+    "expense_specific_rows",
+    "payment",
+    "payment_specifics",
+    "payment_specific_rows",
+    "ec",
+    "ec_specifics",
+    "ec_specific_rows",
+    "approval_process",
+    "approval_steps",
+    "approvers",
+    "approval_route_modify_logs",
+    "comments",
+    "comment_associations",
+    "viewers",
+    "modify_logs",
+    "modify_log_details",
+    "modify_log_detail_specifics",
+    "custom_items",
+    "custom_item_values",
+    "custom_item_value_extension_items",
+    "default_attachment_files",
+    "file_associations",
+)
+
+BUCKETED_TABLES: dict[str, tuple[str, int]] = {
+    t: ("request_id", 64) for t in REQUEST_CHILD_TABLES
+}
 
 #: request-document tables: global dedup entities merge by id, everything
 #: else is a full snapshot per request (N18 semantics).
@@ -129,13 +171,24 @@ class JobcanPipeline:
         return self.spark.createDataFrame(rdd, "raw string")
 
     def _archive(self, api: str, pages: list[Any]) -> None:
-        """Bronze layer (reference S5/S6): append raw pages as JSON lines.
-        A 100 TB backfill replays this directory through the same shred
-        path with zero API calls (reference design note, SURVEY.md §4.1)."""
+        """Bronze layer, both reference shapes:
+
+        - S5 (file archive): append raw pages as JSON lines — the
+          streaming-tail + bulk-replay source.  A 100 TB backfill replays
+          this directory through the same shred path with zero API calls
+          (reference design note, SURVEY.md §4.1).
+        - S6 (keyed DB archive): merge per-record rows into the
+          ``bronze_responses`` table keyed (api_type, brief_key,
+          detailed_key) — re-fetching a page REPLACES its rows instead of
+          appending duplicates (sources/bronze.py).
+        """
         if not (self.archive_raw and pages):
             return
         path = self.store.root / "bronze" / api
         self._raw_df(pages).write.mode("append").text(str(path))
+        from jobcan_data_integrator_spark.sources.bronze import archive_responses
+
+        archive_responses(self.spark, self.store, api, pages)
 
     def _write(self, table: str, df, strategy: dict[str, tuple[str, list[str]]]) -> None:
         kind, keys = strategy.get(table) or strategy["*"]
@@ -193,6 +246,12 @@ class JobcanPipeline:
             return
         if state.phase < Phase.FORM_OUTLINE:
             state.enter_phase(Phase.FORM_OUTLINE)
+        # raw pages are archived ONCE after the loop: one bronze append +
+        # one keyed merge per phase instead of one Spark job per form.
+        # (Best-effort like the reference's JSON dump — a crash mid-phase
+        # loses only archive copies of pages; the work queue itself is
+        # checkpointed per form below.)
+        pages_buf: list[Any] = []
         for fid in self._form_ids():
             key = str(fid)
             if not state.is_future(Phase.FORM_OUTLINE, key):
@@ -204,7 +263,7 @@ class JobcanPipeline:
                 now=self.now_fn(),
             )
             summary.warnings.extend(res.warnings)
-            self._archive("requests_outline", res.raw_pages)
+            pages_buf.extend(res.raw_pages)
             state.outline_queue[key] = {
                 "ids": sorted(outline.ids),
                 # a partial outline must never advance the watermark
@@ -222,6 +281,7 @@ class JobcanPipeline:
             state.mark_done(key)
             # durable after EVERY form (reference _tf_io.py:132-143)
             self.checkpoint.save(state)
+        self._archive("requests_outline", pages_buf)
 
     # -- phase 3: form detail (gateway.py:434-541) --------------------------------
 

@@ -33,6 +33,9 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: derived partition column for ``bucketed`` tables (dropped on read)
+BUCKET_COL = "_pbucket"
+
 
 class TableStore:
     """A directory of parquet tables with merge primitives."""
@@ -44,6 +47,7 @@ class TableStore:
         *,
         write_partitions: int | None = None,
         partitioned: dict[str, list[str]] | None = None,
+        bucketed: dict[str, tuple[str, int]] | None = None,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -57,12 +61,21 @@ class TableStore:
         overwrite is not atomic across partitions — same contract as the
         reference's per-record commits: a crashed write is converged by
         the idempotent re-run (failure records, SURVEY.md §4.3 item 2).
+
+        ``bucketed`` maps table name -> (source column, n_buckets) for
+        tables whose natural key is too high-cardinality to hive-partition
+        directly (e.g. child tables scoped by ``request_id``): writes add
+        a derived partition column ``_pbucket = pmod(xxhash64(src), n)``
+        and reads drop it, so merges rewrite only the 1/n of the table
+        the update batch's keys hash into.  The same key always lands in
+        the same bucket, so scoped syncs stay correct by construction.
         """
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.write_partitions = write_partitions
         self.partitioned = dict(partitioned or {})
+        self.bucketed = dict(bucketed or {})
 
     # -- basic io -------------------------------------------------------------
 
@@ -99,7 +112,10 @@ class TableStore:
 
     def read(self, table: str) -> DataFrame:
         self._recover(table)
-        return self.spark.read.parquet(str(self.path(table)))
+        df = self.spark.read.parquet(str(self.path(table)))
+        if table in self.bucketed and BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df
 
     def read_or_empty(self, table: str, like: DataFrame) -> DataFrame:
         if self.exists(table):
@@ -127,9 +143,29 @@ class TableStore:
             lambda x, y: x & y, (a[k].eqNullSafe(b[k]) for k in keys)
         )
 
+    def _managed_pcols(self, table: str) -> list[str] | None:
+        """Partition columns for tables with partition-scoped merges."""
+        if table in self.partitioned:
+            return self.partitioned[table]
+        if table in self.bucketed:
+            return [BUCKET_COL]
+        return None
+
+    def _prep(self, table: str, df: DataFrame) -> DataFrame:
+        """Attach the derived bucket column for bucketed tables."""
+        if table in self.bucketed and BUCKET_COL not in df.columns:
+            src, n = self.bucketed[table]
+            df = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(src)), F.lit(n)))
+        return df
+
+    def _read_raw(self, table: str) -> DataFrame:
+        """Like read(), but keeps the bucket column on bucketed tables."""
+        self._recover(table)
+        return self.spark.read.parquet(str(self.path(table)))
+
     def _write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
         """Overwrite only the hive partitions present in ``df``."""
-        pcols = self.partitioned[table]
+        pcols = self._managed_pcols(table)
         if self.write_partitions is not None:
             df = df.coalesce(self.write_partitions)
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -142,27 +178,29 @@ class TableStore:
     def _current_in_partitions(self, table: str, updates: DataFrame) -> DataFrame:
         """Current rows of the partitions the update batch touches — a
         broadcast semi join on the partition columns, so the scan prunes
-        to the affected partitions (DPP)."""
+        to the affected partitions (DPP).  ``updates`` must already carry
+        the partition columns (callers _prep bucketed tables first)."""
         from pyspark.sql.functions import broadcast
 
-        pcols = self.partitioned[table]
+        pcols = self._managed_pcols(table)
         parts = updates.select(*pcols).dropDuplicates(pcols)
-        return self.read(table).join(broadcast(parts), pcols, "leftsemi")
+        return self._read_raw(table).join(broadcast(parts), pcols, "leftsemi")
 
     def merge_upsert(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Full-row upsert: rows matching on ``keys`` are replaced, new rows
         inserted.  ``updates`` must be key-unique (callers dedup upstream)."""
         u = updates.dropDuplicates(keys)
         if not self.exists(table):
-            if table in self.partitioned:
-                self._write_partitions_dynamic(table, u)
+            if self._managed_pcols(table):
+                self._write_partitions_dynamic(table, self._prep(table, u))
             else:
                 self.overwrite(table, u)
             return
-        if table in self.partitioned:
-            current = self._current_in_partitions(table, u).alias("t")
-            kept = current.join(u.alias("u"), on=self._key_cond(current, u, keys), how="left_anti")
-            self._write_partitions_dynamic(table, kept.unionByName(u))
+        if self._managed_pcols(table):
+            up = self._prep(table, u)
+            current = self._current_in_partitions(table, up).alias("t")
+            kept = current.join(up.alias("u"), on=self._key_cond(current, up, keys), how="left_anti")
+            self._write_partitions_dynamic(table, kept.unionByName(up))
             return
         current = self.read(table).alias("t")
         ua = u.alias("u")
@@ -171,12 +209,24 @@ class TableStore:
 
     def merge_insert_missing(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Insert-if-absent, never update (reference N15, group.py:52-64)."""
+        u = updates.dropDuplicates(keys)
         if not self.exists(table):
-            self.overwrite(table, updates.dropDuplicates(keys))
+            if self._managed_pcols(table):
+                self._write_partitions_dynamic(table, self._prep(table, u))
+            else:
+                self.overwrite(table, u)
+            return
+        if self._managed_pcols(table):
+            up = self._prep(table, u)
+            current = self._current_in_partitions(table, up)
+            new_rows = up.alias("u").join(
+                current.alias("t"), on=self._key_cond(up, current, keys), how="left_anti"
+            )
+            self._write_partitions_dynamic(table, current.unionByName(new_rows))
             return
         current = self.read(table)
-        u = updates.dropDuplicates(keys).alias("u")
-        new_rows = u.join(current.alias("t"), on=self._key_cond(u, current, keys), how="left_anti")
+        ua = u.alias("u")
+        new_rows = ua.join(current.alias("t"), on=self._key_cond(ua, current, keys), how="left_anti")
         self.overwrite(table, current.unionByName(new_rows))
 
     def sync_children(self, table: str, updates: DataFrame, scope_keys: list[str]) -> None:
@@ -186,21 +236,25 @@ class TableStore:
         (N14) generalized — a re-ingest with fewer children leaves no stale
         tails (N18)."""
         if not self.exists(table):
-            if table in self.partitioned:
-                self._write_partitions_dynamic(table, updates)
+            if self._managed_pcols(table):
+                self._write_partitions_dynamic(table, self._prep(table, updates))
             else:
                 self.overwrite(table, updates)
             return
-        if table in self.partitioned:
-            # NOTE: assumes a scope never migrates between partitions
-            # (e.g. a request's form_id is immutable) — else the stale
-            # row in the old partition must be removed by a delete_scope.
-            current = self._current_in_partitions(table, updates)
-            scopes = updates.select(*scope_keys).dropDuplicates(scope_keys).alias("s")
+        if self._managed_pcols(table):
+            # NOTE: assumes a scope never migrates between partitions —
+            # true by construction for bucketed tables (the bucket is a
+            # pure function of the scope key) and for hive partitions
+            # whose column is immutable per scope (a request's form_id);
+            # else the stale row in the old partition must be removed by
+            # a delete_scope.
+            up = self._prep(table, updates)
+            current = self._current_in_partitions(table, up)
+            scopes = up.select(*scope_keys).dropDuplicates(scope_keys).alias("s")
             kept = current.alias("t").join(
                 scopes, on=self._key_cond(current, scopes, scope_keys), how="left_anti"
             )
-            self._write_partitions_dynamic(table, kept.unionByName(updates))
+            self._write_partitions_dynamic(table, kept.unionByName(up))
             return
         current = self.read(table)
         scopes = updates.select(*scope_keys).dropDuplicates(scope_keys).alias("s")
@@ -210,7 +264,20 @@ class TableStore:
         self.overwrite(table, kept.unionByName(updates))
 
     def delete_scope(self, table: str, scopes: DataFrame, scope_keys: list[str]) -> None:
-        """Remove all rows whose scope keys appear in ``scopes``."""
+        """Remove all rows whose scope keys appear in ``scopes``.
+
+        Unmanaged tables only: dynamic partition overwrite cannot express
+        "this partition is now empty" (an empty partition never appears in
+        the written frame), so a partition-scoped delete could leave stale
+        rows behind.  Use ``sync_children`` for managed tables instead —
+        its kept ∪ updates frame always re-covers every touched partition.
+        """
+        if self._managed_pcols(table):
+            raise ValueError(
+                f"delete_scope on partitioned/bucketed table {table!r} is "
+                "unsupported (empty partitions cannot be expressed by a "
+                "dynamic overwrite); use sync_children"
+            )
         if not self.exists(table):
             return
         current = self.read(table)

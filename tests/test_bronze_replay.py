@@ -98,3 +98,66 @@ def test_replay_is_idempotent_over_existing_silver(spark, tmp_path):
         for name in ("requests", "comments", "file_associations")
     }
     assert first == second
+
+
+def test_keyed_archive_dedups_on_refetch(spark, tmp_path):
+    """S6: the keyed responses table replaces on (api_type, brief_key,
+    detailed_key) — re-ingesting the same page twice leaves ONE row."""
+    from jobcan_data_integrator_spark.sources.bronze import (
+        BRONZE_TABLE,
+        archive_responses,
+        read_archived,
+    )
+    from jobcan_data_integrator_spark.pipeline import PARTITIONED_TABLES
+
+    store = TableStore(
+        spark, tmp_path / "silver", write_partitions=1, partitioned=PARTITIONED_TABLES
+    )
+    docs = [json.loads(d) for d in make_request_docs(4)]
+    archive_responses(spark, store, "requests_detail", docs)
+    assert store.read(BRONZE_TABLE).count() == 4
+    # same page again: replaced, not appended
+    archive_responses(spark, store, "requests_detail", docs)
+    assert store.read(BRONZE_TABLE).count() == 4
+    # an updated document replaces its row (ON CONFLICT REPLACE semantics)
+    upd = json.loads(json.dumps(docs[0]))
+    upd["title"] = "更新"
+    archive_responses(spark, store, "requests_detail", [upd])
+    assert store.read(BRONZE_TABLE).count() == 4
+    raws = [json.loads(r["raw"]) for r in read_archived(store, "requests_detail").collect()]
+    assert sum(1 for d in raws if d["id"] == docs[0]["id"]) == 1
+    assert next(d for d in raws if d["id"] == docs[0]["id"])["title"] == "更新"
+
+    # basic api with no reference identifier: md5-of-payload key keeps a
+    # complete archive (documented divergence) while still deduping
+    page = {"results": [{"project_code": "p1"}, {"project_code": "p2"}]}
+    archive_responses(spark, store, "projects", [page])
+    archive_responses(spark, store, "projects", [page])
+    assert read_archived(store, "projects").count() == 2
+
+
+def test_keyed_archive_replay_matches_silver(spark, tmp_path):
+    """Replaying the keyed archive rebuilds the same requests table the
+    pipeline built — and a keyed replay reads exactly one copy per doc."""
+    from jobcan_data_integrator_spark.sources.bronze import read_archived
+    from jobcan_data_integrator_spark.pipeline import PARTITIONED_TABLES
+
+    store = TableStore(
+        spark, tmp_path / "silver", write_partitions=1, partitioned=PARTITIONED_TABLES
+    )
+    from jobcan_data_integrator_spark.sources.bronze import archive_responses
+
+    docs = [json.loads(d) for d in make_request_docs(6)]
+    archive_responses(spark, store, "requests_detail", docs)
+    replayed = shred_request_documents(
+        parse_request_documents(read_archived(store, "requests_detail"), column="raw")
+    )
+    direct = shred_request_documents(
+        parse_request_documents(
+            spark.createDataFrame([(json.dumps(d, ensure_ascii=False),) for d in docs], "raw string")
+        )
+    )
+    for name in ("requests", "customized_items"):
+        assert {tuple(r) for r in replayed[name].collect()} == {
+            tuple(r) for r in direct[name].collect()
+        }

@@ -30,10 +30,14 @@ def _fresh(spark, tmp_path, docs=None):
         page_size=5,
     )
     spark.conf.set("spark.sql.shuffle.partitions", "2")
-    from jobcan_data_integrator_spark.pipeline import PARTITIONED_TABLES
+    from jobcan_data_integrator_spark.pipeline import BUCKETED_TABLES, PARTITIONED_TABLES
 
     store = TableStore(
-        spark, tmp_path / "tables", write_partitions=1, partitioned=PARTITIONED_TABLES
+        spark,
+        tmp_path / "tables",
+        write_partitions=1,
+        partitioned=PARTITIONED_TABLES,
+        bucketed=BUCKETED_TABLES,
     )
     ckpt = Checkpoint(tmp_path / "ckpt")
     clock = {"now": "2024/04/01 00:00:00"}

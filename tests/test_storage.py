@@ -180,3 +180,67 @@ def test_recover_drops_superseded_old_dirs(spark, store):
     store.merge_upsert("t", spark.createDataFrame([(2, "b")], "id int, v string"), ["id"])
     assert not list(store.root.glob("t.old-*"))
     assert _rows(store, "t") == [(1, "a"), (2, "b")]
+
+
+def test_bucketed_sync_rewrites_only_touched_buckets(spark, tmp_path):
+    """A 1-scope increment into a bucketed child table must leave every
+    other bucket's parquet files untouched (path + mtime) — the
+    no-full-table-rewrite contract at 100 TB."""
+    import os
+
+    store = TableStore(
+        spark,
+        tmp_path / "tables",
+        write_partitions=1,
+        bucketed={"kids": ("request_id", 8)},
+    )
+    rows = [(f"sa-{i}", j, f"v{i}.{j}") for i in range(12) for j in range(3)]
+    df = spark.createDataFrame(rows, "request_id string, idx int, v string")
+    store.sync_children("kids", df, ["request_id"])
+    assert store.read("kids").count() == 36
+    assert "_pbucket" not in store.read("kids").columns
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(store.path("kids")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    # shorter snapshot for one request: stale tail must go, other buckets
+    # must not be rewritten
+    upd = spark.createDataFrame(
+        [("sa-3", 0, "NEW")], "request_id string, idx int, v string"
+    )
+    store.sync_children("kids", upd, ["request_id"])
+    after = snapshot()
+    assert store.read("kids").where("request_id = 'sa-3'").count() == 1
+    assert store.read("kids").count() == 36 - 3 + 1
+
+    from pyspark.sql import functions as F
+
+    bucket = spark.createDataFrame([("sa-3",)], "request_id string").select(
+        F.pmod(F.xxhash64("request_id"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    touched_dir = f"_pbucket={bucket}"
+    untouched_before = {p: m for p, m in before.items() if touched_dir not in p}
+    untouched_after = {p: m for p, m in after.items() if touched_dir not in p}
+    assert untouched_before == untouched_after  # same files, same mtimes
+
+
+def test_bucketed_upsert_and_insert_missing(spark, tmp_path):
+    store = TableStore(
+        spark, tmp_path / "t2", write_partitions=1, bucketed={"kids": ("k", 4)}
+    )
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    store.merge_upsert("kids", df, ["k"])
+    store.merge_upsert(
+        "kids", spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int"), ["k"]
+    )
+    assert _rows(store, "kids") == [("a", 1), ("b", 20), ("c", 3)]
+    store.merge_insert_missing(
+        "kids", spark.createDataFrame([("c", 99), ("d", 4)], "k string, v int"), ["k"]
+    )
+    assert _rows(store, "kids") == [("a", 1), ("b", 20), ("c", 3), ("d", 4)]
