@@ -148,7 +148,25 @@ class JobcanPipeline:
         now_fn: Callable[[], str] = utc_now_str,
         include_canceled: bool = True,
         archive_raw: bool = True,
+        progress_callback: Callable[[str, int, int | None, int | None, int | None], None]
+        | None = None,
+        id_progress_callback: Callable[[str, str, object, str | None], None] | None = None,
+        issue_callback: Callable[[str], None] | None = None,
     ) -> None:
+        """Progress/notification hooks (O3, reference
+        ``gateway/gateway.py:366-393``):
+
+        - ``progress_callback(api_type, current, total, sub_count,
+          sub_total)`` — per processed unit; ``sub_count``/``sub_total``
+          count forms in the outline/detail phases and apis in the basic
+          phase; ``total`` is None where unknown upfront (paginated).
+        - ``id_progress_callback(event, form_key, outline, last_access)``
+          — ``"fetch-failure"`` or ``"success"`` per form, mirroring the
+          reference's id_progress_callback events.
+        - ``issue_callback(message)`` — every warning as it is recorded
+          (the reference's issue_callback carries JDIError/Warning data;
+          here the formatted message).
+        """
         self.spark = spark
         self.client = client
         self.store = store
@@ -156,6 +174,14 @@ class JobcanPipeline:
         self.now_fn = now_fn
         self.include_canceled = include_canceled
         self.archive_raw = archive_raw
+        self.progress_callback = progress_callback or (lambda *a: None)
+        self.id_progress_callback = id_progress_callback or (lambda *a: None)
+        self.issue_callback = issue_callback or (lambda *a: None)
+
+    def _warn(self, summary: RunSummary, messages: list[str]) -> None:
+        summary.warnings.extend(messages)
+        for m in messages:
+            self.issue_callback(m)
 
     # -- helpers ---------------------------------------------------------------
 
@@ -206,11 +232,14 @@ class JobcanPipeline:
             return
         if state.phase < Phase.BASIC_DATA:
             state.enter_phase(Phase.BASIC_DATA)
-        for api in BASIC_APIS:
+        for api_idx, api in enumerate(BASIC_APIS):
             if not state.is_future(Phase.BASIC_DATA, api):
                 continue
             res = self.client.fetch_basic_data(api)
-            summary.warnings.extend(res.warnings)
+            self._warn(summary, res.warnings)
+            self.progress_callback(
+                api, len(res.rows), len(res.rows), api_idx + 1, len(BASIC_APIS)
+            )
             if res.failures:
                 # fetch failed mid-pagination: record + retry next run,
                 # keep last run's snapshot (warn-and-continue, I7)
@@ -227,7 +256,7 @@ class JobcanPipeline:
                     self._write(name, df, ENTITY_WRITES)
             except Exception as exc:  # db-save failure record (I5)
                 state.record_failures([(api, "save")], save=True)
-                summary.warnings.append(f"save failed for {api}: {exc}")
+                self._warn(summary, [f"save failed for {api}: {exc}"])
             else:
                 summary.basic_rows[api] = len(res.rows)
                 state.take_failures(api)
@@ -252,7 +281,8 @@ class JobcanPipeline:
         # loses only archive copies of pages; the work queue itself is
         # checkpointed per form below.)
         pages_buf: list[Any] = []
-        for fid in self._form_ids():
+        form_ids = self._form_ids()
+        for sub_count, fid in enumerate(form_ids, start=1):
             key = str(fid)
             if not state.is_future(Phase.FORM_OUTLINE, key):
                 continue
@@ -262,7 +292,16 @@ class JobcanPipeline:
                 include_canceled=self.include_canceled,
                 now=self.now_fn(),
             )
-            summary.warnings.extend(res.warnings)
+            self._warn(summary, res.warnings)
+            self.progress_callback(
+                "requests", len(outline.ids), None, sub_count, len(form_ids)
+            )
+            self.id_progress_callback(
+                "fetch-failure" if res.failures else "success",
+                key,
+                outline,
+                outline.last_access,
+            )
             pages_buf.extend(res.raw_pages)
             state.outline_queue[key] = {
                 "ids": sorted(outline.ids),
@@ -332,10 +371,17 @@ class JobcanPipeline:
         docs: list[dict[str, Any]] = []
         failed_forms: set[str] = set()
         pages: list[Any] = []
-        for key in sorted(targets):
-            for rid in sorted(targets[key]):
+        for sub_count, key in enumerate(sorted(targets), start=1):
+            for current, rid in enumerate(sorted(targets[key]), start=1):
                 doc, res = self.client.fetch_form_detail(rid)
-                summary.warnings.extend(res.warnings)
+                self._warn(summary, res.warnings)
+                self.progress_callback(
+                    "requests_detail",
+                    current,
+                    len(targets[key]),
+                    sub_count,
+                    len(targets),
+                )
                 pages.extend(res.raw_pages)
                 if doc is None:
                     state.record_failures(res.failures)
@@ -356,7 +402,7 @@ class JobcanPipeline:
                 state.record_failures(
                     [("requests_detail", d["id"]) for d in docs], save=True
                 )
-                summary.warnings.append(f"detail save failed: {exc}")
+                self._warn(summary, [f"detail save failed: {exc}"])
                 self.checkpoint.save(state)
                 return
         summary.detail_fetched = len(docs)

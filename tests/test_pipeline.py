@@ -220,3 +220,58 @@ def test_outline_failure_record_cleared_on_clean_fetch(spark, tmp_path):
     pipe.run()
     st2 = ckpt.load()
     assert ["form_outline", form_key] not in st2.fetch_failures
+
+
+def test_progress_and_issue_callbacks(spark, tmp_path):
+    """O3 hooks (reference gateway.py:366-393): per-unit progress with
+    (api_type, current, total, sub_count, sub_total), per-form
+    success/fetch-failure events, and warnings through issue_callback."""
+    import json as _json
+
+    entities = {
+        api: [_json.loads(r) for r in records]
+        for api, records in make_entities(N_DOCS).items()
+    }
+    from jobcan_data_integrator_spark.sources.mock_api import MockJobcanApi
+    from jobcan_data_integrator_spark.pipeline import BUCKETED_TABLES, PARTITIONED_TABLES
+
+    api = MockJobcanApi(
+        entities=entities,
+        documents=[_json.loads(d) for d in make_request_docs(N_DOCS)],
+        page_size=5,
+    )
+    api.fail["sa-3"] = 500
+    progress, events, issues = [], [], []
+    pipe = JobcanPipeline(
+        spark,
+        JobcanApiClient(api),
+        TableStore(
+            spark,
+            tmp_path / "tables",
+            write_partitions=1,
+            partitioned=PARTITIONED_TABLES,
+            bucketed=BUCKETED_TABLES,
+        ),
+        Checkpoint(tmp_path / "ckpt"),
+        now_fn=lambda: "2024/04/01 00:00:00",
+        archive_raw=False,
+        progress_callback=lambda *a: progress.append(a),
+        id_progress_callback=lambda ev, key, outline, la: events.append((ev, key)),
+        issue_callback=issues.append,
+    )
+    summary = pipe.run()
+
+    basic = [p for p in progress if p[0] == "users"]
+    assert basic == [("users", 7, 7, 1, 7)]  # 1st of the 7 basic apis
+    outline = [p for p in progress if p[0] == "requests"]
+    assert len(outline) == summary.outline_forms
+    assert all(p[4] == summary.outline_forms for p in outline)
+    assert [p[3] for p in outline] == list(range(1, summary.outline_forms + 1))
+    detail = [p for p in progress if p[0] == "requests_detail"]
+    assert len(detail) == N_DOCS
+    assert all(p[1] <= p[2] for p in detail)
+    # every outline form reported success (the failure was a detail fetch)
+    assert set(events) == {("success", k) for _, k in events}
+    # the sa-3 fetch failure surfaced through issue_callback
+    assert any("sa-3" in m for m in issues)
+    assert issues == summary.warnings
