@@ -1,10 +1,13 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "n": trials, "trials": [...]}.
 
 Each query is materialized with the noop sink (full execution, no driver
-collect overhead) after a JVM/session warmup pass.
+collect overhead) after a JVM/session warmup pass.  The suite runs
+$SPARK_GRAFT_BENCH_TRIALS times (default 3) in one session; "value" is
+the MEDIAN total, "queries" the per-query medians, and "trials" the raw
+totals — so the recorded number is a distribution, not a single sample.
 """
 
 from __future__ import annotations
@@ -51,8 +54,15 @@ HEADLINE = [
 ]
 
 
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("jdi-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -63,14 +73,24 @@ def main() -> None:
     queries = _gate.queries()
     queries["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    per_query: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    totals: list[float] = []
+    for _trial in range(n_trials):
+        trial_total = 0.0
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            per_query[name].append(dt)
+            trial_total += dt
+        totals.append(round(trial_total, 3))
+        # gate queries cache() intermediates (banding/bucketing tables
+        # that would be persisted-at-ingest in a warehouse); drop them
+        # between trials so each trial measures the full pipeline
+        spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    timings = {name: round(_median(ts), 3) for name, ts in per_query.items()}
     print(
         json.dumps(
             {
@@ -78,11 +98,14 @@ def main() -> None:
                 "TPC-H-ish analytics, pivots/windows/JSON-reconstruct, "
                 "minhash-LSH + simhash + jaccard + embedding dedup, cosine "
                 "top-k + LSH/IVF ANN + k-means codebook training, text "
-                "analysis, multimodal mapInPandas)",
-                "value": total,
+                "analysis, multimodal mapInPandas; median of "
+                f"{n_trials} trials)",
+                "value": round(_median(totals), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": n_trials,
+                "trials": sorted(totals),
             }
         )
     )

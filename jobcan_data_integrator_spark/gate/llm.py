@@ -307,10 +307,9 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "dd_lsh_verified_pairs",
-    oracle=f"""
-    WITH toks AS (
+#: shared oracle CTE chain: shingles -> minhash -> bands -> LSH candidate
+#: pairs -> exact-Jaccard verification (ends in CTE ``verified``).
+_VERIFIED_CTES = f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
@@ -345,12 +344,20 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT doc_a, doc_b, n_common,
-           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )"""
+
+
+@gate(
+    "dd_lsh_verified_pairs",
+    oracle=f"""
+    WITH {_VERIFIED_CTES}
+    SELECT doc_a, doc_b, n_common, jaccard FROM verified
     """,
     doc="The SCALE-CORRECT dedup composition: exact n-gram Jaccard computed "
     "ONLY over MinHash-LSH candidate pairs. The broadcast candidate set "
@@ -410,6 +417,44 @@ def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@gate(
+    "dd_dup_clusters",
+    # Connected components is engine-independent (min node id per
+    # component), so a recursive CTE replays the iterative Spark result
+    # exactly: walk = all (node, reachable-start-label) pairs over the
+    # symmetric edge set, component id = min reachable label.
+    oracle=f"""
+    WITH RECURSIVE {_VERIFIED_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.5
+    ), sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ), nodes AS (
+      SELECT DISTINCT src AS doc_id FROM sym
+    ), walk(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.doc_id
+    )
+    SELECT doc_id, min(label) AS cluster_id,
+           (doc_id = min(label)) AS keep
+    FROM walk GROUP BY doc_id
+    """,
+    doc="Dedup clustering: the verified near-dup pair graph collapsed into "
+    "connected components via min-label propagation (operators/dedup.py) — "
+    "each duplicate group gets one canonical keep=true member. Per round: "
+    "one edges-x-labels shuffle join + a map-side-partial min groupBy; "
+    "near-dup components are tiny (stars/pairs) so 2-3 rounds converge. "
+    "This is the pipeline tail that turns pair detection into an actual "
+    "deduplicated corpus at 100 TB.",
+)
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+
+    pairs = dd_lsh_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return dup_clusters(pairs)
 
 
 @gate(
@@ -1009,6 +1054,138 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+    )
+
+
+#: shared DuckDB fragment: per-language stopword scores over documents
+_LANG_SCORED_SQL = f"""
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_toks,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["de"])}], t))) AS s_de,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["es"])}], t))) AS s_es,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains([{_sql_list(_STOPWORDS["fr"])}], t))) AS s_fr
+      FROM documents"""
+
+_LANG_CASE_SQL = """CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
+                ELSE 'en' END"""
+
+
+def _with_lang(docs: DataFrame) -> DataFrame:
+    """documents + toks + predicted_lang (the tx_lang_id heuristic)."""
+    docs = docs.withColumn("toks", F.split(F.col("text"), " "))
+    for lang, words in _STOPWORDS.items():
+        arr = "array(" + _sql_list(words) + ")"
+        docs = docs.withColumn(
+            f"s_{lang}", F.expr(f"size(filter(toks, t -> array_contains({arr}, t)))")
+        )
+    s = {k: F.col(f"s_{k}") for k in _STOPWORDS}
+    predicted = (
+        F.when((s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when((s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when((s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]), "fr")
+        .otherwise("en")
+    )
+    return docs.withColumn("predicted_lang", predicted)
+
+
+@gate(
+    "tx_stratified_sample",
+    oracle=f"""
+    WITH scored AS ({_LANG_SCORED_SQL}
+    ), labeled AS (
+      SELECT doc_id, {_LANG_CASE_SQL} AS predicted_lang,
+             ('0x' || substr(md5('smpl|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS sample_bucket
+      FROM scored
+    )
+    SELECT doc_id, predicted_lang, sample_bucket
+    FROM labeled
+    WHERE sample_bucket < CASE WHEN predicted_lang = 'en' THEN 2500 ELSE 10000 END
+    """,
+    doc="Deterministic stratified sampling: rebalance the corpus by "
+    "downsampling the dominant language (en keeps 25%, the rest 100%) via "
+    "an md5 hash bucket of the doc id — no RNG state, so the sample is "
+    "reproducible on any engine, any partitioning, any run. Narrow "
+    "projection + filter, no shuffle: the standard corpus-rebalance step "
+    "before training-data packing.",
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_lang(_docs(spark, sf_dir))
+    bucket = F.expr(
+        "pmod(" + _H.format(x="concat('smpl|', cast(doc_id as string))") + ", 10000)"
+    )
+    thr = F.when(F.col("predicted_lang") == "en", 2500).otherwise(10000)
+    return (
+        docs.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < thr)
+        .select("doc_id", "predicted_lang", "sample_bucket")
+    )
+
+
+@gate(
+    "tx_corpus_filter",
+    oracle=f"""
+    WITH scored AS ({_LANG_SCORED_SQL}
+    ), labeled AS (
+      SELECT doc_id, n_toks, {_LANG_CASE_SQL} AS predicted_lang,
+             0.4 * least(CAST(n_toks AS DOUBLE) / 100, 1.0)
+               + 0.3 * (CAST(s_en AS DOUBLE) / n_toks)
+               + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
+      FROM scored
+    )
+    SELECT doc_id, predicted_lang, n_toks AS n_tokens,
+           (doc_id <> keep_doc) AS is_dup_extra,
+           (predicted_lang = 'en') AS lang_ok,
+           (quality_score >= 0.5) AS quality_ok,
+           (n_toks >= 10) AS len_ok,
+           (predicted_lang = 'en' AND quality_score >= 0.5 AND n_toks >= 10
+            AND doc_id = keep_doc) AS keep
+    FROM labeled
+    """,
+    doc="Corpus-filter endpoint: the composed keep/drop decision a training "
+    "pipeline applies per document — language gate, quality-score floor, "
+    "length floor, and exact-dup canonicalization (only the minimum doc_id "
+    "of each identical-text group survives). Every flag is emitted so drop "
+    "reasons are auditable. One window shuffle on the content hash; "
+    "everything else is narrow.",
+)
+def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_lang(_docs(spark, sf_dir))
+    n_toks = F.size("toks")
+    quality = (
+        F.lit(0.4) * F.least(n_toks.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.col("s_en").cast("double") / n_toks)
+        + F.lit(0.3) * F.least(F.length("text").cast("double") / 500, F.lit(1.0))
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    labeled = docs.select(
+        "doc_id",
+        "predicted_lang",
+        n_toks.cast("bigint").alias("n_tokens"),
+        quality.alias("quality_score"),
+        F.min("doc_id").over(w).alias("keep_doc"),
+    )
+    lang_ok = F.col("predicted_lang") == "en"
+    quality_ok = F.col("quality_score") >= 0.5
+    len_ok = F.col("n_tokens") >= 10
+    not_dup = F.col("doc_id") == F.col("keep_doc")
+    return labeled.select(
+        "doc_id",
+        "predicted_lang",
+        "n_tokens",
+        (~not_dup).alias("is_dup_extra"),
+        lang_ok.alias("lang_ok"),
+        quality_ok.alias("quality_ok"),
+        len_ok.alias("len_ok"),
+        (lang_ok & quality_ok & len_ok & not_dup).alias("keep"),
     )
 
 

@@ -1,0 +1,91 @@
+"""Dedup graph clustering: near-dup pairs -> connected components.
+
+The missing tail of the dedup pipeline (shingle -> MinHash -> LSH
+candidates -> exact-Jaccard verify -> PAIRS): turning the pair graph
+into cluster ids so each duplicate group keeps one canonical document.
+
+Algorithm: min-label propagation — every node starts labeled with its
+own id; each round every node takes the minimum label among itself and
+its neighbors; converged when no label changes.  Rounds needed = graph
+diameter, and near-dup components are overwhelmingly tiny (pairs/stars),
+so 2-3 rounds converge in practice; ``max_iter`` caps pathological
+chains.  Per round: one shuffle join (edges x labels) + one min-groupBy
+with map-side partial aggregation — both keyed by node id, so the same
+partitioning is reusable round to round.  At extreme scale the
+large-star/small-star variant (alternating conditional propagation)
+reduces round count on high-diameter graphs; the round body below is
+the same join+min shape, so it drops in without changing callers.
+
+The result is engine-independent (min over a set), so a DuckDB
+recursive CTE replays it exactly — the gate uses that as its oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in ``edges`` (src, dst).
+
+    ``cluster_id`` is the minimum node id of the component.  Nodes not
+    appearing in any edge are by definition singleton clusters and are
+    not emitted — callers union them back if they need full coverage.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.distinct().cache()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iter):
+            neigh = (
+                sym.join(labels, sym["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("neigh_min"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("neigh_min", "cluster_id"),
+                    ).alias("cluster_id"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, keep) from a near-dup pair frame
+    (doc_a, doc_b): ``keep`` marks the canonical (minimum-id) member of
+    each cluster — the row to retain when deduplicating the corpus."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges, max_iter=max_iter)
+    return cc.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
+    )

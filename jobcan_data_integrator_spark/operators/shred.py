@@ -99,14 +99,40 @@ def _gm_id(prefix: Column, gm: Column) -> Column:
     )
 
 
-def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
+class ShreddedTables(dict):
+    """table name -> DataFrame, remembering the shred-internal cached
+    intermediates so callers can release them once the writes finish."""
+
+    def __init__(self, tables: dict[str, DataFrame], cached: list[DataFrame]) -> None:
+        super().__init__(tables)
+        self._cached = list(cached)
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
+
+
+def shred_request_documents(docs: DataFrame) -> "ShreddedTables":
     """Shred parsed request documents into the silver tables.
 
     ``docs`` has one ``doc`` column typed as REQUEST_DOC_DDL.  Returns a
     dict table_name -> DataFrame covering the full request-side catalog
-    (SURVEY.md §1.4).
+    (SURVEY.md §1.4); call ``.unpersist()`` on it after consuming the
+    tables to drop the internal caches.
     """
-    d = docs.select("doc.*").cache()
+    cached: list[DataFrame] = []
+
+    def _keep(df: DataFrame) -> DataFrame:
+        """Cache a multiply-consumed intermediate and remember it so the
+        caller can release it after the writes (ShreddedTables.unpersist)
+        — a long-lived session would otherwise accumulate one cache set
+        per shred call."""
+        df = df.cache()
+        cached.append(df)
+        return df
+
+    d = docs.select("doc.*").transform(_keep)
     out: dict[str, DataFrame] = {}
 
     out["requests"] = d.select(*REQUEST_HEADER_COLS)
@@ -117,7 +143,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     ci = (
         d.select(rid, F.posexplode("detail.customized_items").alias("item_index", "ci"))
         .withColumn("customized_item_id", hkey("ci", "request_id", "item_index"))
-        .cache()
+        .transform(_keep)
     )
     out["customized_items"] = ci.select(
         "request_id",
@@ -143,7 +169,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .withColumn(
             "table_data_id", hkey("td", "customized_item_id", "index_1", "index_2")
         )
-        .cache()
+        .transform(_keep)
     )
     out["table_data"] = cells.select(
         "request_id",
@@ -163,7 +189,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         gm_scopes.filter(F.col("gm").isNotNull())
         .withColumn("generic_master_id", _gm_id(F.lit("gm"), F.col("gm")))
         .dropDuplicates(["generic_master_id"])
-        .cache()
+        .transform(_keep)
     )
     out["generic_masters"] = gms.select(
         "generic_master_id",
@@ -211,7 +237,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
             "expense_specific_row_id",
             hkey("esr", "expense_specific_id", "row_index"),
         )
-        .cache()
+        .transform(_keep)
     )
     out["expense_specific_rows"] = erow.select(
         "request_id",
@@ -238,7 +264,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
             "custom_item_id", hkey("cui", "expense_specific_row_id", "item_index")
         )
         .withColumn("_is_obj", F.expr("schema_of_variant(x.value) like 'OBJECT%'"))
-        .cache()
+        .transform(_keep)
     )
     out["custom_items"] = cui.select(
         "request_id",
@@ -309,7 +335,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .withColumn(
             "payment_specific_row_id", hkey("psr", "payment_specific_id", "row_index")
         )
-        .cache()
+        .transform(_keep)
     )
     out["payment_specific_rows"] = prow.select(
         "request_id",
@@ -341,7 +367,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     # --- ec subtree + deduped shipping_address (N7-N8) --------------------
     ec = d.select(rid, F.col("detail.ec").alias("ec")).filter(
         F.col("ec").isNotNull()
-    ).cache()
+    ).transform(_keep)
     sa = F.col("ec.shipping_address")
     sa_cols = [
         "shipping_address_name",
@@ -423,7 +449,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     # --- approval_process subtree (N9) ------------------------------------
     ap = d.select(rid, F.col("detail.approval_process").alias("ap")).filter(
         F.col("ap").isNotNull()
-    ).cache()
+    ).transform(_keep)
     ap_id = hkey("ap", "request_id")
     out["approval_process"] = ap.select(
         "request_id",
@@ -450,7 +476,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .withColumn(
             "approval_step_id", hkey("st", "approval_process_id", "step_index")
         )
-        .cache()
+        .transform(_keep)
     )
     out["approval_steps"] = steps.select(
         "request_id",
@@ -500,7 +526,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     all_comments = step_comments.unionByName(ac_comments).withColumn(
         "comment_id",
         hkey("cm", "request_id", F.col("c.user_name"), F.col("c.date"), F.col("c.text")),
-    ).cache()
+    ).transform(_keep)
     out["comments"] = (
         all_comments.groupBy("comment_id")
         .agg(
@@ -530,7 +556,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     # --- modify_logs, 3 levels + dict->list coercion (N12) ----------------
     ml = d.select(
         rid, F.posexplode("detail.modify_logs").alias("log_index", "m")
-    ).withColumn("modify_log_id", hkey("ml", "request_id", "log_index")).cache()
+    ).withColumn("modify_log_id", hkey("ml", "request_id", "log_index")).transform(_keep)
     out["modify_logs"] = ml.select(
         "request_id",
         "log_index",
@@ -545,7 +571,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .withColumn(
             "modify_log_detail_id", hkey("mld", "modify_log_id", "log_detail_index")
         )
-        .cache()
+        .transform(_keep)
     )
     out["modify_log_details"] = mld.select(
         "request_id",
@@ -604,7 +630,7 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
     assoc = file_scopes[0]
     for s in file_scopes[1:]:
         assoc = assoc.unionByName(s)
-    assoc = assoc.cache()
+    assoc = assoc.transform(_keep)
 
     out["files"] = (
         assoc.groupBy(F.col("f.id").alias("id"))
@@ -633,4 +659,4 @@ def shred_request_documents(docs: DataFrame) -> dict[str, DataFrame]:
         .agg(F.min("file_index").alias("first_index"), F.count("*").alias("n_repeat"))
     )
 
-    return out
+    return ShreddedTables(out, cached)

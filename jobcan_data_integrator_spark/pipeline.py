@@ -405,6 +405,8 @@ class JobcanPipeline:
                 self._warn(summary, [f"detail save failed: {exc}"])
                 self.checkpoint.save(state)
                 return
+            finally:
+                tables.unpersist()  # drop shred caches (long-lived sessions)
         summary.detail_fetched = len(docs)
 
         # drain + watermark advance only for fully-successful forms

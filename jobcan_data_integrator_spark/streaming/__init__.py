@@ -68,12 +68,17 @@ def merge_documents_stream(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            for name, df in shred_request_documents(batch_df).items():
-                kind, keys = strategy.get(name) or strategy["*"]
-                if kind == "upsert":
-                    store.merge_upsert(name, df, keys)
-                else:
-                    store.sync_children(name, df, keys)
+            tables = shred_request_documents(batch_df)
+            try:
+                for name, df in tables.items():
+                    kind, keys = strategy.get(name) or strategy["*"]
+                    if kind == "upsert":
+                        store.merge_upsert(name, df, keys)
+                    else:
+                        store.sync_children(name, df, keys)
+            finally:
+                # one cache set per micro-batch would otherwise accumulate
+                tables.unpersist()
 
     return (
         docs.writeStream.foreachBatch(_merge)

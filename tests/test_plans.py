@@ -123,3 +123,94 @@ def test_i2_catchup_pushes_predicates(spark, sf_dir):
 def test_exact_dedup_partial_aggregates(spark, sf_dir):
     plan = _gate_plan(spark, sf_dir, "dd_exact_dedup")
     assert "partial_min" in plan and "partial_count" in plan
+
+
+#: gates whose plans INTENTIONALLY contain a broadcast nested-loop join:
+#: the brute-force cosine scorers crossJoin a tiny broadcast query set,
+#: and the IVF gates attach a ONE-ROW broadcast codebook (cents_row).
+#: Each is O(n * small-constant) work — not a data-data cartesian.
+_INTENTIONAL_BNLJ = {
+    "sim_cosine_topk",
+    "sim_ann_ivf_topk",
+    "sim_ann_recall",
+    "sim_ivf_train_kmeans",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_products_suite_wide(spark, sf_dir, name):
+    """A CartesianProduct node anywhere is a data-data cross — the
+    instant 100 TB killer.  BroadcastNestedLoopJoin is allowed only for
+    the gates that deliberately broadcast a tiny side."""
+    plan = _gate_plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in _INTENTIONAL_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unplanned nested-loop join"
+        )
+
+
+@pytest.fixture(scope="module")
+def parquet_views(spark, tmp_path_factory):
+    """The view DAG over PARQUET-backed silver tables (the deployment
+    shape) — temp views over in-memory frames can't prove pushdown."""
+    import json
+
+    from jobcan_fixtures import make_entities, make_request_docs
+    from jobcan_data_integrator_spark import views as V
+    from jobcan_data_integrator_spark.operators.entities import (
+        ENTITY_APIS,
+        parse_entities,
+    )
+    from jobcan_data_integrator_spark.operators.shred import (
+        parse_request_documents,
+        shred_request_documents,
+    )
+
+    root = tmp_path_factory.mktemp("plan_silver")
+    raw = spark.createDataFrame([(d,) for d in make_request_docs(6)], "raw string")
+    tables = shred_request_documents(parse_request_documents(raw))
+    for api, records in make_entities(6).items():
+        ddl, shred = ENTITY_APIS[api]
+        shredded = shred(
+            parse_entities(
+                spark.createDataFrame([(r,) for r in records], "raw string"), ddl
+            )
+        )
+        tables.update(shredded if isinstance(shredded, dict) else {api: shredded})
+    parquet_tables = {}
+    for name, df in tables.items():
+        path = str(root / name)
+        df.coalesce(1).write.parquet(path)
+        parquet_tables[name] = spark.read.parquet(path)
+    V.register_views(spark, parquet_tables)
+    return spark
+
+
+def test_csv_view_form_filter_pushes_to_scan(parquet_views):
+    """The 書式 CSV views filter on hard-coded form_ids; that predicate
+    must reach the requests parquet scan as a pushed filter so partition
+    /row-group pruning works at 100 TB."""
+    spark = parquet_views
+    df = spark.table("`view_立替精算(書式3)`")
+    plan = _plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "form_id" in pushed, f"form_id filter not pushed: {pushed[:200]}"
+
+
+def test_form_items_view_join_broadcasts(parquet_views):
+    """view_form_items joins customized_items to requests — the small
+    side must broadcast, not shuffle both inputs."""
+    spark = parquet_views
+    plan = _plan(spark.table("view_form_items"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_view_dag_has_no_cartesians(parquet_views):
+    spark = parquet_views
+    from jobcan_data_integrator_spark import views as V
+
+    for name, _ in V.VIEWS:
+        plan = _plan(spark.table(f"`{name}`"))
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
