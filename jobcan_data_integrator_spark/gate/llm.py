@@ -1190,6 +1190,38 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tx_shard_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // 4096 AS shard_id
+    FROM t
+    """,
+    doc="Token-budget shard packing (operators/packing.py): documents in "
+    "doc_id order, shard = prefix-token-sum div 4096. Computed as the "
+    "two-pass distributed prefix sum (bucket partials -> driver-side "
+    "offsets -> per-bucket windows), NOT a single-partition global window "
+    "— the plan contains no Exchange SinglePartition (pinned in "
+    "test_plans.py). The oracle is the semantic definition: one global "
+    "running sum.",
+)
+def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.packing import pack_shards
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return pack_shards(docs, budget=4096)
+
+
+@gate(
     "tx_token_counts",
     oracle="""
     SELECT doc_id,

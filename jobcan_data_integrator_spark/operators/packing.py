@@ -1,0 +1,67 @@
+"""Training-shard packing: assign documents to contiguous token-budget
+shards — the step between corpus curation and training-data writing.
+
+Semantics: documents in deterministic ``doc_id`` order; ``cum_before`` =
+total tokens of all earlier documents; ``shard_id = cum_before div
+budget``.  Shard boundaries fall at budget multiples of the prefix sum,
+so every shard holds ~budget tokens (the straddling document goes to
+the earlier shard — the usual greedy fill).
+
+Scale shape — a global running sum is the textbook single-partition
+window trap, so this is the two-pass distributed prefix sum instead:
+
+1. bucket documents by ``doc_id div bucket_size`` (pure map);
+2. per-bucket token totals (map-side partial agg to n/bucket_size rows)
+   are collected and prefix-summed DRIVER-side — tiny by construction
+   (choose bucket_size so this is ~thousands of rows at any corpus
+   size), then broadcast back as per-bucket offsets;
+3. the running sum runs as a window PARTITIONED BY bucket (parallel
+   across buckets) plus the bucket's offset.
+
+No Exchange SinglePartition anywhere (tests/test_plans.py pins this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_size: int = 256,
+) -> DataFrame:
+    """(id, n_tokens, cum_before, shard_id) for ``docs`` with an integer
+    id column and a per-document token count."""
+    b = docs.select(id_col, tokens_col).withColumn(
+        "_bucket", F.expr(f"{id_col} div {bucket_size}")
+    )
+    per_bucket = b.groupBy("_bucket").agg(F.sum(tokens_col).alias("_bsum")).collect()
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for row in sorted(per_bucket, key=lambda r: r["_bucket"]):
+        offsets.append((row["_bucket"], acc))
+        acc += row["_bsum"]
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, "_bucket long, _off long"
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "cum_before",
+            (F.coalesce(F.sum(tokens_col).over(w), F.lit(0)) + F.col("_off")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("shard_id", F.expr(f"cum_before div {budget}"))
+        .select(id_col, tokens_col, "cum_before", "shard_id")
+    )

@@ -214,3 +214,11 @@ def test_view_dag_has_no_cartesians(parquet_views):
     for name, _ in V.VIEWS:
         plan = _plan(spark.table(f"`{name}`"))
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_shard_packing_has_no_global_window(spark, sf_dir):
+    """The prefix sum must run per-bucket (parallel), never as a
+    single-partition global window — the textbook running-sum trap."""
+    plan = _gate_plan(spark, sf_dir, "tx_shard_packing")
+    assert "Exchange SinglePartition" not in plan, "global window detected"
+    assert "Window" in plan  # the per-bucket running sum is still a window
