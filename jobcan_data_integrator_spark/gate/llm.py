@@ -109,26 +109,59 @@ def _sql_arr(vals: list[int]) -> str:
     return "[" + ", ".join(str(v) for v in vals) + "]"
 
 
-@gate(
-    "dd_minhash_signatures",
-    oracle=f"""
-    WITH toks AS (
+#: shared oracle CTE chain: shingles -> minhash -> bands -> LSH candidate
+#: pairs -> exact-Jaccard verification (ends in CTE ``verified``).
+_VERIFIED_CTES = f"""toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
-    ), sh AS (
+    ), shw AS (
       SELECT doc_id,
              ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
-                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT
-               % {_MH_P} AS hs
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
-    )
-    SELECT doc_id, CAST(g.i AS INT) AS h_idx,
-           min(({_sql_arr(_MH_A)}[g.i + 1] * hs + {_sql_arr(_MH_B)}[g.i + 1])
-               % {_MH_P}) AS minhash
-    FROM sh, generate_series(0, 7) AS g(i)
-    GROUP BY doc_id, g.i
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM shw
+    ), sig AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(({_sql_arr(_MH_A)}[g.i + 1] * (shingle % {_MH_P})
+                  + {_sql_arr(_MH_B)}[g.i + 1]) % {_MH_P}) AS minhash
+      FROM shw, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, g.i
+    ), bands AS (
+      SELECT doc_id, h_idx // 2 AS band_idx,
+             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
+      FROM sig GROUP BY doc_id, h_idx // 2
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )"""
+
+
+
+
+@gate(
+    "dd_minhash_signatures",
+    oracle=f"""
+    WITH {_VERIFIED_CTES}
+    SELECT doc_id, CAST(h_idx AS INT) AS h_idx, minhash FROM sig
     """,
     doc="MinHash signatures (k=8) over 3-gram word shingles: one md5 per "
     "shingle reduced mod 2^31-1, then an affine universal-hash family per "
@@ -186,31 +219,8 @@ def minhash_bands(
 @gate(
     "dd_lsh_candidate_pairs",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-             generate_subscripts(string_split(text, ' '), 1) AS ord
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
-                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT
-               % {_MH_P} AS hs
-      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      QUALIFY lead(tok, 2) OVER w IS NOT NULL
-    ), sig AS (
-      SELECT doc_id, g.i AS h_idx,
-             min(({_sql_arr(_MH_A)}[g.i + 1] * hs + {_sql_arr(_MH_B)}[g.i + 1])
-                 % {_MH_P}) AS minhash
-      FROM sh, generate_series(0, 7) AS g(i)
-      GROUP BY doc_id, g.i
-    ), bands AS (
-      SELECT doc_id, h_idx // 2 AS band_idx,
-             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
-      FROM sig GROUP BY doc_id, h_idx // 2
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WITH {_VERIFIED_CTES}
+    SELECT doc_a, doc_b FROM cands
     """,
     doc="MinHash-LSH candidate pairs: band the k=8 signature into 4 bands of "
     "2, equi-join on (band_idx, band_key). The O(n²) similarity problem "
@@ -305,52 +315,6 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-
-
-#: shared oracle CTE chain: shingles -> minhash -> bands -> LSH candidate
-#: pairs -> exact-Jaccard verification (ends in CTE ``verified``).
-_VERIFIED_CTES = f"""toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-             generate_subscripts(string_split(text, ' '), 1) AS ord
-      FROM documents
-    ), shw AS (
-      SELECT doc_id,
-             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
-                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
-      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      QUALIFY lead(tok, 2) OVER w IS NOT NULL
-    ), sh AS (
-      SELECT DISTINCT doc_id, shingle FROM shw
-    ), sig AS (
-      SELECT doc_id, g.i AS h_idx,
-             min(({_sql_arr(_MH_A)}[g.i + 1] * (shingle % {_MH_P})
-                  + {_sql_arr(_MH_B)}[g.i + 1]) % {_MH_P}) AS minhash
-      FROM shw, generate_series(0, 7) AS g(i)
-      GROUP BY doc_id, g.i
-    ), bands AS (
-      SELECT doc_id, h_idx // 2 AS band_idx,
-             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
-      FROM sig GROUP BY doc_id, h_idx // 2
-    ), cands AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cands c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-      GROUP BY c.doc_a, c.doc_b
-    ), verified AS (
-      SELECT doc_a, doc_b, n_common,
-             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-    )"""
 
 
 @gate(
@@ -992,23 +956,13 @@ def _sql_list(words: list[str]) -> str:
     "a fixed priority tiebreak (en>de>es>fr). Narrow projection, no shuffle.",
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
-    for lang, words in _STOPWORDS.items():
-        arr = "array(" + _sql_list(words) + ")"
-        docs = docs.withColumn(
-            f"s_{lang}", F.expr(f"size(filter(toks, t -> array_contains({arr}, t)))")
-        )
-    s = {k: F.col(f"s_{k}") for k in _STOPWORDS}
-    predicted = (
-        F.when((s["de"] > s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
-        .when((s["es"] > s["en"]) & (s["es"] > s["de"]) & (s["es"] >= s["fr"]), "es")
-        .when((s["fr"] > s["en"]) & (s["fr"] > s["de"]) & (s["fr"] > s["es"]), "fr")
-        .otherwise("en")
-    )
+    docs = _with_lang(_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
-        predicted.alias("predicted_lang"),
-        F.round(s["en"].cast("double") / F.size("toks"), 6).alias("en_stopword_ratio"),
+        "predicted_lang",
+        F.round(F.col("s_en").cast("double") / F.size("toks"), 6).alias(
+            "en_stopword_ratio"
+        ),
     )
 
 
@@ -1222,6 +1176,53 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "tx_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_hits
+    FROM sh c JOIN sh b ON c.shingle = b.shingle
+    WHERE b.doc_id < 5 AND c.doc_id >= 5
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+    doc="Benchmark-contamination detection: corpus documents sharing >= 3 "
+    "distinct 3-gram shingles with any document of the (small) benchmark "
+    "set — the standard train/eval decontamination sweep. The benchmark "
+    "shingle set is BROADCAST, so the corpus side is one narrow shingle "
+    "projection + a map-side hash join: no corpus shuffle, linear at "
+    "100 TB regardless of benchmark size.",
+)
+def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both join sides derive from this frame — materialize once
+    sh = (
+        _shingle_rows(spark, sf_dir)
+        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
+        .distinct()
+        .cache()
+    )
+    bench = sh.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") >= 5)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= 3)
+    )
+
+
+@gate(
     "tx_token_counts",
     oracle="""
     SELECT doc_id,
@@ -1360,25 +1361,9 @@ _FEATURES_CTE = """
       FROM documents
     )"""
 
-#: _BUCKET_CTE over the feature CTE instead of the embeddings table.
-_FEATURE_BUCKET_CTE = """
-    e AS (
-      SELECT vec_id, embedding, unnest(embedding) AS comp,
-             generate_subscripts(embedding, 1) - 1 AS d
-      FROM f
-    ), qz AS (
-      SELECT vec_id, d, CAST(floor(comp::DOUBLE * 1000) AS BIGINT) AS ei FROM e
-    ), dots AS (
-      SELECT vec_id, g.p AS p,
-             sum(ei * (CASE WHEN ('0x'||substr(md5(g.p || '_' || d),1,15))::BIGINT % 2 = 1
-                            THEN 1 ELSE -1 END)) AS s
-      FROM qz, generate_series(0, 7) AS g(p)
-      GROUP BY vec_id, g.p
-    ), buckets AS (
-      SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p AS INT))
-                                   ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
-    )"""
+#: _BUCKET_CTE over the feature CTE instead of the embeddings table —
+#: derived, not duplicated, so the LSH replica has ONE definition.
+_FEATURE_BUCKET_CTE = _BUCKET_CTE.replace("FROM embeddings", "FROM f")
 
 
 @gate(

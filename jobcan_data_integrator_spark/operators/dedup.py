@@ -46,6 +46,7 @@ def connected_components(
         .cache()
     )
     try:
+        changed = -1
         for _ in range(max_iter):
             neigh = (
                 sym.join(labels, sym["src"] == labels["doc_id"])
@@ -73,6 +74,13 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # returning part-propagated labels would silently split real
+            # components (several keep=true rows inside one dup cluster)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds — raise max_iter (graph diameter exceeds it)"
+            )
         return labels
     finally:
         sym.unpersist()

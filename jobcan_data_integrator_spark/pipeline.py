@@ -275,52 +275,58 @@ class JobcanPipeline:
             return
         if state.phase < Phase.FORM_OUTLINE:
             state.enter_phase(Phase.FORM_OUTLINE)
-        # raw pages are archived ONCE after the loop: one bronze append +
-        # one keyed merge per phase instead of one Spark job per form.
-        # (Best-effort like the reference's JSON dump — a crash mid-phase
-        # loses only archive copies of pages; the work queue itself is
-        # checkpointed per form below.)
+        # raw pages are archived in CHUNKS (one bronze append + one keyed
+        # merge per ~50 forms) instead of one Spark job per form; the
+        # finally-flush covers a fatal ApiError aborting the loop, so no
+        # form that was checkpointed done can lack its archive copy
+        # except across a hard process kill inside one chunk window.
         pages_buf: list[Any] = []
         form_ids = self._form_ids()
-        for sub_count, fid in enumerate(form_ids, start=1):
-            key = str(fid)
-            if not state.is_future(Phase.FORM_OUTLINE, key):
-                continue
-            outline, res = self.client.fetch_form_outline(
-                fid,
-                applied_after=state.watermarks.get(key),
-                include_canceled=self.include_canceled,
-                now=self.now_fn(),
-            )
-            self._warn(summary, res.warnings)
-            self.progress_callback(
-                "requests", len(outline.ids), None, sub_count, len(form_ids)
-            )
-            self.id_progress_callback(
-                "fetch-failure" if res.failures else "success",
-                key,
-                outline,
-                outline.last_access,
-            )
-            pages_buf.extend(res.raw_pages)
-            state.outline_queue[key] = {
-                "ids": sorted(outline.ids),
-                # a partial outline must never advance the watermark
-                "last_access": None if res.failures else outline.last_access,
-            }
-            if res.failures:
-                state.record_failures([("form_outline", key)])
-            else:
-                # a clean fetch supersedes any stale failure record for
-                # this form — otherwise it would sit in the checkpoint
-                # JSON forever (records are keyed, never bulk-drained)
-                state.clear_failure("form_outline", key)
-            summary.outline_forms += 1
-            summary.outline_ids += len(outline.ids)
-            state.mark_done(key)
-            # durable after EVERY form (reference _tf_io.py:132-143)
-            self.checkpoint.save(state)
-        self._archive("requests_outline", pages_buf)
+        try:
+            for sub_count, fid in enumerate(form_ids, start=1):
+                key = str(fid)
+                if not state.is_future(Phase.FORM_OUTLINE, key):
+                    continue
+                outline, res = self.client.fetch_form_outline(
+                    fid,
+                    applied_after=state.watermarks.get(key),
+                    include_canceled=self.include_canceled,
+                    now=self.now_fn(),
+                )
+                self._warn(summary, res.warnings)
+                self.progress_callback(
+                    "requests", len(outline.ids), None, sub_count, len(form_ids)
+                )
+                self.id_progress_callback(
+                    "fetch-failure" if res.failures else "success",
+                    key,
+                    outline,
+                    outline.last_access,
+                )
+                pages_buf.extend(res.raw_pages)
+                if len(pages_buf) >= 50:
+                    self._archive("requests_outline", pages_buf)
+                    pages_buf = []
+                state.outline_queue[key] = {
+                    "ids": sorted(outline.ids),
+                    # a partial outline must never advance the watermark
+                    "last_access": None if res.failures else outline.last_access,
+                }
+                if res.failures:
+                    state.record_failures([("form_outline", key)])
+                else:
+                    # a clean fetch supersedes any stale failure record
+                    # for this form — otherwise it would sit in the
+                    # checkpoint JSON forever (records are keyed, never
+                    # bulk-drained)
+                    state.clear_failure("form_outline", key)
+                summary.outline_forms += 1
+                summary.outline_ids += len(outline.ids)
+                state.mark_done(key)
+                # durable after EVERY form (reference _tf_io.py:132-143)
+                self.checkpoint.save(state)
+        finally:
+            self._archive("requests_outline", pages_buf)
 
     # -- phase 3: form detail (gateway.py:434-541) --------------------------------
 

@@ -159,9 +159,34 @@ class TableStore:
         return df
 
     def _read_raw(self, table: str) -> DataFrame:
-        """Like read(), but keeps the bucket column on bucketed tables."""
+        """Like read(), but keeps the bucket column on bucketed tables.
+
+        A table written BEFORE it was declared bucketed (legacy flat
+        layout, no ``_pbucket`` dirs) is migrated in place on first
+        touch: one full rewrite with the bucket column, after which
+        every merge is partition-scoped.  Without this, the managed
+        merge paths would join on a column the legacy files don't have.
+        """
         self._recover(table)
-        return self.spark.read.parquet(str(self.path(table)))
+        df = self.spark.read.parquet(str(self.path(table)))
+        if table in self.bucketed and BUCKET_COL not in df.columns:
+            self._migrate_to_bucketed(table, df)
+            df = self.spark.read.parquet(str(self.path(table)))
+        return df
+
+    def _migrate_to_bucketed(self, table: str, df: DataFrame) -> None:
+        """One-time rewrite of a legacy flat table into the bucketed
+        layout, via the same tmp-dir + swap as overwrite() (a direct
+        in-place write would read and overwrite the same path)."""
+        prepped = self._prep(table, df)
+        if self.write_partitions is not None:
+            prepped = prepped.coalesce(self.write_partitions)
+        tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex[:8]}"
+        old = self.root / f"{table}.old-{uuid.uuid4().hex[:8]}"
+        prepped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(tmp))
+        os.replace(self.path(table), old)
+        os.replace(tmp, self.path(table))
+        shutil.rmtree(old, ignore_errors=True)
 
     def _write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
         """Overwrite only the hive partitions present in ``df``."""

@@ -145,10 +145,14 @@ def sessionize_events_stream(
     The open session of an idle user is flushed by an event-time timeout
     once the watermark passes ``session_end + gap`` — without it the last
     session of every user would sit in state forever and never be
-    emitted in append mode.  An out-of-order event landing within the
-    gap BEFORE the open session's start extends the session backwards
-    (``start = min(start, t)``); events later than the watermark bound
-    are dropped by Spark before they reach this operator.
+    emitted in append mode.  Each batch runs a classic interval merge
+    over (sorted events + the open session), so out-of-order events
+    extend the open session backwards and stray chains before it form
+    proper sessions.  State holds ONE open session (the latest); earlier
+    sessions emit at batch end, which can close them before the
+    watermark seals them — the error is bounded by the watermark delay,
+    since anything older is dropped by Spark before reaching this
+    operator.
     """
     from jobcan_data_integrator_spark.session import ensure_pyfiles
 
@@ -177,39 +181,35 @@ def sessionize_events_stream(
             yield _emit([(user_id, start_ms, end_ms, n_events)])
             return
 
-        if state.exists:
-            start_ms, end_ms, n_events = state.get
-        else:
-            start_ms = end_ms = -1
-            n_events = 0
-        out: list[tuple[int, int, int, int]] = []
-        ts_ms: list[int] = []
+        # classic interval merge over (batch events + the open session),
+        # sorted by start: this handles out-of-order events uniformly —
+        # in-gap events extend the open session in either direction, and
+        # stray chains wholly before it coalesce among THEMSELVES into
+        # proper sessions instead of degenerating to singletons.
+        intervals: list[tuple[int, int, int]] = []
         for pdf in pdfs:
-            ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
-        for t in sorted(ts_ms):
-            if start_ms < 0:
-                start_ms = end_ms = t
-                n_events = 1
-            elif start_ms - gap_ms <= t <= end_ms + gap_ms:
-                # in-gap event, possibly before the open session's start
-                start_ms = min(start_ms, t)
-                end_ms = max(end_ms, t)
-                n_events += 1
-            elif t > end_ms + gap_ms:
-                out.append((user_id, start_ms, end_ms, n_events))
-                start_ms = end_ms = t
-                n_events = 1
+            intervals.extend(
+                (t, t, 1)
+                for t in (int(v.value // 1_000_000) for v in pdf["ts"])
+            )
+        if state.exists:
+            intervals.append(tuple(state.get))
+        intervals.sort()
+        merged: list[list[int]] = []
+        for s, e, n in intervals:
+            if merged and s - merged[-1][1] <= gap_ms:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
             else:
-                # stray event wholly before the open session (> gap):
-                # its session can never grow — emit as a singleton
-                out.append((user_id, t, t, 1))
-        state.update((start_ms, end_ms, n_events))
+                merged.append([s, e, n])
+        *closed, open_sess = merged
+        if closed:
+            yield _emit([(user_id, s, e, n) for s, e, n in closed])
+        state.update(tuple(open_sess))
         # flush once event time passes the open session's close point;
         # incoming rows satisfy t >= watermark, so this is always ahead
         # of the current watermark as the API requires
-        state.setTimeoutTimestamp(end_ms + gap_ms + 1)
-        if out:
-            yield _emit(out)
+        state.setTimeoutTimestamp(open_sess[1] + gap_ms + 1)
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,

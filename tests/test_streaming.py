@@ -155,3 +155,50 @@ def test_sessionize_stateful_operator(spark, tmp_path):
     rows = _drain("sessions_c")
     assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 1)]
     assert rows[0]["session_start"].hour == 12
+
+
+def test_sessionize_merges_stray_chains(spark, tmp_path):
+    """Out-of-order events older than the open session must coalesce
+    into proper sessions among themselves — not singleton spam."""
+    src = tmp_path / "events2"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+    )
+    sessions = S.sessionize_events_stream(
+        stream, gap_seconds=1800, watermark="4 hours"
+    )
+
+    def _drain() -> list:
+        out: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_s2"))
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    (src / "a.json").write_text(
+        json.dumps({"user_id": 3, "ts": "2024-03-01 12:00:00"})
+    )
+    assert _drain() == []  # open session at 12:00, watermark 8:00
+
+    # two strays within gap of EACH OTHER, both > 30 min before 12:00
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"user_id": 3, "ts": "2024-03-01 09:00:00"},
+                {"user_id": 3, "ts": "2024-03-01 09:10:00"},
+            ]
+        )
+    )
+    rows = _drain()
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(3, 2)]
+    assert rows[0]["session_start"].hour == 9
+    assert rows[0]["session_end"].minute == 10
