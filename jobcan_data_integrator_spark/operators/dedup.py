@@ -53,6 +53,12 @@ def connected_components(
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("neigh_min"))
             )
+            # localCheckpoint (not cache): truncates the lineage so the
+            # compiled plan stays ONE round deep instead of accumulating
+            # every previous round's joins (plan bloat grows Catalyst
+            # planning time per iteration and makes eviction
+            # catastrophic).  On a real cluster with executor loss, use
+            # a reliable checkpoint dir instead.
             new_labels = (
                 labels.join(neigh, "doc_id", "left")
                 .select(
@@ -62,7 +68,7 @@ def connected_components(
                         F.coalesce("neigh_min", "cluster_id"),
                     ).alias("cluster_id"),
                 )
-                .cache()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")

@@ -1,0 +1,93 @@
+"""Generate PLANS.md: an auto-audited physical-plan summary of every gate
+query — the evidence behind the 100 TB design claims.
+
+For each gate: counts of scan/exchange/join node types, whether filters
+reached the parquet scan, whole-stage-codegen coverage, and any Python
+evaluation nodes.  Regenerate with ``python plan_audit.py`` (sf0.001).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from jobcan_data_integrator_spark.gate import REGISTRY, _ensure_loaded  # noqa: E402
+from jobcan_data_integrator_spark.session import get_spark  # noqa: E402
+
+_PY_NODES = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+    r"|PythonMapInArrow|AggregateInPandas"
+)
+
+
+def _plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def main() -> None:
+    _ensure_loaded()
+    sf_dir = "/root/testdata/sf0.001"
+    spark = get_spark("jdi-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    lines = [
+        "# PLANS — auto-generated physical-plan audit",
+        "",
+        "One row per gate query (`python plan_audit.py`, sf0.001). Columns:",
+        "exchanges (shuffles), broadcast vs sort-merge joins, nested-loop",
+        "joins (only the intentional broadcast-tiny-side gates), whether the",
+        "scan has pushed filters, map-side partial aggregation, and Python",
+        "nodes (multimodal Arrow path only, by design).  Codegen spans are",
+        "not visible pre-execution under AQE, so they are not listed;",
+        "tests/test_plans.py pins the codegen-relevant invariants instead.",
+        "",
+        "| gate | Exchange | BHJ | SMJ | BNLJ | PushedFilters | PartialAgg | Python |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- |",
+    ]
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        p = _plan(df)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+        has_pushed = any(m.strip() for m in pushed)
+        py = sorted(set(_PY_NODES.findall(p)))
+        partial = "yes" if re.search(r"partial_(sum|count|min|max)", p) else "-"
+        lines.append(
+            "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
+                name,
+                p.count("Exchange"),
+                p.count("BroadcastHashJoin"),
+                p.count("SortMergeJoin"),
+                p.count("BroadcastNestedLoopJoin"),
+                "yes" if has_pushed else "-",
+                partial,
+                ",".join(py) if py else "-",
+            )
+        )
+    lines += [
+        "",
+        "`dd_dup_clusters` reports 0s because the iterative label",
+        "propagation localCheckpoints each round — the returned plan is the",
+        "final checkpoint scan; its per-round shape (join + min groupBy) is",
+        "described in operators/dedup.py.",
+        "",
+        "Invariants pinned by tests/test_plans.py: zero Python nodes outside",
+        "`mm_*`; zero CartesianProduct anywhere; BroadcastNestedLoopJoin only",
+        "in the brute-force/one-row-codebook gates; no Exchange",
+        "SinglePartition in the shard-packing prefix sum; pushed form_id",
+        "filters through the parquet-backed view DAG.",
+        "",
+    ]
+    Path(_REPO, "PLANS.md").write_text("\n".join(lines), encoding="utf-8")
+    print(f"wrote PLANS.md ({len(REGISTRY)} gates)")
+
+
+if __name__ == "__main__":
+    main()
