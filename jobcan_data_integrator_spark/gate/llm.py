@@ -34,13 +34,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread across cores for CPU-heavy per-row stages.
 
     The local testdata is one parquet row group = one Spark partition, so
-    hash/shingle-heavy queries would otherwise run serial; at real scale
-    the scan has thousands of splits and this repartition-by-key is
-    effectively free relative to the per-row work it parallelizes
-    (measured locally: simhash 7.7s serial -> 0.8s at 32 partitions).
+    hash/shingle-heavy queries would otherwise run serial (measured
+    locally: simhash 7.7s serial -> 0.8s at 32 partitions).  The
+    repartition is CONDITIONAL on the scan being under-parallel: at real
+    scale the scan already has thousands of splits and an unconditional
+    repartition would be a pointless full shuffle of the corpus.
     """
     spark_parallelism = spark.sparkContext.defaultParallelism
-    return load_table(spark, sf_dir, "documents").repartition(spark_parallelism, "doc_id")
+    df = load_table(spark, sf_dir, "documents")
+    if df.rdd.getNumPartitions() < spark_parallelism:
+        df = df.repartition(spark_parallelism, "doc_id")
+    return df
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
