@@ -105,6 +105,10 @@ REQUEST_CHILD_TABLES = (
 BUCKETED_TABLES: dict[str, tuple[str, int]] = {
     t: ("request_id", 64) for t in REQUEST_CHILD_TABLES
 }
+#: the keyed bronze archive combines BOTH: hive partition by api_type
+#: (above) and bucket by brief_key — without the bucket, every merge
+#: would rewrite the api's whole (unbounded) partition.
+BUCKETED_TABLES["bronze_responses"] = ("brief_key", 32)
 
 #: request-document tables: global dedup entities merge by id, everything
 #: else is a full snapshot per request (N18 semantics).

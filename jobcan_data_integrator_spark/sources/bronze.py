@@ -27,9 +27,11 @@ raw payload instead, which keeps the replace-on-refetch semantics AND a
 complete replayable archive.
 
 Storage is a hive-partitioned parquet table (partition column
-``api_type``), merged with the store's key-wise upsert — so an
-incremental archive batch rewrites only the touched api's partition,
-never the whole archive (the 100 TB shape; see TableStore docs).
+``api_type``) additionally BUCKETED by ``brief_key`` (see pipeline's
+BUCKETED_TABLES + TableStore): an incremental archive batch rewrites
+only the touched api's touched key-buckets — without the bucket, the
+``requests_detail`` partition (every document ever fetched) would be
+rewritten whole on every merge.
 """
 
 from __future__ import annotations

@@ -144,12 +144,16 @@ class TableStore:
         )
 
     def _managed_pcols(self, table: str) -> list[str] | None:
-        """Partition columns for tables with partition-scoped merges."""
-        if table in self.partitioned:
-            return self.partitioned[table]
+        """Partition columns for tables with partition-scoped merges.
+
+        A table may be hive-partitioned, key-bucketed, or BOTH — e.g.
+        the bronze archive partitions by api_type AND buckets by
+        brief_key, so an incremental merge touches one api's few
+        buckets, not the api's whole (unbounded) partition."""
+        cols = list(self.partitioned.get(table, []))
         if table in self.bucketed:
-            return [BUCKET_COL]
-        return None
+            cols.append(BUCKET_COL)
+        return cols or None
 
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
         """Attach the derived bucket column for bucketed tables."""
@@ -183,7 +187,9 @@ class TableStore:
             prepped = prepped.coalesce(self.write_partitions)
         tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex[:8]}"
         old = self.root / f"{table}.old-{uuid.uuid4().hex[:8]}"
-        prepped.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(tmp))
+        prepped.write.mode("overwrite").partitionBy(
+            *self._managed_pcols(table)
+        ).parquet(str(tmp))
         os.replace(self.path(table), old)
         os.replace(tmp, self.path(table))
         shutil.rmtree(old, ignore_errors=True)

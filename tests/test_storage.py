@@ -263,3 +263,56 @@ def test_bucketed_migration_of_legacy_flat_table(spark, tmp_path):
     # layout is now bucketed (hive dirs present, column hidden on read)
     assert list((tmp_path / "t3" / "kids").glob("_pbucket=*"))
     assert "_pbucket" not in upgraded.read("kids").columns
+
+
+def test_partitioned_and_bucketed_combined(spark, tmp_path):
+    """A table can hive-partition AND key-bucket (the bronze archive
+    shape): merges rewrite only the touched (partition, bucket) dirs."""
+    import os
+
+    store = TableStore(
+        spark,
+        tmp_path / "t4",
+        write_partitions=1,
+        partitioned={"resp": ["api"]},
+        bucketed={"resp": ("k", 4)},
+    )
+    rows = [("a", f"k{i}", f"v{i}") for i in range(8)] + [
+        ("b", f"k{i}", f"w{i}") for i in range(8)
+    ]
+    store.merge_upsert(
+        "resp", spark.createDataFrame(rows, "api string, k string, raw string"),
+        ["api", "k"],
+    )
+    assert store.read("resp").count() == 16
+    # layout: api=<x>/_pbucket=<n>/...
+    assert list((tmp_path / "t4" / "resp").glob("api=a/_pbucket=*"))
+
+    def snapshot():
+        out = {}
+        for root, _d, files in os.walk(store.path("resp")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    store.merge_upsert(
+        "resp",
+        spark.createDataFrame([("a", "k3", "UPDATED")], "api string, k string, raw string"),
+        ["api", "k"],
+    )
+    after = snapshot()
+    got = store.read("resp").where("api = 'a' and k = 'k3'").collect()
+    assert [r["raw"] for r in got] == ["UPDATED"]
+    assert store.read("resp").count() == 16
+    # everything in api=b and untouched buckets of api=a is byte-identical
+    from pyspark.sql import functions as F
+
+    b = spark.createDataFrame([("k3",)], "k string").select(
+        F.pmod(F.xxhash64("k"), F.lit(4)).alias("b")
+    ).collect()[0]["b"]
+    touched = os.path.join("api=a", f"_pbucket={b}")
+    untouched_before = {p: m for p, m in before.items() if touched not in p}
+    untouched_after = {p: m for p, m in after.items() if touched not in p}
+    assert untouched_before == untouched_after
