@@ -1202,26 +1202,27 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Benchmark-contamination detection: corpus documents sharing >= 3 "
     "distinct 3-gram shingles with any document of the (small) benchmark "
     "set — the standard train/eval decontamination sweep. The benchmark "
-    "shingle set is BROADCAST, so the corpus side is one narrow shingle "
-    "projection + a map-side hash join: no corpus shuffle, linear at "
-    "100 TB regardless of benchmark size.",
+    "shingle set is tiny and BROADCAST; the corpus side pays exactly one "
+    "shuffle (the shingle-construction window keyed by doc_id, which the "
+    "hit aggregation then reuses) and is never corpus-wide distinct'd or "
+    "cached. Cost is linear in the corpus at any benchmark size.",
 )
 def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # both join sides derive from this frame — materialize once
-    sh = (
-        _shingle_rows(spark, sf_dir)
-        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
+    def _hashed(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
+
+    bench = (
+        _hashed(_shingle_rows(spark, sf_dir).filter(F.col("doc_id") < 5))
         .distinct()
-        .cache()
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
     )
-    bench = sh.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
-    )
-    corpus = sh.filter(F.col("doc_id") >= 5)
+    corpus = _hashed(_shingle_rows(spark, sf_dir)).filter(F.col("doc_id") >= 5)
+    # countDistinct absorbs duplicate shingle occurrences on the corpus
+    # side, so no corpus-wide distinct is needed before the join
     return (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("shingle").alias("n_hits"))
         .filter(F.col("n_hits") >= 3)
     )
 

@@ -33,10 +33,21 @@ def pack_shards(
     budget: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
-    bucket_size: int = 256,
+    bucket_size: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, cum_before, shard_id) for ``docs`` with an integer
-    id column and a per-document token count."""
+    id column and a per-document token count.
+
+    ``bucket_size`` defaults to id-range/4096 (one tiny min/max agg), so
+    the driver-side offset list is bounded at ~4096 rows REGARDLESS of
+    corpus size — a fixed small default would collect n/256 rows and
+    melt the driver at billions of documents.  NULL token counts count
+    as 0.
+    """
+    if bucket_size is None:
+        lo, hi = docs.agg(F.min(id_col), F.max(id_col)).collect()[0]
+        span = (hi - lo + 1) if hi is not None else 1
+        bucket_size = max(1, span // 4096)
     b = docs.select(id_col, tokens_col).withColumn(
         "_bucket", F.expr(f"{id_col} div {bucket_size}")
     )
@@ -45,7 +56,7 @@ def pack_shards(
     acc = 0
     for row in sorted(per_bucket, key=lambda r: r["_bucket"]):
         offsets.append((row["_bucket"], acc))
-        acc += row["_bsum"]
+        acc += row["_bsum"] or 0
     off_df = docs.sparkSession.createDataFrame(
         offsets, "_bucket long, _off long"
     )

@@ -309,8 +309,11 @@ class JobcanPipeline:
                 )
                 pages_buf.extend(res.raw_pages)
                 if len(pages_buf) >= 50:
-                    self._archive("requests_outline", pages_buf)
-                    pages_buf = []
+                    # hand the chunk off BEFORE archiving: if the archive
+                    # write itself fails, the finally-flush must not
+                    # re-append the same pages to the S5 text archive
+                    chunk, pages_buf = pages_buf, []
+                    self._archive("requests_outline", chunk)
                 state.outline_queue[key] = {
                     "ids": sorted(outline.ids),
                     # a partial outline must never advance the watermark

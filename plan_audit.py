@@ -52,6 +52,8 @@ def main() -> None:
         "| gate | Exchange | BHJ | SMJ | BNLJ | PushedFilters | PartialAgg | Python |",
         "| --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
+    from collections import Counter
+
     for name in sorted(REGISTRY):
         df = REGISTRY[name].spark(spark, sf_dir)
         p = _plan(df)
@@ -59,13 +61,17 @@ def main() -> None:
         has_pushed = any(m.strip() for m in pushed)
         py = sorted(set(_PY_NODES.findall(p)))
         partial = "yes" if re.search(r"partial_(sum|count|min|max)", p) else "-"
+        # count DETAIL HEADERS ("(4) Exchange") only: the tree section
+        # prints every node a second time, and substring counting would
+        # conflate Exchange with BroadcastExchange/ReusedExchange
+        nodes = Counter(re.findall(r"^\(\d+\) (\w+)", p, re.M))
         lines.append(
             "| {} | {} | {} | {} | {} | {} | {} | {} |".format(
                 name,
-                p.count("Exchange"),
-                p.count("BroadcastHashJoin"),
-                p.count("SortMergeJoin"),
-                p.count("BroadcastNestedLoopJoin"),
+                nodes["Exchange"],
+                nodes["BroadcastHashJoin"],
+                nodes["SortMergeJoin"],
+                nodes["BroadcastNestedLoopJoin"],
                 "yes" if has_pushed else "-",
                 partial,
                 ",".join(py) if py else "-",

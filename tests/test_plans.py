@@ -220,5 +220,8 @@ def test_shard_packing_has_no_global_window(spark, sf_dir):
     """The prefix sum must run per-bucket (parallel), never as a
     single-partition global window — the textbook running-sum trap."""
     plan = _gate_plan(spark, sf_dir, "tx_shard_packing")
-    assert "Exchange SinglePartition" not in plan, "global window detected"
+    # formatted mode splits node and arguments onto separate lines, so
+    # match the argument itself — "Exchange SinglePartition" (simple-mode
+    # spelling) never appears and would make this check vacuous
+    assert "SinglePartition" not in plan, "global window detected"
     assert "Window" in plan  # the per-bucket running sum is still a window
