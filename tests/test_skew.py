@@ -67,3 +67,22 @@ def test_salted_join_matches_plain(spark, skewed):
     assert salted == plain
     # row counts preserved under the hot key (no dup/loss from salting)
     assert len([r for r in salted_join(skewed, dim, on=["k"]).collect() if r["k"] == "HOT"]) == 9000
+
+
+def test_salted_join_null_keys_never_match(spark):
+    """salted_join advertises plain-join semantics: NULL join keys match
+    nothing (the eqNullSafe variant would pair NULLs with NULLs)."""
+    big = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3)], "k string, v int"
+    )
+    other = spark.createDataFrame(
+        [("a", "x"), (None, "nullrow")], "k string, label string"
+    )
+    plain = {
+        tuple(r) for r in big.join(other, "k").select("k", "v", "label").collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(big, other, on=["k"]).select("k", "v", "label").collect()
+    }
+    assert salted == plain == {("a", 1, "x")}
