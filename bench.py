@@ -38,7 +38,7 @@ HEADLINE = [
     "w_tumbling_window_counts",
     "dd_exact_dedup",
     "dd_minhash_signatures",
-    "dd_lsh_candidate_pairs",
+    "dd_lsh_verified_pairs",
     "dd_simhash",
     "dd_simhash_pairs",
     "dd_ngram_jaccard_pairs",
@@ -49,7 +49,7 @@ HEADLINE = [
     "sim_ivf_train_kmeans",
     "tx_lang_id",
     "tx_quality_score",
-    "tx_doc_fingerprint",
+    "tx_token_fingerprint",
     "mm_binary_metadata",
 ]
 

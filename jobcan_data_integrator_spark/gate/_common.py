@@ -1,0 +1,96 @@
+"""Shared helpers for the gate modules (no gate registrations here).
+
+Split out of gate/llm.py so gate/mm.py can register the multimodal gates
+*before* the llm module loads (registration order = driver artifact order)
+without import cycles.  Everything here is engine-portable: the md5-based
+60-bit hash and the integer-quantized LSH bucketing replay bit-for-bit in
+DuckDB (see the paired CTE strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jobcan_data_integrator_spark.session import load_table
+
+#: Portable 60-bit hash of a string expression (same value in DuckDB via
+#: ('0x' || substr(md5(x),1,15))::BIGINT).
+_H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across cores for CPU-heavy per-row stages.
+
+    The local testdata is one parquet row group = one Spark partition, so
+    hash/shingle-heavy queries would otherwise run serial (measured
+    locally: simhash 7.7s serial -> 0.8s at 32 partitions).  The
+    repartition is CONDITIONAL on the scan being under-parallel: at real
+    scale the scan already has thousands of splits and an unconditional
+    repartition would be a pointless full shuffle of the corpus.
+    """
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    df = load_table(spark, sf_dir, "documents")
+    if df.rdd.getNumPartitions() < spark_parallelism:
+        df = df.repartition(spark_parallelism, "doc_id")
+    return df
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows: 3-gram word shingles via token explode +
+    window lead.
+
+    NOT the tempting array-transform + explode formulation: explode adds
+    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
+    shingle expression, which Catalyst pushes below the exchange — the
+    full shingle construction then runs twice, serially, on the map side
+    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
+    (doc_id, pos, tok) rows once and builds each shingle exactly once,
+    distributed; it is also literally the DuckDB oracle's shape.
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            F.concat(
+                F.col("tok"),
+                F.lit(" "),
+                F.lead("tok", 1).over(w),
+                F.lit(" "),
+                F.lead("tok", 2).over(w),
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+#: DuckDB replica of operators/similarity.py's deterministic LSH bucketing
+#: (integer-quantized hyperplane dot products — see that module's contract).
+_BUCKET_CTE = """
+    e AS (
+      SELECT vec_id, embedding, unnest(embedding) AS comp,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, d, CAST(floor(comp::DOUBLE * 1000) AS BIGINT) AS ei FROM e
+    ), dots AS (
+      SELECT vec_id, g.p AS p,
+             sum(ei * (CASE WHEN ('0x'||substr(md5(g.p || '_' || d),1,15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END)) AS s
+      FROM qz, generate_series(0, 7) AS g(p)
+      GROUP BY vec_id, g.p
+    ), buckets AS (
+      SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p AS INT))
+                                   ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    )"""
+
+_COSINE_DUCK = """
+    round(
+      list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
+         * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"""

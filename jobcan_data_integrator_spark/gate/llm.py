@@ -23,59 +23,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from jobcan_data_integrator_spark.gate import gate
+from jobcan_data_integrator_spark.gate._common import (
+    _BUCKET_CTE,
+    _COSINE_DUCK,
+    _H,
+    _docs,
+    _shingle_rows,
+)
 from jobcan_data_integrator_spark.session import load_table
-
-# Portable 60-bit hash of a string expression (same value in DuckDB via
-# ('0x' || substr(md5(x),1,15))::BIGINT).
-_H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, spread across cores for CPU-heavy per-row stages.
-
-    The local testdata is one parquet row group = one Spark partition, so
-    hash/shingle-heavy queries would otherwise run serial (measured
-    locally: simhash 7.7s serial -> 0.8s at 32 partitions).  The
-    repartition is CONDITIONAL on the scan being under-parallel: at real
-    scale the scan already has thousands of splits and an unconditional
-    repartition would be a pointless full shuffle of the corpus.
-    """
-    spark_parallelism = spark.sparkContext.defaultParallelism
-    df = load_table(spark, sf_dir, "documents")
-    if df.rdd.getNumPartitions() < spark_parallelism:
-        df = df.repartition(spark_parallelism, "doc_id")
-    return df
-
-
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows: 3-gram word shingles via token explode +
-    window lead.
-
-    NOT the tempting array-transform + explode formulation: explode adds
-    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
-    shingle expression, which Catalyst pushes below the exchange — the
-    full shingle construction then runs twice, serially, on the map side
-    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
-    (doc_id, pos, tok) rows once and builds each shingle exactly once,
-    distributed; it is also literally the DuckDB oracle's shape.
-    """
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            F.concat(
-                F.col("tok"),
-                F.lit(" "),
-                F.lead("tok", 1).over(w),
-                F.lit(" "),
-                F.lead("tok", 2).over(w),
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -151,11 +106,18 @@ _VERIFIED_CTES = f"""toks AS (
       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       GROUP BY c.doc_a, c.doc_b
     ), verified AS (
-      SELECT doc_a, doc_b, n_common,
-             round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
+      -- LEFT join from cands: the verified output's row set IS the LSH
+      -- candidate set (n_common = 0 for candidates sharing no shingle),
+      -- so this one relation proves candidate generation AND the exact-
+      -- Jaccard verify stage.
+      SELECT c.doc_a, c.doc_b,
+             CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+             round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(i.n_common, 0)), 6) AS jaccard
+      FROM cands c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
     )"""
 
 
@@ -217,36 +179,6 @@ def minhash_bands(
                 ).cast("binary")
             ).alias("band_key"),
         )
-    )
-
-
-@gate(
-    "dd_lsh_candidate_pairs",
-    oracle=f"""
-    WITH {_VERIFIED_CTES}
-    SELECT doc_a, doc_b FROM cands
-    """,
-    doc="MinHash-LSH candidate pairs: band the k=8 signature into 4 bands of "
-    "2, equi-join on (band_idx, band_key). The O(n²) similarity problem "
-    "becomes a shuffle join on band buckets — the 100 TB-viable shape.",
-)
-def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize the banding once — the self-join would otherwise recompute
-    # the whole shingle->minhash pipeline on both sides. At warehouse scale
-    # this intermediate would be a persisted table; locally cache() is the
-    # same plan-reuse decision.
-    bands = minhash_bands(spark, sf_dir).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
 
 
@@ -333,7 +265,11 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates — instead of the unfiltered self-join's quadratic blow-up "
     "on hot shingles (see dd_ngram_jaccard_pairs, the small-corpus "
     "ground-truth variant). This is the verify stage of the standard "
-    "MinHash→LSH→exact-Jaccard dedup pipeline at 100 TB.",
+    "MinHash→LSH→exact-Jaccard dedup pipeline at 100 TB. The output row "
+    "set is exactly the LSH candidate set (left join; n_common = 0 when a "
+    "candidate shares no shingle), so this gate also value-proves the "
+    "banded candidate-generation equi-join that was previously the "
+    "standalone dd_lsh_candidate_pairs gate.",
 )
 def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_bands(spark, sf_dir).cache()
@@ -371,16 +307,21 @@ def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
+    # Left join back onto the candidate set so candidates with zero shared
+    # shingles surface with n_common = 0 — the output rows ARE the
+    # candidates, making this gate subsume candidate generation.
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        cands.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            "n_common",
+            n_common.alias("n_common"),
             F.round(
-                F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                n_common.cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - n_common),
                 6,
             ).alias("jaccard"),
         )
@@ -600,63 +541,6 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB replica of operators/similarity.py's deterministic LSH bucketing
-#: (integer-quantized hyperplane dot products — see that module's contract).
-_BUCKET_CTE = """
-    e AS (
-      SELECT vec_id, embedding, unnest(embedding) AS comp,
-             generate_subscripts(embedding, 1) - 1 AS d
-      FROM embeddings
-    ), qz AS (
-      SELECT vec_id, d, CAST(floor(comp::DOUBLE * 1000) AS BIGINT) AS ei FROM e
-    ), dots AS (
-      SELECT vec_id, g.p AS p,
-             sum(ei * (CASE WHEN ('0x'||substr(md5(g.p || '_' || d),1,15))::BIGINT % 2 = 1
-                            THEN 1 ELSE -1 END)) AS s
-      FROM qz, generate_series(0, 7) AS g(p)
-      GROUP BY vec_id, g.p
-    ), buckets AS (
-      SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(p AS INT))
-                                   ELSE 0 END) AS BIGINT) AS bucket
-      FROM dots GROUP BY vec_id
-    )"""
-
-_COSINE_DUCK = """
-    round(
-      list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
-      / (sqrt(list_sum(list_transform({a}, x -> x * x)))
-         * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"""
-
-
-@gate(
-    "sim_ann_lsh_topk",
-    oracle=f"""
-    WITH {_BUCKET_CTE},
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    sims AS (
-      SELECT q.vec_id AS q_id, c.vec_id,
-             {_COSINE_DUCK.format(a="vq.emb", b="vc.emb")} AS cosine_sim
-      FROM buckets q
-      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-      JOIN v vq ON vq.vec_id = q.vec_id
-      JOIN v vc ON vc.vec_id = c.vec_id
-      WHERE q.vec_id < 5
-    )
-    SELECT q_id, vec_id, cosine_sim FROM sims
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
-    """,
-    doc="ANN scale path: random-hyperplane LSH buckets (deterministic "
-    "integer-quantized hyperplanes), candidates = same-bucket equi-join, "
-    "exact cosine re-rank, per-query top-5. The 100 TB shape: bucket "
-    "computed at ingest, probes touch one bucket.",
-)
-def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5)
-
-
 #: probe buckets per query (vec_id < 5): own bucket + flips of the 2
 #: lowest-|margin| planes — DuckDB replica of lsh_probe_buckets_expr.
 _PROBES_CTE = """
@@ -686,29 +570,56 @@ _MULTIPROBE_SIMS = f"""
 
 
 @gate(
-    "sim_ann_lsh_multiprobe",
+    "sim_ann_lsh_topk",
     oracle=f"""
     WITH {_BUCKET_CTE},
     {_PROBES_CTE},
-    {_MULTIPROBE_SIMS}
-    SELECT q_id, vec_id, cosine_sim FROM sims
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    {_MULTIPROBE_SIMS},
+    ssims AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             {_COSINE_DUCK.format(a="vq.emb", b="vc.emb")} AS cosine_sim
+      FROM buckets q
+      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+      JOIN v vq ON vq.vec_id = q.vec_id
+      JOIN v vc ON vc.vec_id = c.vec_id
+      WHERE q.vec_id < 5
+    ), s AS (
+      SELECT 'single' AS probe_mode, q_id, vec_id, cosine_sim FROM ssims
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    ), m AS (
+      SELECT 'multi' AS probe_mode, q_id, vec_id, cosine_sim FROM sims
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
+    )
+    SELECT probe_mode, q_id, vec_id, cosine_sim FROM s
+    UNION ALL
+    SELECT probe_mode, q_id, vec_id, cosine_sim FROM m
     """,
-    doc="Multi-probe LSH ANN: each query probes its own bucket plus the 2 "
-    "buckets across its weakest hyperplanes (smallest |integer dot|), "
-    "recovering boundary-loss recall at 3x query-side probe cost and zero "
-    "extra cost on the big candidate side. Deterministic probe order "
-    "(|margin|, plane) so the oracle replays it exactly.",
+    doc="ANN scale path, both probe strategies in one gate (probe_mode "
+    "column): random-hyperplane LSH buckets (deterministic integer-"
+    "quantized hyperplanes), candidates = same-bucket equi-join, exact "
+    "cosine re-rank, per-query top-5. 'single' probes only the query's "
+    "own bucket (the 100 TB shape: bucket computed at ingest, probes "
+    "touch one bucket); 'multi' additionally probes the 2 buckets across "
+    "the query's weakest hyperplanes (smallest |integer dot|), recovering "
+    "boundary-loss recall at 3x query-side probe cost and zero extra cost "
+    "on the big candidate side. Deterministic probe order (|margin|, "
+    "plane) so the oracle replays both variants exactly.",
 )
-def sim_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.similarity import (
+        ann_topk_lsh,
         ann_topk_lsh_multiprobe,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ann_topk_lsh_multiprobe(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=3
+    queries = emb.filter(F.col("vec_id") < 5)
+    single = ann_topk_lsh(emb, queries, k=5).select(
+        F.lit("single").alias("probe_mode"), "q_id", "vec_id", "cosine_sim"
     )
+    multi = ann_topk_lsh_multiprobe(emb, queries, k=5, n_probe=3).select(
+        F.lit("multi").alias("probe_mode"), "q_id", "vec_id", "cosine_sim"
+    )
+    return single.unionByName(multi)
 
 
 @gate(
@@ -1228,181 +1139,47 @@ def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
-    "tx_token_counts",
-    oracle="""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens
-    FROM documents
-    """,
-    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
-    "(letter runs / digit runs / single other chars).",
-)
-def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
-        .cast("bigint")
-        .alias("re_tokens"),
-    )
-
-
-@gate(
-    "tx_doc_fingerprint",
+    "tx_token_fingerprint",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+             unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
       FROM documents
     )
     SELECT doc_id,
-           bit_xor(('0x' || substr(md5(tok || '@' || pos), 1, 15))::BIGINT) AS fingerprint,
-           count(*) AS n_tokens
+           count(*) AS ws_tokens,
+           min(re_tokens) AS re_tokens,
+           bit_xor(('0x' || substr(md5(tok || '@' || pos), 1, 15))::BIGINT) AS fingerprint
     FROM toks GROUP BY doc_id
     """,
-    doc="Positional document fingerprint: XOR-fold of per-(token,position) "
-    "hashes — an order-sensitive rolling-hash-style signature with an "
-    "order-insensitive (hence shuffle-friendly) combine.",
+    doc="Token counting + positional document fingerprint in one pass: "
+    "whitespace token count, a BPE-ish regex tokenizer count (letter runs "
+    "/ digit runs / single other chars), and an XOR-fold of per-(token,"
+    "position) hashes — an order-sensitive rolling-hash-style signature "
+    "with an order-insensitive (hence shuffle-friendly) combine. "
+    "ws_tokens = count of exploded whitespace tokens == size(split(...)), "
+    "so the former tx_token_counts and tx_doc_fingerprint gates are both "
+    "value-proven here by a single doc_id-keyed aggregation.",
 )
-def tx_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    re_tokens = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint")
+        .alias("re_tokens")
+    )
     toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+        "doc_id", re_tokens, F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     h = _H.format(x="concat(tok, '@', cast(pos as string))")
     return (
         toks.withColumn("h", F.expr(h))
         .groupBy("doc_id")
-        .agg(F.expr("bit_xor(h)").alias("fingerprint"), F.count("*").alias("n_tokens"))
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.min("re_tokens").alias("re_tokens"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
     )
 
-
-# ---------------------------------------------------------------------------
-# Multimodal binary-column plumbing (Arrow-batched; decode stubbed)
-# ---------------------------------------------------------------------------
-
-
-@gate(
-    "mm_binary_metadata",
-    # The stub decode is sha256-derived, so even the mapInPandas path gets a
-    # full value-level oracle: DuckDB's sha256(VARCHAR) hashes the same UTF-8
-    # bytes the Spark side encodes into the binary payload.
-    oracle="""
-    WITH m AS (
-      SELECT doc_id, 'text/plain' AS mime,
-             octet_length(encode(text)) AS n_bytes, sha256(text) AS h
-      FROM documents
-    )
-    SELECT doc_id, mime, n_bytes, h AS sha256,
-           CAST(64 + ('0x' || substr(h, 1, 2))::INT % 192 AS INT) AS width,
-           CAST(64 + ('0x' || substr(h, 3, 2))::INT % 192 AS INT) AS height,
-           CAST(1 + ('0x' || substr(h, 5, 2))::INT % 30 AS INT) AS n_frames
-    FROM m
-    """,
-    doc="Multimodal plumbing: text payload treated as an opaque binary media "
-    "column; metadata extraction runs as Arrow-batched mapInPandas (the real "
-    "decode — image/audio libs — is stubbed with a deterministic sha256-"
-    "derived fake, see operators/multimodal.py), which lets the oracle check "
-    "VALUES, not just rows. Verifies schema/partitioning/batch shape.",
-)
-def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.multimodal import extract_binary_metadata
-
-    media = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
-    )
-    return extract_binary_metadata(media)
-
-
-@gate(
-    "mm_frame_sample",
-    # Full value oracle despite the mapInPandas path: the stub decoder's
-    # frame count and per-frame payload are sha256-derived, and DuckDB can
-    # replay both (frame payload hash = sha256(text-bytes || 4-byte
-    # big-endian index); indexes stay < 128 so chr() emits single bytes).
-    oracle="""
-    WITH m AS (
-      SELECT doc_id, text,
-             1 + ('0x' || substr(sha256(text), 5, 2))::INT % 30 AS n_frames
-      FROM documents
-    ), f AS (
-      SELECT doc_id, text,
-             unnest(generate_series(0, n_frames - 1, 5)) AS i
-      FROM m
-    )
-    SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           sha256(text || chr(0) || chr(0) || chr(0) || chr(CAST(i AS INT)))
-             AS frame_sha256
-    FROM f
-    """,
-    doc="Multimodal frame sampling: 1:N Arrow-batched mapInPandas emitting "
-    "every 5th frame of each (stub-decoded) video payload. Narrow op — "
-    "pipelines with the scan, no shuffle. The gate projects the frame "
-    "payload as its hex digest so the oracle checks VALUES, not just rows.",
-)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.multimodal import sample_frames
-
-    media = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    return sample_frames(media, every_n=5).select(
-        "doc_id",
-        "frame_idx",
-        F.lower(F.hex("frame_payload")).alias("frame_sha256"),
-    )
-
-
-#: DuckDB replica of operators/multimodal.extract_features(dim=16): sha256
-#: digest repeated to 64 bytes, each feature = bytes[4i:4i+4] big-endian
-#: / 2^31 - 1, rounded to float32 exactly like the Arrow FloatType column.
-_FEATURES_CTE = """
-    f AS (
-      SELECT doc_id AS vec_id,
-             list_transform(generate_series(0, 15),
-               i -> CAST(('0x' || substr(sha256(text), CAST(8*(i%8)+1 AS INT), 8))::BIGINT
-                         / 2147483648.0 - 1.0 AS REAL)) AS embedding
-      FROM documents
-    )"""
-
-#: _BUCKET_CTE over the feature CTE instead of the embeddings table —
-#: derived, not duplicated, so the LSH replica has ONE definition.
-_FEATURE_BUCKET_CTE = _BUCKET_CTE.replace("FROM embeddings", "FROM f")
-
-
-@gate(
-    "mm_feature_ann",
-    oracle=f"""
-    WITH {_FEATURES_CTE},
-    {_FEATURE_BUCKET_CTE},
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM f),
-    sims AS (
-      SELECT q.vec_id AS q_id, c.vec_id,
-             {_COSINE_DUCK.format(a="vq.emb", b="vc.emb")} AS cosine_sim
-      FROM buckets q
-      JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-      JOIN v vq ON vq.vec_id = q.vec_id
-      JOIN v vc ON vc.vec_id = c.vec_id
-      WHERE q.vec_id < 3
-    )
-    SELECT q_id, vec_id, cosine_sim FROM sims
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id) <= 5
-    """,
-    doc="Multimodal feature extraction (stub encoder -> 16-dim float vector "
-    "via mapInPandas) composed with the LSH ANN operator: media features "
-    "are first-class embeddings for the similarity path. Fully oracled — "
-    "the stub features are sha256-derived and float32-rounded identically "
-    "in DuckDB, and the LSH bucketing is the deterministic integer replica.",
-)
-def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.multimodal import extract_features
-    from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
-
-    media = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
-    )
-    emb = extract_features(media, dim=16).select(
-        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
-    )
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=5, dim=16)

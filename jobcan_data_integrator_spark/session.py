@@ -122,12 +122,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) parquet under nanosAsLong: truncate to micros.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # timestamp[us] without UTC adjustment reads as TIMESTAMP_NTZ;
+            # the engine (like the DuckDB oracle) treats stored values as
+            # UTC instants, and the session timezone is pinned to UTC, so
+            # the cast is value-preserving.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
