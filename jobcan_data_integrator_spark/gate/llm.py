@@ -182,19 +182,30 @@ def minhash_bands(
     )
 
 
+#: hot-shingle document-frequency cap for the exhaustive Jaccard gate —
+#: shingles in more docs than this carry no pair-specific signal and are
+#: dropped before the self-join (bounds fan-out to _NGRAM_DF_CAP² rows
+#: per shingle).
+_NGRAM_DF_CAP = 100
+
+
 @gate(
     "dd_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
              generate_subscripts(string_split(text, ' '), 1) AS ord
       FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT DISTINCT doc_id,
              ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
                                  || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
       FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
       QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > {_NGRAM_DF_CAP}
+    ), sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
     ), inter AS (
@@ -209,48 +220,25 @@ def minhash_bands(
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     """,
-    doc="n-gram Jaccard near-dup: distinct 3-gram shingles hashed to 60-bit "
-    "ints (the join shuffles 8-byte keys, not ~30-byte strings; the hash is "
-    "the same on both engines so results match exactly), pair intersection "
-    "via equi-join (≥5 shared), |A∩B|/|A∪B|. EXHAUSTIVE-VERIFY VARIANT: "
-    "the unfiltered shingle self-join is quadratic on hot shingles, so at "
-    "scale use dd_lsh_verified_pairs (exact Jaccard over LSH candidates "
-    "only) — this gate stays as the small-corpus ground-truth reference.",
+    doc="n-gram Jaccard near-dup (operators/dedup.ngram_jaccard_pairs): "
+    "distinct 3-gram shingles hashed to 60-bit ints (the join shuffles "
+    "8-byte keys, not ~30-byte strings; the hash is the same on both "
+    "engines so results match exactly), pair intersection via equi-join "
+    "(≥5 shared), |A∩B|/|A∪B|. GUARDED: shingles appearing in more than "
+    f"{_NGRAM_DF_CAP} documents are dropped before the self-join "
+    "(broadcast anti-join against the tiny hot set), so a boilerplate-"
+    "heavy corpus cannot trigger the quadratic blow-up "
+    "(tests/test_llm_dedup.py pins the bounded join size). Still the "
+    "EXHAUSTIVE-VERIFY variant — at scale prefer dd_lsh_verified_pairs "
+    "(exact Jaccard over LSH candidates only).",
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distinct (doc, hashed-shingle) rows feed the self-join twice plus the
-    # size aggregate: materialize once.
-    sh = (
-        _shingle_rows(spark, sf_dir)
-        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
-        .distinct()
-        .cache()
+    from jobcan_data_integrator_spark.operators.dedup import ngram_jaccard_pairs
+
+    sh = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= 5)
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    return ngram_jaccard_pairs(sh, min_common=5, max_doc_freq=_NGRAM_DF_CAP)
 
 
 @gate(

@@ -1,8 +1,11 @@
-"""Dedup graph clustering: near-dup pairs -> connected components.
+"""Near-dup pair detection + dedup graph clustering.
 
-The missing tail of the dedup pipeline (shingle -> MinHash -> LSH
-candidates -> exact-Jaccard verify -> PAIRS): turning the pair graph
-into cluster ids so each duplicate group keeps one canonical document.
+``ngram_jaccard_pairs`` is the exhaustive shingle-join pair detector
+(guarded against hot-shingle blow-up); ``connected_components`` /
+``dup_clusters`` are the pipeline tail (shingle -> MinHash -> LSH
+candidates -> exact-Jaccard verify -> PAIRS -> clusters): turning the
+pair graph into cluster ids so each duplicate group keeps one canonical
+document.
 
 Algorithm: min-label propagation — every node starts labeled with its
 own id; each round every node takes the minimum label among itself and
@@ -24,6 +27,76 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    min_common: int = 5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup pairs over (doc_id, shingle) rows.
+
+    Output: (doc_a, doc_b, n_common, jaccard) for every pair sharing at
+    least ``min_common`` distinct shingles, with Jaccard computed over the
+    same (capped) shingle universe.
+
+    GUARDED against the hot-shingle blow-up: the raw shingle self-join is
+    quadratic in document frequency — a boilerplate shingle shared by k
+    documents alone contributes k*(k-1)/2 join rows, and real corpora have
+    headers/footers with k in the millions.  ``max_doc_freq`` drops any
+    shingle appearing in more than that many documents BEFORE the
+    self-join, bounding per-shingle fan-out to max_doc_freq² and making
+    the join cost linear in corpus size for fixed cap.  Ubiquitous
+    shingles carry no similarity signal (their presence is corpus-wide,
+    not pair-specific), so excluding them from both the intersection and
+    the union is the standard formulation.  Pass ``None`` to disable (the
+    uncapped small-corpus ground-truth variant; never run that at scale —
+    use the LSH-verified composition in gate/llm.py instead).
+
+    Plan shape: one map-side-partial count per shingle, the hot set
+    (df > cap) is tiny by construction and BROADCAST into a left-anti
+    join, then the usual sizes aggregate + shingle equi-join.
+    """
+    sh = shingles.select("doc_id", "shingle").distinct()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Feeds the self-join twice plus the size aggregate: materialize once.
+    sh = sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def connected_components(
