@@ -208,12 +208,26 @@ def ann_topk_lsh_multiprobe(
 
 def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     """(q_id, n_hit, recall): fraction of the exact top-k recovered by the
-    ANN result.  ``truth`` must be the brute-force (q_id, vec_id) top-k."""
+    ANN result.  ``truth`` must be the brute-force (q_id, vec_id) top-k.
+
+    ``k`` is enforced, not decorative: a truth frame whose per-query group
+    size differs from ``k`` would silently produce a recall@<something-
+    else> labeled recall@k, so the denominator raises (JVM-side, lazily,
+    no extra job) on the first mismatched group.
+    """
     t = truth.select("q_id", "vec_id")
     hits = (
         t.join(ann.select("q_id", "vec_id"), ["q_id", "vec_id"], "leftsemi")
         .groupBy("q_id")
         .agg(F.count("*").alias("n_hit"))
+    )
+    checked_denom = F.when(F.col("n_true") == F.lit(k), F.col("n_true")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ann_recall_at_k: truth group size != k={k} for q_id="),
+                F.col("q_id").cast("string"),
+            )
+        )
     )
     return (
         t.groupBy("q_id")
@@ -223,7 +237,7 @@ def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> DataFrame:
             "q_id",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.col("n_true"), 6
+                F.coalesce("n_hit", F.lit(0)) / checked_denom, 6
             ).alias("recall"),
         )
     )

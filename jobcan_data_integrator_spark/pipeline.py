@@ -280,11 +280,30 @@ class JobcanPipeline:
         if state.phase < Phase.FORM_OUTLINE:
             state.enter_phase(Phase.FORM_OUTLINE)
         # raw pages are archived in CHUNKS (one bronze append + one keyed
-        # merge per ~50 forms) instead of one Spark job per form; the
-        # finally-flush covers a fatal ApiError aborting the loop, so no
-        # form that was checkpointed done can lack its archive copy
-        # except across a hard process kill inside one chunk window.
+        # merge per ~50 forms) instead of one Spark job per form.  A form
+        # is only marked DONE once its chunk's archive write has landed:
+        # inside a chunk window the per-form checkpoint still persists
+        # the outline/watermark/failure state (durable after EVERY form,
+        # reference _tf_io.py:132-143) but leaves the form re-fetchable,
+        # so a hard kill before the flush re-fetches — never silently
+        # loses — the un-archived raw pages.  The finally-flush covers a
+        # fatal ApiError aborting the loop.
         pages_buf: list[Any] = []
+        done_buf: list[str] = []
+
+        def _flush_chunk() -> None:
+            nonlocal pages_buf, done_buf
+            # hand the chunk off BEFORE archiving: if the archive write
+            # itself fails, the finally-flush must not re-append the same
+            # pages to the S5 text archive
+            chunk, pages_buf = pages_buf, []
+            keys, done_buf = done_buf, []
+            self._archive("requests_outline", chunk)
+            if keys:
+                for k in keys:
+                    state.mark_done(k)
+                self.checkpoint.save(state)
+
         form_ids = self._form_ids()
         try:
             for sub_count, fid in enumerate(form_ids, start=1):
@@ -308,12 +327,6 @@ class JobcanPipeline:
                     outline.last_access,
                 )
                 pages_buf.extend(res.raw_pages)
-                if len(pages_buf) >= 50:
-                    # hand the chunk off BEFORE archiving: if the archive
-                    # write itself fails, the finally-flush must not
-                    # re-append the same pages to the S5 text archive
-                    chunk, pages_buf = pages_buf, []
-                    self._archive("requests_outline", chunk)
                 state.outline_queue[key] = {
                     "ids": sorted(outline.ids),
                     # a partial outline must never advance the watermark
@@ -329,11 +342,13 @@ class JobcanPipeline:
                     state.clear_failure("form_outline", key)
                 summary.outline_forms += 1
                 summary.outline_ids += len(outline.ids)
-                state.mark_done(key)
-                # durable after EVERY form (reference _tf_io.py:132-143)
+                done_buf.append(key)
+                # durable after EVERY form — but done only after archive
                 self.checkpoint.save(state)
+                if len(pages_buf) >= 50:
+                    _flush_chunk()
         finally:
-            self._archive("requests_outline", pages_buf)
+            _flush_chunk()
 
     # -- phase 3: form detail (gateway.py:434-541) --------------------------------
 

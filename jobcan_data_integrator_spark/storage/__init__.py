@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
+import time
 import uuid
 from functools import reduce
 from pathlib import Path
@@ -35,6 +37,22 @@ from pyspark.sql import functions as F
 
 #: derived partition column for ``bucketed`` tables (dropped on read)
 BUCKET_COL = "_pbucket"
+
+#: absolute table paths with an ``overwrite`` swap in flight in THIS
+#: process — _recover must neither restore nor clean such a table while
+#: another thread (e.g. a streaming foreachBatch merge sharing the store
+#: root with the batch pipeline) is mid-swap, or it can delete the
+#: in-flight tmp write / rename the superseded .old back mid-rename.
+_INFLIGHT_LOCK = threading.Lock()
+_INFLIGHT: set[str] = set()
+
+#: leftover ``.tmp-*`` dirs from OTHER processes are only reclaimed once
+#: this old — a fresh foreign tmp may be a live writer's in-flight data.
+#: (Cross-process concurrent writers to one table are otherwise
+#: unsupported — single logical writer per table, like the reference's
+#: single-process SQLite; the age gate just keeps a same-host overlap
+#: from corrupting an in-flight swap.)
+_STALE_TMP_SECONDS = 3600.0
 
 
 class TableStore:
@@ -76,6 +94,10 @@ class TableStore:
         self.write_partitions = write_partitions
         self.partitioned = dict(partitioned or {})
         self.bucketed = dict(bucketed or {})
+        #: instance-scoped swap-name token: _recover may always reclaim
+        #: THIS instance's leftover tmp dirs, but foreign ones only when
+        #: stale (they may be another live writer's in-flight swap)
+        self._token = f"{os.getpid():x}{uuid.uuid4().hex[:6]}"
 
     # -- basic io -------------------------------------------------------------
 
@@ -93,8 +115,17 @@ class TableStore:
         here first.  A leftover ``.tmp-*`` is an unswapped (possibly
         torn) write and is discarded; a leftover ``.old-*`` alongside a
         live table is already-superseded data and is discarded too.
+
+        Concurrency: a table with a swap in flight in this process is
+        skipped entirely (see _INFLIGHT), and tmp dirs created by OTHER
+        processes are only reclaimed after _STALE_TMP_SECONDS — so a
+        streaming merge and a batch pipeline sharing one store root
+        cannot delete each other's in-flight writes.
         """
         target = self.path(table)
+        with _INFLIGHT_LOCK:
+            if str(target) in _INFLIGHT:
+                return
         olds = sorted(
             self.root.glob(f"{table}.old-*"), key=lambda p: p.stat().st_mtime
         )
@@ -103,8 +134,15 @@ class TableStore:
         if target.exists():
             for p in olds:
                 shutil.rmtree(p, ignore_errors=True)
+        now = time.time()
         for p in self.root.glob(f"{table}.tmp-*"):
-            shutil.rmtree(p, ignore_errors=True)
+            mine = p.name.startswith(f"{table}.tmp-{self._token}-")
+            try:
+                fresh = (now - p.stat().st_mtime) < _STALE_TMP_SECONDS
+            except OSError:
+                continue  # deleted concurrently
+            if mine or not fresh:
+                shutil.rmtree(p, ignore_errors=True)
 
     def exists(self, table: str) -> bool:
         self._recover(table)
@@ -123,18 +161,30 @@ class TableStore:
         return self.spark.createDataFrame([], like.schema)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        """Atomic full replace: write to a tmp dir, swap, drop the old."""
+        """Atomic full replace: write to a tmp dir, swap, drop the old.
+
+        The table is registered in-flight for the whole write+swap so a
+        concurrent _recover (another thread sharing the store root)
+        neither deletes the tmp mid-write nor renames the .old back
+        between the two swap renames.
+        """
         target = self.path(table)
-        tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex[:8]}"
+        tmp = self.root / f"{table}.tmp-{self._token}-{uuid.uuid4().hex[:8]}"
         old = self.root / f"{table}.old-{uuid.uuid4().hex[:8]}"
-        if self.write_partitions is not None:
-            df = df.coalesce(self.write_partitions)
-        df.write.mode("overwrite").parquet(str(tmp))
-        if target.exists():
-            os.replace(target, old)
-        os.replace(tmp, target)
-        if old.exists():
-            shutil.rmtree(old, ignore_errors=True)
+        with _INFLIGHT_LOCK:
+            _INFLIGHT.add(str(target))
+        try:
+            if self.write_partitions is not None:
+                df = df.coalesce(self.write_partitions)
+            df.write.mode("overwrite").parquet(str(tmp))
+            if target.exists():
+                os.replace(target, old)
+            os.replace(tmp, target)
+            if old.exists():
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            with _INFLIGHT_LOCK:
+                _INFLIGHT.discard(str(target))
 
     # -- merge primitives (§2.3) ----------------------------------------------
 
@@ -185,14 +235,20 @@ class TableStore:
         prepped = self._prep(table, df)
         if self.write_partitions is not None:
             prepped = prepped.coalesce(self.write_partitions)
-        tmp = self.root / f"{table}.tmp-{uuid.uuid4().hex[:8]}"
+        tmp = self.root / f"{table}.tmp-{self._token}-{uuid.uuid4().hex[:8]}"
         old = self.root / f"{table}.old-{uuid.uuid4().hex[:8]}"
-        prepped.write.mode("overwrite").partitionBy(
-            *self._managed_pcols(table)
-        ).parquet(str(tmp))
-        os.replace(self.path(table), old)
-        os.replace(tmp, self.path(table))
-        shutil.rmtree(old, ignore_errors=True)
+        with _INFLIGHT_LOCK:
+            _INFLIGHT.add(str(self.path(table)))
+        try:
+            prepped.write.mode("overwrite").partitionBy(
+                *self._managed_pcols(table)
+            ).parquet(str(tmp))
+            os.replace(self.path(table), old)
+            os.replace(tmp, self.path(table))
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            with _INFLIGHT_LOCK:
+                _INFLIGHT.discard(str(self.path(table)))
 
     def _write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
         """Overwrite only the hive partitions present in ``df``."""

@@ -222,6 +222,43 @@ def test_outline_failure_record_cleared_on_clean_fetch(spark, tmp_path):
     assert ["form_outline", form_key] not in st2.fetch_failures
 
 
+def test_outline_done_only_after_archive_flush(spark, tmp_path):
+    """Bronze durability: a form's outline pages are buffered for chunked
+    archiving, so the form must not be checkpointed DONE until its chunk's
+    archive write lands — a crash while the buffer holds un-archived
+    pages (simulated: the archive write itself dies) must leave every
+    such form re-fetchable, never silently missing from bronze."""
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+
+    real_archive = pipe._archive
+
+    def _dying_archive(api_type, pages):
+        if api_type == "requests_outline" and pages:
+            raise OSError("bronze volume gone")
+        return real_archive(api_type, pages)
+
+    pipe._archive = _dying_archive
+    with pytest.raises(OSError):
+        pipe.run()
+
+    st = ckpt.load()
+    # outline work happened (queue entries were checkpointed per form)...
+    assert st.outline_queue
+    # ...but NO form is done: every buffered-but-unarchived form stays
+    # re-fetchable
+    assert st.phase == Phase.FORM_OUTLINE
+    assert not st.done
+
+    # archive restored -> the resume re-fetches ALL forms and completes
+    pipe._archive = real_archive
+    summary = pipe.run()
+    assert summary.phase == Phase.COMPLETED
+    n_forms = len({d["form_id"] for d in api.documents})
+    assert summary.outline_forms == n_forms
+    # and the bronze text archive now holds the outline pages
+    assert (store.root / "bronze" / "requests_outline").exists()
+
+
 def test_progress_and_issue_callbacks(spark, tmp_path):
     """O3 hooks (reference gateway.py:366-393): per-unit progress with
     (api_type, current, total, sub_count, sub_total), per-form

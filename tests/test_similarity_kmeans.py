@@ -130,3 +130,18 @@ def test_multiprobe_recall_not_worse_than_single_probe(spark, sf_dir):
     # multi-probe candidates are a strict superset -> aggregate recall
     # strictly improves on this data (pinned so a probe regression shows)
     assert sum(multi.values()) >= sum(single.values())
+
+
+def test_recall_k_mismatch_raises(spark):
+    """ann_recall_at_k's k is enforced: a truth frame whose per-query
+    group size differs from k must fail loudly instead of silently
+    mislabeling the metric."""
+    import pytest
+    from jobcan_data_integrator_spark.operators.similarity import ann_recall_at_k
+
+    ann = spark.createDataFrame([(0, 1)], "q_id long, vec_id long")
+    truth = spark.createDataFrame([(0, 1), (0, 2)], "q_id long, vec_id long")
+    ok = ann_recall_at_k(ann, truth, k=2).collect()
+    assert [(r.q_id, r.n_hit, r.recall) for r in ok] == [(0, 1, 0.5)]
+    with pytest.raises(Exception, match="truth group size"):
+        ann_recall_at_k(ann, truth, k=5).collect()

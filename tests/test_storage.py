@@ -151,7 +151,8 @@ def test_delete_scope(spark, store):
 def test_recover_from_crashed_swap(spark, store):
     """A crash between overwrite()'s two renames leaves the live dir
     missing and the data in .old-* — every read path must restore it
-    instead of letting the next merge rebuild from the batch alone."""
+    instead of letting the next merge rebuild from the batch alone.
+    A dead process's torn tmp (foreign token, old mtime) is reclaimed."""
     import os
 
     store.merge_upsert(
@@ -159,15 +160,54 @@ def test_recover_from_crashed_swap(spark, store):
     )
     root = store.root
     os.replace(store.path("t"), root / "t.old-deadbeef")
-    (root / "t.tmp-cafe0123").mkdir()  # torn unswapped write
+    torn = root / "t.tmp-deadpid-cafe0123"  # torn unswapped write, dead writer
+    torn.mkdir()
+    past = 1_000_000_000
+    os.utime(torn, (past, past))
     assert store.exists("t")  # recovery ran
     assert not (root / "t.old-deadbeef").exists()
-    assert not (root / "t.tmp-cafe0123").exists()
+    assert not torn.exists()
     # a merge after the crash still sees the prior rows
     store.merge_upsert(
         "t", spark.createDataFrame([(3, "c")], "id int, v string"), ["id"]
     )
     assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_recover_preserves_other_writers_fresh_tmp(spark, store):
+    """A FRESH tmp dir with a foreign token may be another live writer's
+    in-flight swap (streaming merge + batch pipeline sharing a root) —
+    _recover must not delete it; the store's OWN leftover tmp is
+    reclaimed immediately regardless of age."""
+    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    foreign = store.root / "t.tmp-feedbeef-01234567"
+    foreign.mkdir()  # fresh mtime = possibly in flight
+    own = store.root / f"t.tmp-{store._token}-76543210"
+    own.mkdir()  # own token = leftover from a failed write of THIS store
+    assert store.exists("t")
+    assert foreign.exists(), "fresh foreign tmp must survive recovery"
+    assert not own.exists(), "own leftover tmp must be reclaimed"
+    foreign.rmdir()
+
+
+def test_recover_skips_inflight_table(spark, store):
+    """While an overwrite swap is registered in flight (same process,
+    another thread), _recover must leave the table's swap dirs alone."""
+    from jobcan_data_integrator_spark import storage as S
+
+    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    torn = store.root / f"t.tmp-{store._token}-aaaaaaaa"
+    torn.mkdir()
+    with S._INFLIGHT_LOCK:
+        S._INFLIGHT.add(str(store.path("t")))
+    try:
+        assert store.exists("t")
+        assert torn.exists(), "in-flight table's tmp must not be touched"
+    finally:
+        with S._INFLIGHT_LOCK:
+            S._INFLIGHT.discard(str(store.path("t")))
+    assert store.exists("t")
+    assert not torn.exists()  # reclaimed once the swap is no longer in flight
 
 
 def test_recover_drops_superseded_old_dirs(spark, store):
