@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -122,11 +123,18 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+#: list-valued state: ALL of a user's unsealed sessions, parallel arrays
+#: sorted by start.  A session leaves state only when the event-time
+#: watermark passes its close point — never earlier — so no later event
+#: can bridge into an already-emitted session (exactness, not
+#: bounded-error).  State stays O(sessions inside one watermark window)
+#: per user, which the watermark bounds just like built-in session
+#: windows.
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts_ms", ArrayType(LongType())),
+        StructField("ends_ms", ArrayType(LongType())),
+        StructField("n_events", ArrayType(LongType())),
     ]
 )
 
@@ -136,23 +144,23 @@ def sessionize_events_stream(
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator.
 
-    Input: streaming (user_id long, ts timestamp).  Keeps one open
-    session per user in state; an event farther than ``gap_seconds`` from
-    the session closes it (emitted) and opens a new one.  State is
-    O(active users) — the ``applyInPandasWithState`` shape the reference's
-    per-key progress map (I4) would take as a true stream.
+    Input: streaming (user_id long, ts timestamp).  State is the user's
+    whole set of UNSEALED sessions (every session newer than
+    ``watermark - gap``); each batch runs a classic interval merge over
+    (sorted events + unsealed sessions), so out-of-order events extend
+    any held session in either direction, stray chains coalesce among
+    themselves, and a later in-order event can still bridge two held
+    sessions.  This is the ``applyInPandasWithState`` shape of the
+    reference's per-key progress map (I4) as a true stream.
 
-    The open session of an idle user is flushed by an event-time timeout
-    once the watermark passes ``session_end + gap`` — without it the last
-    session of every user would sit in state forever and never be
-    emitted in append mode.  Each batch runs a classic interval merge
-    over (sorted events + the open session), so out-of-order events
-    extend the open session backwards and stray chains before it form
-    proper sessions.  State holds ONE open session (the latest); earlier
-    sessions emit at batch end, which can close them before the
-    watermark seals them — the error is bounded by the watermark delay,
-    since anything older is dropped by Spark before reaching this
-    operator.
+    EXACT emission: a session is emitted only once the event-time
+    watermark passes ``session_end + gap`` — at that point no event the
+    watermark still admits (t >= watermark > end + gap) can attach to or
+    bridge into it, so every emitted row is final and the stream output
+    equals the batch sessionization of the same events (no overlapping /
+    split session rows).  Sealing happens both on data batches and via
+    the event-time TIMEOUT (for idle users), keyed to the earliest
+    unsealed close point.
     """
     from jobcan_data_integrator_spark.session import ensure_pyfiles
 
@@ -165,51 +173,59 @@ def sessionize_events_stream(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        def _emit(rows: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+        def _emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in rows],
-                    "session_start": [pd.Timestamp(r[1], unit="ms") for r in rows],
-                    "session_end": [pd.Timestamp(r[2], unit="ms") for r in rows],
-                    "n_events": [r[3] for r in rows],
+                    "user_id": [user_id for _ in rows],
+                    "session_start": [pd.Timestamp(r[0], unit="ms") for r in rows],
+                    "session_end": [pd.Timestamp(r[1], unit="ms") for r in rows],
+                    "n_events": [r[2] for r in rows],
                 }
             )
 
-        if state.hasTimedOut:
-            start_ms, end_ms, n_events = state.get
-            state.remove()
-            yield _emit([(user_id, start_ms, end_ms, n_events)])
-            return
-
-        # classic interval merge over (batch events + the open session),
-        # sorted by start: this handles out-of-order events uniformly —
-        # in-gap events extend the open session in either direction, and
-        # stray chains wholly before it coalesce among THEMSELVES into
-        # proper sessions instead of degenerating to singletons.
-        intervals: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            intervals.extend(
-                (t, t, 1)
-                for t in (int(v.value // 1_000_000) for v in pdf["ts"])
-            )
+        # (start, end, n) triples currently held for this user
+        held: list[list[int]] = []
         if state.exists:
-            intervals.append(tuple(state.get))
-        intervals.sort()
-        merged: list[list[int]] = []
-        for s, e, n in intervals:
-            if merged and s - merged[-1][1] <= gap_ms:
-                merged[-1][1] = max(merged[-1][1], e)
-                merged[-1][2] += n
-            else:
-                merged.append([s, e, n])
-        *closed, open_sess = merged
-        if closed:
-            yield _emit([(user_id, s, e, n) for s, e, n in closed])
-        state.update(tuple(open_sess))
-        # flush once event time passes the open session's close point;
-        # incoming rows satisfy t >= watermark, so this is always ahead
-        # of the current watermark as the API requires
-        state.setTimeoutTimestamp(open_sess[1] + gap_ms + 1)
+            starts, ends, counts = state.get
+            held = [[s, e, n] for s, e, n in zip(starts, ends, counts)]
+
+        if not state.hasTimedOut:
+            # interval-merge the batch events into the held sessions
+            intervals = [tuple(t) for t in held]
+            for pdf in pdfs:
+                intervals.extend(
+                    (t, t, 1)
+                    for t in (int(v.value // 1_000_000) for v in pdf["ts"])
+                )
+            intervals.sort()
+            held = []
+            for s, e, n in intervals:
+                if held and s - held[-1][1] <= gap_ms:
+                    held[-1][1] = max(held[-1][1], e)
+                    held[-1][2] += n
+                else:
+                    held.append([s, e, n])
+
+        # seal against the watermark: a session with end + gap behind it
+        # can never be touched by an admissible future event (t >=
+        # watermark), so it is final.  Applies on data AND timeout calls.
+        wm = state.getCurrentWatermarkMs()
+        sealed = [t for t in held if t[1] + gap_ms < wm]
+        held = [t for t in held if t[1] + gap_ms >= wm]
+
+        if held:
+            state.update(
+                ([t[0] for t in held], [t[1] for t in held], [t[2] for t in held])
+            )
+            # wake when the earliest unsealed session becomes sealable;
+            # end + gap >= wm for every held session, so this is always
+            # ahead of the current watermark as the API requires
+            state.setTimeoutTimestamp(min(t[1] for t in held) + gap_ms + 1)
+        elif state.exists:
+            state.remove()
+
+        if sealed:
+            yield _emit([(s, e, n) for s, e, n in sealed])
 
     return events.groupBy("user_id").applyInPandasWithState(
         _update,

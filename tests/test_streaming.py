@@ -107,9 +107,11 @@ def test_sessionize_stateful_operator(spark, tmp_path):
         q.awaitTermination()
         return out
 
-    # run A: user 1 has two sessions in-batch (gap > 30 min) -> first one
-    # closes immediately; user 2 opens a session.  watermark -> 8:00
-    # (max event time 9:00 - 1h).
+    # run A: user 1 has two sessions in-batch (gap > 30 min); user 2
+    # opens a session.  watermark -> 8:00 (max event time 9:00 - 1h),
+    # which seals NOTHING (earliest close point is 8:40) — exact
+    # semantics emit no row yet, because an 8:05 event could still
+    # legally arrive and extend the 8:00-8:10 session.
     events = [
         {"user_id": 1, "ts": "2024-03-01 08:00:00"},
         {"user_id": 1, "ts": "2024-03-01 08:10:00"},
@@ -117,16 +119,14 @@ def test_sessionize_stateful_operator(spark, tmp_path):
         {"user_id": 2, "ts": "2024-03-01 09:00:00"},
     ]
     (src / "e0.json").write_text("\n".join(json.dumps(e) for e in events))
-    rows = _drain("sessions_a")
-    assert len(rows) == 1
-    r = rows[0]
-    assert r["user_id"] == 1 and r["n_events"] == 2
-    assert r["session_start"].minute == 0 and r["session_end"].minute == 10
+    assert _drain("sessions_a") == []
 
-    # run B: an out-of-order event 15 min BEFORE user 2's open-session
-    # start (within gap, above the 8:00 watermark) must extend the
-    # session backwards.  user 1's 12:00 event closes their 9:00 session
-    # and advances the watermark to 11:00.
+    # run B: an out-of-order event 15 min BEFORE user 2's held-session
+    # start (within gap, above the 8:00 watermark) extends it backwards.
+    # user 1's 12:00 event advances the watermark to 11:00, sealing
+    # every session closed before 10:30: u1 (8:00-8:10), u1 (9:00), and
+    # u2 (8:45-9:00, via the idle-user TIMEOUT on availableNow's
+    # trailing batch).
     (src / "e1.json").write_text(
         "\n".join(
             json.dumps(e)
@@ -136,21 +136,20 @@ def test_sessionize_stateful_operator(spark, tmp_path):
             ]
         )
     )
-    # availableNow runs a trailing no-new-data batch after the watermark
-    # advances to 11:00 — past user 2's close point (9:30) — so the
-    # idle-session TIMEOUT flushes user 2 in the same run, with the
-    # backward-merged start.
     rows = {(r["user_id"], r["n_events"]): r for r in _drain("sessions_b")}
-    assert len(rows) == 2
+    assert len(rows) == 3
+    u1a = rows[(1, 2)]
+    assert u1a["session_start"].minute == 0 and u1a["session_end"].minute == 10
     assert rows[(1, 1)]["session_start"].hour == 9
     u2 = rows[(2, 2)]
     assert (u2["session_start"].hour, u2["session_start"].minute) == (8, 45)
     assert (u2["session_end"].hour, u2["session_end"].minute) == (9, 0)
 
-    # run C: user 1's 12:00 session closes via the new 13:00 event; user
-    # 2's state is gone (removed at timeout), nothing re-emits.
+    # run C: a 14:30 event advances the watermark to 13:30, sealing user
+    # 1's 12:00 session (close point 12:30); the 14:30 session stays
+    # held.  user 2's state is gone (removed at seal), nothing re-emits.
     (src / "e2.json").write_text(
-        json.dumps({"user_id": 1, "ts": "2024-03-01 13:00:00"})
+        json.dumps({"user_id": 1, "ts": "2024-03-01 14:30:00"})
     )
     rows = _drain("sessions_c")
     assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 1)]
@@ -186,9 +185,10 @@ def test_sessionize_merges_stray_chains(spark, tmp_path):
     (src / "a.json").write_text(
         json.dumps({"user_id": 3, "ts": "2024-03-01 12:00:00"})
     )
-    assert _drain() == []  # open session at 12:00, watermark 8:00
+    assert _drain() == []  # held session at 12:00, watermark 8:00
 
-    # two strays within gap of EACH OTHER, both > 30 min before 12:00
+    # two strays within gap of EACH OTHER, both > 30 min before 12:00 —
+    # they coalesce into ONE held session, emitted only once sealed
     (src / "b.json").write_text(
         "\n".join(
             json.dumps(e)
@@ -198,7 +198,77 @@ def test_sessionize_merges_stray_chains(spark, tmp_path):
             ]
         )
     )
+    assert _drain() == []  # 9:40 close point still above watermark 8:00
+
+    # advance the watermark past the stray chain's close point (9:40):
+    # max event 14:00 - 4h = 10:00 seals exactly the 9:00-9:10 session
+    (src / "c.json").write_text(
+        json.dumps({"user_id": 3, "ts": "2024-03-01 14:00:00"})
+    )
     rows = _drain()
     assert [(r["user_id"], r["n_events"]) for r in rows] == [(3, 2)]
     assert rows[0]["session_start"].hour == 9
     assert rows[0]["session_end"].minute == 10
+
+
+def test_sessionize_exact_when_stray_chain_bridged_later(spark, tmp_path):
+    """The round-2 bounded-error caveat, now exact: a stray chain that
+    arrives AFTER its successor session must stay in state until the
+    watermark seals it — so a later event that bridges INTO the chain
+    merges instead of producing overlapping/split session rows."""
+    src = tmp_path / "events3"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+    )
+    sessions = S.sessionize_events_stream(
+        stream, gap_seconds=1800, watermark="4 hours"
+    )
+
+    def _drain() -> list:
+        out: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_s3"))
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    # successor session first, then the stray chain, then a bridge event
+    # within gap of the chain's end — three separate micro-batch runs
+    (src / "a.json").write_text(
+        json.dumps({"user_id": 7, "ts": "2024-03-01 12:00:00"})
+    )
+    assert _drain() == []
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"user_id": 7, "ts": "2024-03-01 09:00:00"},
+                {"user_id": 7, "ts": "2024-03-01 09:10:00"},
+            ]
+        )
+    )
+    assert _drain() == []  # the old early-emit would have emitted (9:00-9:10) here
+    (src / "c.json").write_text(
+        json.dumps({"user_id": 7, "ts": "2024-03-01 09:30:00"})
+    )
+    assert _drain() == []  # bridges into the held chain -> (9:00-9:30, 3)
+
+    # seal everything: watermark -> 14:00, past both close points
+    (src / "d.json").write_text(
+        json.dumps({"user_id": 7, "ts": "2024-03-01 18:00:00"})
+    )
+    rows = sorted(
+        ((r["session_start"].hour, r["session_start"].minute,
+          r["session_end"].hour, r["session_end"].minute, r["n_events"])
+         for r in _drain())
+    )
+    # EXACT batch equivalence: one merged morning session, one noon
+    # singleton — no overlap, no split, no duplicate coverage
+    assert rows == [(9, 0, 9, 30, 3), (12, 0, 12, 0, 1)]
