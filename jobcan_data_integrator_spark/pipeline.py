@@ -255,6 +255,7 @@ class JobcanPipeline:
             tables = shred(parse_entities(self._raw_df(res.rows), ddl))
             if not isinstance(tables, dict):
                 tables = {api: tables}
+            self.store.begin_commit(f"basic:{api}", list(tables))
             try:
                 for name, df in tables.items():
                     self._write(name, df, ENTITY_WRITES)
@@ -265,6 +266,9 @@ class JobcanPipeline:
                 summary.basic_rows[api] = len(res.rows)
                 state.take_failures(api)
                 state.mark_done(api)
+            # handled-failure replay is owned by the failure records; the
+            # manifest outlives only a HARD crash (no handler ran)
+            self.store.end_commit()
             self.checkpoint.save(state)
 
     # -- phase 2: form outline (gateway.py:342-432) ------------------------------
@@ -423,6 +427,7 @@ class JobcanPipeline:
             tables = shred_request_documents(
                 parse_request_documents(self._raw_df(docs))
             )
+            self.store.begin_commit("form_detail", list(tables))
             try:
                 for name, df in tables.items():
                     self._write(name, df, REQUEST_WRITES)
@@ -431,10 +436,13 @@ class JobcanPipeline:
                     [("requests_detail", d["id"]) for d in docs], save=True
                 )
                 self._warn(summary, [f"detail save failed: {exc}"])
+                # replay now owned by the save-failure records
+                self.store.end_commit()
                 self.checkpoint.save(state)
                 return
             finally:
                 tables.unpersist()  # drop shred caches (long-lived sessions)
+            self.store.end_commit()
         summary.detail_fetched = len(docs)
 
         # drain + watermark advance only for fully-successful forms
@@ -485,6 +493,22 @@ class JobcanPipeline:
                 outline_queue=state.outline_queue,
             )
         summary = RunSummary()
+        pending = self.store.pending_commit()
+        if pending:
+            # a previous process died inside a multi-table batch: the
+            # checkpoint never advanced past it (mark_done follows
+            # end_commit), so this run re-executes the batch's idempotent
+            # merges from re-fetched data — surface the replay instead of
+            # converging silently
+            self._warn(
+                summary,
+                [
+                    "interrupted commit batch detected "
+                    f"(batch {pending['batch_id']}, {len(pending['tables'])} "
+                    "tables); replaying via checkpoint resume"
+                ],
+            )
+            self.store.end_commit()
         self._run_basic_data(state, summary)
         self._run_form_outline(state, summary)
         self._run_form_detail(state, summary)

@@ -186,6 +186,47 @@ class TableStore:
             with _INFLIGHT_LOCK:
                 _INFLIGHT.discard(str(target))
 
+    # -- multi-table commit manifest ------------------------------------------
+
+    #: manifest file marking a multi-table write batch in progress
+    MANIFEST = "_commit.json"
+
+    def begin_commit(self, batch_id: str, tables: list[str]) -> None:
+        """Mark a multi-table batch in progress (atomic manifest write).
+
+        Per-table swaps are individually atomic but the batch is not: a
+        hard crash between tables leaves some written and some not.  The
+        writes are idempotent merges driven by checkpoint state that only
+        advances AFTER ``end_commit``, so re-running the batch converges
+        to the exact same result — the manifest makes that interrupted
+        state DETECTED and the replay explicit instead of implicit
+        (reference parity: gateway.py:513-539 converges per record the
+        same way, also without cross-table atomicity).
+        """
+        import json as _json
+
+        payload = {"batch_id": batch_id, "tables": sorted(tables)}
+        tmp = self.root / f"{self.MANIFEST}.tmp"
+        tmp.write_text(_json.dumps(payload))
+        os.replace(tmp, self.root / self.MANIFEST)
+
+    def end_commit(self) -> None:
+        """Clear the manifest: the batch's tables are all written (or its
+        replay is owned by recorded failure state)."""
+        (self.root / self.MANIFEST).unlink(missing_ok=True)
+
+    def pending_commit(self) -> dict | None:
+        """The interrupted batch's manifest, if a previous process died
+        mid-batch — callers replay (re-run the idempotent merges from
+        their checkpoint, which never advanced past the batch) and then
+        ``end_commit``."""
+        import json as _json
+
+        p = self.root / self.MANIFEST
+        if p.exists():
+            return _json.loads(p.read_text())
+        return None
+
     # -- merge primitives (§2.3) ----------------------------------------------
 
     def _key_cond(self, a: DataFrame, b: DataFrame, keys: list[str]):

@@ -259,6 +259,51 @@ def test_outline_done_only_after_archive_flush(spark, tmp_path):
     assert (store.root / "bronze" / "requests_outline").exists()
 
 
+def test_commit_manifest_survives_hard_crash_and_replays(spark, tmp_path):
+    """A HARD crash (no exception handler runs) inside the detail phase's
+    multi-table batch leaves the _commit.json manifest behind; the next
+    run detects it, surfaces the replay, re-executes the batch's merges
+    from re-fetched data, and converges to the clean-run result."""
+    api, store, ckpt, pipe, clock = _fresh(spark, tmp_path)
+
+    from jobcan_data_integrator_spark.pipeline import REQUEST_WRITES
+
+    real_write = pipe._write
+    calls = {"n": 0}
+
+    def _dying_write(table, df, strategy):
+        if strategy is REQUEST_WRITES:
+            calls["n"] += 1
+            if calls["n"] == 3:  # some tables written, most not — mid-batch
+                raise KeyboardInterrupt("hard kill")  # bypasses except Exception
+        return real_write(table, df, strategy)
+
+    pipe._write = _dying_write
+    with pytest.raises(KeyboardInterrupt):
+        pipe.run()
+
+    # the manifest survived the crash and names the interrupted batch
+    pending = store.pending_commit()
+    assert pending is not None and pending["batch_id"] == "form_detail"
+    assert "requests" in pending["tables"]
+    # the checkpoint never advanced past the batch
+    assert ckpt.load().outline_queue
+
+    pipe._write = real_write
+    summary = pipe.run()
+    assert summary.phase == Phase.COMPLETED
+    assert any("interrupted commit batch" in w for w in summary.warnings)
+    assert store.pending_commit() is None
+
+    # converged exactly to what an uninterrupted pipeline produces
+    api2, store2, ckpt2, pipe2, _ = _fresh(spark, tmp_path / "clean")
+    pipe2.run()
+    for table in ("requests", "expense_specifics", "users"):
+        a = sorted(map(tuple, store.read(table).collect()))
+        b = sorted(map(tuple, store2.read(table).collect()))
+        assert a == b, f"{table} diverged after manifest replay"
+
+
 def test_progress_and_issue_callbacks(spark, tmp_path):
     """O3 hooks (reference gateway.py:366-393): per-unit progress with
     (api_type, current, total, sub_count, sub_total), per-form

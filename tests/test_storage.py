@@ -356,3 +356,15 @@ def test_partitioned_and_bucketed_combined(spark, tmp_path):
     untouched_before = {p: m for p, m in before.items() if touched not in p}
     untouched_after = {p: m for p, m in after.items() if touched not in p}
     assert untouched_before == untouched_after
+
+
+def test_commit_manifest_roundtrip(spark, store):
+    """begin_commit writes an atomic manifest, pending_commit reads it
+    back, end_commit clears it (idempotently)."""
+    assert store.pending_commit() is None
+    store.begin_commit("batch-7", ["requests", "expense_items"])
+    pending = store.pending_commit()
+    assert pending == {"batch_id": "batch-7", "tables": ["expense_items", "requests"]}
+    store.end_commit()
+    assert store.pending_commit() is None
+    store.end_commit()  # idempotent
