@@ -49,7 +49,13 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, pos, tok) rows once and builds each shingle exactly once,
     distributed; it is also literally the DuckDB oracle's shape.
     """
-    toks = load_table(spark, sf_dir, "documents").select(
+    # _docs (not a raw load): the local testdata is one row group = one
+    # partition, so split+posexplode and the exchange WRITE of ~5M token
+    # rows would otherwise run on a single core before the window's
+    # shuffle spreads the work (measured: the serial map side dominated
+    # every shingle-based gate).  _docs repartitions conditionally, so at
+    # real scale (many splits) this adds nothing.
+    toks = _docs(spark, sf_dir).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")

@@ -139,14 +139,28 @@ def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signature_rows(
-    spark: SparkSession, sf_dir: str, n_hashes: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = 8,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, h_idx int, minhash bigint) — one row per doc per hash fn."""
-    base = "pmod(" + _H.format(x="shingle") + f", {_MH_P})"
+    """(doc_id, h_idx int, minhash bigint) — one row per doc per hash fn.
+
+    ``hashed_shingles``: optional (doc_id, shingle bigint) rows carrying
+    the 60-bit ``_H`` hash.  When given, the expensive shingle-window
+    pipeline is NOT re-run — callers that also need the exact shingle
+    sets (the LSH->verify composition) share ONE cached frame between the
+    signature path and the verify path instead of paying the window
+    twice.  Duplicate (doc, shingle) rows are fine: min() is insensitive.
+    """
+    if hashed_shingles is None:
+        hashed_shingles = _shingle_rows(spark, sf_dir).select(
+            "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+        )
     a = "array(" + ", ".join(f"{v}L" for v in _MH_A[:n_hashes]) + ")"
     b = "array(" + ", ".join(f"{v}L" for v in _MH_B[:n_hashes]) + ")"
-    hashed = _shingle_rows(spark, sf_dir).select(
-        "doc_id", F.expr(base).alias("hs")
+    hashed = hashed_shingles.select(
+        "doc_id", F.expr(f"pmod(shingle, {_MH_P})").alias("hs")
     ).select(
         "doc_id",
         F.explode(
@@ -163,10 +177,14 @@ def minhash_signature_rows(
 
 
 def minhash_bands(
-    spark: SparkSession, sf_dir: str, n_hashes: int = 8, band_size: int = 2
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_idx, band_key) — LSH banding of the minhash signature."""
-    sig_rows = minhash_signature_rows(spark, sf_dir, n_hashes)
+    sig_rows = minhash_signature_rows(spark, sf_dir, n_hashes, hashed_shingles)
     return (
         sig_rows.groupBy("doc_id", F.expr(f"h_idx div {band_size}").alias("band_idx"))
         .agg(F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))).alias("mins"))
@@ -260,7 +278,13 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "standalone dd_lsh_candidate_pairs gate.",
 )
 def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = minhash_bands(spark, sf_dir).cache()
+    # ONE pass of the expensive shingle window feeds BOTH the minhash
+    # signature path and the exact-Jaccard verify path (the two would
+    # otherwise each re-run explode+window over the whole corpus).
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    ).cache()
+    bands = minhash_bands(spark, sf_dir, hashed_shingles=hashed).cache()
     ba = bands.alias("ba")
     bb = bands.alias("bb")
     cands = (
@@ -272,13 +296,11 @@ def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-    )
-    sh = (
-        _shingle_rows(spark, sf_dir)
-        .select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
-        .distinct()
+        # the candidate set feeds the intersection join AND the final
+        # left join; it is tiny (that is the point of LSH) — cache it
         .cache()
     )
+    sh = hashed.distinct().cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1152,8 +1174,18 @@ def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-proven here by a single doc_id-keyed aggregation.",
 )
 def tx_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token COUNT without materializing the token array:
+    # regexp_extract_all allocates ~a thousand strings per document just
+    # to take size() (measured ~10x this gate's cost at sf0.1).  Each
+    # match of '[a-z]+|[0-9]+|[^a-z0-9 ]' is a letter run, a digit run,
+    # or one other char — collapse each run to a single marker char and
+    # strip spaces, and the remaining LENGTH equals the match count
+    # (markers and untouched chars both contribute exactly 1).
     re_tokens = (
-        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        F.expr(
+            "length(replace(regexp_replace(regexp_replace("
+            "text, '[a-z]+', 'L'), '[0-9]+', 'D'), ' ', ''))"
+        )
         .cast("bigint")
         .alias("re_tokens")
     )

@@ -59,6 +59,11 @@ def ngram_jaccard_pairs(
     """
     sh = shingles.select("doc_id", "shingle").distinct()
     if max_doc_freq is not None:
+        # cache BEFORE deriving the hot set: the distinct feeds both the
+        # frequency aggregate and the anti-join input, and shingle
+        # construction upstream (explode + window) is the expensive part
+        # — without the cache it would run twice
+        sh = sh.cache()
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
