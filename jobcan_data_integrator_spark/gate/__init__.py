@@ -6,8 +6,11 @@ training-data-pipeline operators) is expressed here twice:
 1. as an idiomatic PySpark DataFrame program (``spark`` callable taking
    ``(SparkSession, sf_dir)``), and
 2. as an equivalent ANSI-SQL string a DuckDB oracle can run over the same
-   parquet tables (``oracle``; ``None`` for genuinely non-SQL-expressible
-   operators, which the driver checks rows-only).
+   parquet tables (``oracle``; the registry currently has NO oracle-less
+   gate — even the iterative k-means trainer and the mapInPandas
+   multimodal stubs carry full value oracles.  ``None`` remains allowed
+   for a future genuinely non-SQL-expressible operator, which the driver
+   would check rows-only).
 
 Portability rules used throughout (so value hashes match across engines):
 

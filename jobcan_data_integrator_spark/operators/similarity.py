@@ -416,9 +416,11 @@ def train_ivf_centroids(
     keyed (cell_id, dim) with map-side partial sums — 16x64 groups
     regardless of corpus size — and a 16-row fold into the next
     broadcast.  Cells that lose all members drop out (their bucket
-    simply stops matching).  This is the genuinely iterative operator
-    family (non-SQL-expressible; the driver records a rows-only check,
-    tests pin exact values against an independent NumPy replica).
+    simply stops matching).  Although genuinely iterative, the gate is
+    FULLY value-oracled: the fixed 2-iteration training unrolls into two
+    DuckDB CTE rounds (gate/llm.py sim_ivf_train_kmeans) — the integer
+    math replays bit-for-bit — and tests additionally pin exact values
+    against an independent NumPy replica.
     """
     vq = emb.select("vec_id", quantized_expr().alias("q"))
     cent = vq.filter(F.col("vec_id") < n_cells).select(

@@ -1,0 +1,187 @@
+"""10x scale smoke: synthesize sf1 from sf0.1 and run the HEADLINE suite.
+
+Converts the "would this survive a 100x scale-up" plan arguments
+(bucketed/banded candidate generation, broadcast thresholds, conditional
+repartition, no single-partition windows) into a measured data point:
+every HEADLINE query at 10x the bench corpus, compared per-query against
+an sf0.1 run from the SAME session, flagging anything scaling worse than
+SCALE_BUDGET x (linear would be ~10x on the data-bound gates; many gates
+are dominated by fixed join/setup cost at this size and scale ~1x).
+
+Synthesis = 10 replicas of every sf0.1 table with consistent key offsets
+so FK joins keep their selectivity:
+
+- all entity/fact keys shift by replica*(max_key+1): orderkey, custkey,
+  partkey, suppkey, event_id, user_id, doc_id, vec_id;
+- region/nation stay fixed (real dimension tables don't grow with the
+  fact data; nationkey references remain valid);
+- document TEXT gets every token suffixed with the replica id (replica 0
+  keeps the original), so the dedup/similarity gates see 10x the
+  near-dup GROUPS instead of 10-way cross-replica duplicate cliques —
+  cliques would grow candidate pairs quadratically in the replica count,
+  which is a different (adversarial-corpus) experiment than scale-up;
+- embeddings get a small deterministic per-replica component jitter for
+  the same reason (identical vectors would pile into identical LSH
+  buckets and square the candidate volume).
+
+Usage: python scale_smoke.py [out_dir]  (default /tmp/spark_graft_sf1;
+reuses the synthesized tables if already present).  Prints one JSON line
+per suite (sf0.1 reference, sf1) plus a per-query ratio table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE  # noqa: E402
+from jobcan_data_integrator_spark import gate as _gate  # noqa: E402
+from jobcan_data_integrator_spark.session import (  # noqa: E402
+    TESTDATA_TABLES,
+    get_spark,
+    load_table,
+)
+
+SRC_SF = "/root/testdata/sf0.1"
+N_REPLICAS = 10
+#: flag queries scaling worse than this many x (10x data; linear = ~10x,
+#: most gates are partly fixed-cost so typical ratios are well under)
+SCALE_BUDGET = 10.0
+
+#: per-table integer key columns to shift per replica (col -> offset key)
+_KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: key-space sizes are shared across tables referencing the same entity
+_KEY_OF = {
+    "c_custkey": "custkey",
+    "s_suppkey": "suppkey",
+    "p_partkey": "partkey",
+    "o_orderkey": "orderkey",
+    "o_custkey": "custkey",
+    "l_orderkey": "orderkey",
+    "l_partkey": "partkey",
+    "l_suppkey": "suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+
+
+def synthesize(spark, out_dir: Path) -> None:
+    spans: dict[str, int] = {}
+    for table, cols in _KEY_COLS.items():
+        df = load_table(spark, SRC_SF, table)
+        for c in cols:
+            k = _KEY_OF[c]
+            hi = df.agg(F.max(c)).collect()[0][0]
+            spans[k] = max(spans.get(k, 0), int(hi) + 1)
+
+    for table in TESTDATA_TABLES:
+        df = load_table(spark, SRC_SF, table)
+        if table in ("region", "nation"):
+            out = df  # fixed dimensions
+        else:
+            replicas = []
+            for r in range(N_REPLICAS):
+                rep = df
+                for c in _KEY_COLS.get(table, []):
+                    rep = rep.withColumn(c, F.col(c) + F.lit(r * spans[_KEY_OF[c]]))
+                if r > 0 and table == "documents":
+                    rep = rep.withColumn(
+                        "text",
+                        F.expr(
+                            "concat_ws(' ', transform(split(text, ' '),"
+                            f" t -> concat(t, '_{r}')))"
+                        ),
+                    )
+                if r > 0 and table == "embeddings":
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding, (x, i) -> cast(x +"
+                            f" (pmod(xxhash64(vec_id * 64 + i + {r}), 997)"
+                            " / 99700.0 - 0.005) as float))"
+                        ),
+                    )
+                replicas.append(rep)
+            out = replicas[0]
+            for rep in replicas[1:]:
+                out = out.unionByName(rep)
+        # several output files => several scan splits downstream, like a
+        # real table (and _docs' conditional repartition stays a no-op
+        # only when the scan is already parallel enough)
+        n_parts = 16 if table not in ("region", "nation") else 1
+        out.repartition(n_parts).write.mode("overwrite").parquet(
+            str(out_dir / f"{table}.parquet")
+        )
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    queries = _gate.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1")
+    spark = get_spark("jdi-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not (out_dir / "lineitem.parquet").exists():
+        out_dir.mkdir(parents=True, exist_ok=True)
+        t0 = time.perf_counter()
+        synthesize(spark, out_dir)
+        print(f"# synthesized sf1 at {out_dir} in "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # warmup + reference pass at sf0.1, then the sf1 pass, same session
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, SRC_SF, t).count()
+    _gate.queries()["q1_pricing_summary"](spark, SRC_SF).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    base = run_suite(spark, SRC_SF)
+    scaled = run_suite(spark, str(out_dir))
+
+    ratios = {
+        n: round(scaled[n] / base[n], 2) if base[n] > 0 else None for n in HEADLINE
+    }
+    flagged = {n: r for n, r in ratios.items() if r and r > SCALE_BUDGET}
+    print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
+    print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
+                      "queries": scaled, "ratios": ratios,
+                      "scale_budget": SCALE_BUDGET, "flagged": flagged}))
+    for n in HEADLINE:
+        print(f"# {base[n]:8.2f} -> {scaled[n]:8.2f}  ({ratios[n]:6.2f}x)  {n}",
+              file=sys.stderr)
+    if flagged:
+        print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",
+              file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
