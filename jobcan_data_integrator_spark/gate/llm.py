@@ -376,9 +376,21 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+#: SimHash geometry: fingerprint width and pigeonhole block count.  For
+#: Hamming <= (n_blocks - 1), a matching pair must agree on at least one
+#: whole block, so candidate generation is an equi-join on (block_idx,
+#: block_value) with 2^(bits/n_blocks) values per block.  The block-value
+#: space is the quadratic-control knob at scale: expected candidate pairs
+#: ~ n_blocks * n^2 / 2^(bits/n_blocks), so the fingerprint must WIDEN as
+#: the corpus grows (60-bit/15-bit blocks here vs the classic 64-bit;
+#: 60 = what one md5-derived bigint carries portably on both engines).
+_SH_BITS = 60
+_SH_BLOCKS = 4
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+
 @gate(
     "dd_simhash",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), th AS (
@@ -387,27 +399,32 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, g.j AS j,
              CASE WHEN sum(((h >> CAST(g.j AS INT)) & 1) * 2 - 1) > 0
                   THEN (1::BIGINT << CAST(g.j AS INT)) ELSE 0 END AS bitval
-      FROM th, generate_series(0, 31) AS g(j)
+      FROM th, generate_series(0, {_SH_BITS - 1}) AS g(j)
       GROUP BY doc_id, g.j
     )
     SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
-    doc="SimHash (32-bit) over word tokens: per-bit signed vote of the token "
-    "hash bits, majority sign → fingerprint bit. Computed per-row with "
-    "nested higher-order aggregates — zero shuffle.",
+    doc=f"SimHash ({_SH_BITS}-bit) over word tokens: per-bit signed vote of "
+    "the token hash bits, majority sign \u2192 fingerprint bit. Computed "
+    "per-row with nested higher-order aggregates \u2014 zero shuffle. The "
+    "width is a scale knob: wider fingerprints buy exponentially more "
+    "pigeonhole block values for the pairing join (see dd_simhash_pairs).",
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_signatures(spark, sf_dir)
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash): 32-bit per-row fingerprint, zero shuffle."""
+def _simhash_signatures(
+    spark: SparkSession, sf_dir: str, bits: int = _SH_BITS
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide per-row fingerprint, zero shuffle
+    (bits <= 60: one md5-derived 60-bit token hash feeds every vote)."""
     docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
     h = _H.format(x="t")
     docs = docs.withColumn("hashes", F.expr(f"transform(toks, t -> {h})"))
     fp = F.expr(
-        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc +"
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc +"
         " case when aggregate(hashes, 0L,"
         "        (a, h) -> a + (pmod(shiftright(h, j), 2) * 2 - 1)) > 0"
         "      then shiftleft(1L, j) else 0L end)"
@@ -416,7 +433,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: the simhash signature as a DuckDB CTE chain (shared by two oracles)
-_SIMHASH_CTE = """
+_SIMHASH_CTE = f"""
     toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), th AS (
@@ -425,7 +442,7 @@ _SIMHASH_CTE = """
       SELECT doc_id, g.j AS j,
              CASE WHEN sum(((h >> CAST(g.j AS INT)) & 1) * 2 - 1) > 0
                   THEN (1::BIGINT << CAST(g.j AS INT)) ELSE 0 END AS bitval
-      FROM th, generate_series(0, 31) AS g(j)
+      FROM th, generate_series(0, {_SH_BITS - 1}) AS g(j)
       GROUP BY doc_id, g.j
     ), sig AS (
       SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
@@ -438,8 +455,9 @@ _SIMHASH_CTE = """
     oracle=f"""
     WITH {_SIMHASH_CTE}, blocks AS (
       SELECT doc_id, simhash,
-             g.b AS b, (simhash >> CAST(8 * g.b AS INT)) & 255 AS block_val
-      FROM sig, generate_series(0, 3) AS g(b)
+             g.b AS b, (simhash >> CAST({_SH_BLOCK_BITS} * g.b AS INT))
+                       & {(1 << _SH_BLOCK_BITS) - 1} AS block_val
+      FROM sig, generate_series(0, {_SH_BLOCKS - 1}) AS g(b)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
@@ -447,23 +465,32 @@ _SIMHASH_CTE = """
         ON a.b = b.b AND a.block_val = b.block_val AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {_SH_BLOCKS - 1}
     """,
-    doc="SimHash near-dup pairs via the pigeonhole block-join: the 32-bit "
-    "fingerprint splits into 4 byte blocks, and any pair within Hamming "
-    "distance 3 must agree on at least one whole block — so candidates are "
-    "an equi-join on (block_idx, block_value) instead of an O(n²) scan, "
-    "then the exact Hamming filter. The signature is computed once "
-    "(cached; persisted at ingest in a real deployment).",
+    doc=f"SimHash near-dup pairs via the pigeonhole block-join: the "
+    f"{_SH_BITS}-bit fingerprint splits into {_SH_BLOCKS} blocks of "
+    f"{_SH_BLOCK_BITS} bits, and any pair within Hamming distance "
+    f"{_SH_BLOCKS - 1} must agree on at least one whole block — so "
+    "candidates are an equi-join on (block_idx, block_value) instead of "
+    "an O(n²) scan, then the exact Hamming filter. Block-value "
+    f"cardinality (2^{_SH_BLOCK_BITS} per block) is what bounds the "
+    "within-bucket quadratic term at scale — the round-2 8-bit blocks "
+    "(256 values) would melt at corpus sizes where n/256 is large; "
+    "widen the fingerprint further as n grows. The signature is "
+    "computed once (cached; persisted at ingest in a real deployment).",
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _simhash_signatures(spark, sf_dir).cache()
     blocks = sig.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("b"),
     ).withColumn(
-        "block_val", F.expr("(simhash >> cast(8 * b as int)) & 255")
+        "block_val",
+        F.expr(
+            f"(simhash >> cast({_SH_BLOCK_BITS} * b as int))"
+            f" & {(1 << _SH_BLOCK_BITS) - 1}"
+        ),
     )
     a = blocks.alias("a")
     c = blocks.alias("b")
@@ -485,7 +512,7 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SH_BLOCKS - 1)
         .select("doc_a", "doc_b", "hamming")
     )
 

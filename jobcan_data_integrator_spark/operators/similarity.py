@@ -4,7 +4,7 @@ The brute-force baseline (gate ``sim_cosine_topk``) is O(|queries| x n);
 this module is the scale path: random-hyperplane LSH assigns each vector
 a small bucket id, and both top-k search and near-dup pairing become
 equi-joins on the bucket — the same shape that keeps MinHash-LSH linear
-(gate ``dd_lsh_candidate_pairs``).  At 100 TB the bucket column is
+(gate ``dd_lsh_verified_pairs``).  At 100 TB the bucket column is
 computed once at ingest (narrow projection, no shuffle), the table is
 clustered by bucket, and every probe touches one bucket's partitions.
 
@@ -31,13 +31,18 @@ from pyspark.sql.window import Window
 _H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
-def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
+def hyperplane_signs(
+    n_planes: int, dim: int, plane_offset: int = 0
+) -> list[list[int]]:
     """The +-1 hyperplane matrix, derived from md5 parity of (plane, dim).
 
     Computed ONCE driver-side (hashlib.md5 == SQL md5) and embedded as a
     literal in the bucket expression — recomputing 512 md5s per ROW kept
     the old expression ~10x slower; a DuckDB oracle replays the same
-    parity in SQL and lands on identical signs.
+    parity in SQL and lands on identical signs.  ``plane_offset`` selects
+    a disjoint slice of the hash family — band b of a multi-band scheme
+    uses planes [b*n_planes, (b+1)*n_planes), statistically independent
+    of every other band's.
     """
     import hashlib
 
@@ -46,17 +51,18 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
             1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16) % 2 else -1
             for d in range(dim)
         ]
-        for p in range(n_planes)
+        for p in range(plane_offset, plane_offset + n_planes)
     ]
 
 
 def hyperplane_bucket_expr(
-    emb: str = "embedding", n_planes: int = 8, dim: int = 64
+    emb: str = "embedding", n_planes: int = 8, dim: int = 64, plane_offset: int = 0
 ) -> Column:
     """Bucket id in [0, 2^n_planes): bit p = sign of the dot product with
-    pseudo-random hyperplane p.  The dot runs on integer-quantized
-    components (floor(x*1000)) so the sign is exact on any engine."""
-    signs = hyperplane_signs(n_planes, dim)
+    pseudo-random hyperplane ``plane_offset + p``.  The dot runs on
+    integer-quantized components (floor(x*1000)) so the sign is exact on
+    any engine."""
+    signs = hyperplane_signs(n_planes, dim, plane_offset)
     signs_lit = (
         "array("
         + ",".join("array(" + ",".join(f"{v}L" for v in row) + ")" for row in signs)
@@ -244,7 +250,11 @@ def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.3, n_planes: int = 8, dim: int = 64
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket pre-filtered.
 
@@ -252,28 +262,55 @@ def embedding_near_dup_pairs(
     shape); the exact cosine then gates on ``threshold``.  With real
     near-duplicate corpora the threshold is ~0.95; the synthetic testdata
     is near-orthogonal so gates exercise the path at a lower cut.
+
+    SCALE KNOBS: expected candidate pairs ~ n_bands * n^2 / 2^n_planes,
+    so ``n_planes`` must GROW with the corpus (more planes = exponentially
+    more buckets = a smaller quadratic term) — and since each extra plane
+    also halves per-pair collision probability, ``n_bands`` restores
+    recall the standard LSH way: b independent bands of r planes each,
+    candidates = union over bands (P[candidate] = 1-(1-p^r)^b).  The
+    default 1x8 matches the small-corpus gate oracle; a 100 TB corpus
+    wants something like 4 bands x 16 planes.
     """
     # Materialize the bucketed table once: the self-join would otherwise
-    # evaluate the 512-term hyperplane fold on BOTH sides (measured 2.7x at
-    # sf0.1). At warehouse scale the bucket column is persisted at ingest;
-    # cache() is the same compute-once decision for the ad-hoc path.
+    # evaluate the per-band 512-term hyperplane folds on BOTH sides
+    # (measured 2.7x at sf0.1). At warehouse scale the (band, bucket)
+    # columns are persisted at ingest; cache() is the same compute-once
+    # decision for the ad-hoc path.
+    bucket_cols = [
+        hyperplane_bucket_expr("embedding", n_planes, dim, plane_offset=band * n_planes)
+        for band in range(n_bands)
+    ]
     b = (
-        with_lsh_buckets(emb, n_planes=n_planes, dim=dim)
-        .select("vec_id", "embedding", "bucket")
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+        )
         .cache()
     )
     a = b.alias("a")
     c = b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.embedding").alias("emb_a"),
+        F.col("b.embedding").alias("emb_b"),
+    )
+    if n_bands > 1:
+        # the same pair can collide in several bands — dedup BEFORE the
+        # cosine so each candidate is scored once
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
     return (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            cosine_expr("emb_a", "emb_b").alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

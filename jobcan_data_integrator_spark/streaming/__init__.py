@@ -139,6 +139,35 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def merge_gap_intervals(
+    intervals: list[tuple[int, int, int]], gap_ms: int
+) -> list[list[int]]:
+    """Classic interval merge over (start, end, n) triples: any two
+    intervals within ``gap_ms`` coalesce.  Pure (no Spark) — the
+    sessionizer's per-batch state transition, property-tested for batch
+    equivalence in tests/test_streaming.py."""
+    merged: list[list[int]] = []
+    for s, e, n in sorted(intervals):
+        if merged and s - merged[-1][1] <= gap_ms:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += n
+        else:
+            merged.append([s, e, n])
+    return merged
+
+
+def split_sealed(
+    held: list[list[int]], wm_ms: int, gap_ms: int
+) -> tuple[list[list[int]], list[list[int]]]:
+    """(sealed, kept): a session whose ``end + gap`` is behind the
+    watermark can never be touched by an admissible event (t >= wm), so
+    it is final.  Pure — shared by the streaming operator and its
+    property tests."""
+    sealed = [t for t in held if t[1] + gap_ms < wm_ms]
+    kept = [t for t in held if t[1] + gap_ms >= wm_ms]
+    return sealed, kept
+
+
 def sessionize_events_stream(
     events: DataFrame, gap_seconds: int = 1800, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -197,21 +226,11 @@ def sessionize_events_stream(
                     (t, t, 1)
                     for t in (int(v.value // 1_000_000) for v in pdf["ts"])
                 )
-            intervals.sort()
-            held = []
-            for s, e, n in intervals:
-                if held and s - held[-1][1] <= gap_ms:
-                    held[-1][1] = max(held[-1][1], e)
-                    held[-1][2] += n
-                else:
-                    held.append([s, e, n])
+            held = merge_gap_intervals(intervals, gap_ms)
 
-        # seal against the watermark: a session with end + gap behind it
-        # can never be touched by an admissible future event (t >=
-        # watermark), so it is final.  Applies on data AND timeout calls.
-        wm = state.getCurrentWatermarkMs()
-        sealed = [t for t in held if t[1] + gap_ms < wm]
-        held = [t for t in held if t[1] + gap_ms >= wm]
+        # seal against the watermark: final sessions emit, the rest stay
+        # in state.  Applies on data AND timeout calls.
+        sealed, held = split_sealed(held, state.getCurrentWatermarkMs(), gap_ms)
 
         if held:
             state.update(

@@ -145,3 +145,43 @@ def test_recall_k_mismatch_raises(spark):
     assert [(r.q_id, r.n_hit, r.recall) for r in ok] == [(0, 1, 0.5)]
     with pytest.raises(Exception, match="truth group size"):
         ann_recall_at_k(ann, truth, k=5).collect()
+
+
+def test_multiband_near_dup_recall_not_worse(spark, sf_dir):
+    """Multi-band LSH candidates are a superset of single-band's (band 0
+    is the same 8 planes), so the banded pair set can only grow toward
+    the brute-force truth — the recall knob that lets n_planes scale up
+    with the corpus without losing pairs."""
+    from pyspark.sql import functions as F
+    from jobcan_data_integrator_spark.operators.similarity import (
+        cosine_expr,
+        embedding_near_dup_pairs,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    thr = 0.2
+
+    def pair_set(df):
+        rows = df.collect()
+        assert len(rows) == len({(r.vec_a, r.vec_b) for r in rows}), "dup pairs"
+        return {(r.vec_a, r.vec_b) for r in rows}
+
+    one = pair_set(embedding_near_dup_pairs(emb, threshold=thr))
+    four = pair_set(embedding_near_dup_pairs(emb, threshold=thr, n_bands=4))
+    assert one <= four
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    truth = pair_set(
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= thr)
+    )
+    assert four <= truth  # LSH prefilter never invents pairs
+    if truth:
+        assert len(four) / len(truth) >= len(one) / len(truth)

@@ -272,3 +272,67 @@ def test_sessionize_exact_when_stray_chain_bridged_later(spark, tmp_path):
     # EXACT batch equivalence: one merged morning session, one noon
     # singleton — no overlap, no split, no duplicate coverage
     assert rows == [(9, 0, 9, 30, 3), (12, 0, 12, 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Property tests of the sessionizer's pure state transition (no Spark jobs)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from jobcan_data_integrator_spark.streaming import (  # noqa: E402
+    merge_gap_intervals,
+    split_sealed,
+)
+
+_GAP = 10_000  # ms
+_DELAY = 30_000  # watermark delay, ms
+
+_events = st.lists(st.integers(min_value=0, max_value=500_000), min_size=1, max_size=120)
+_cuts = st.lists(st.integers(min_value=0, max_value=119), max_size=6)
+
+
+def _batch_sessions(ts: list[int]) -> list[list[int]]:
+    return merge_gap_intervals([(t, t, 1) for t in ts], _GAP)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_events, _cuts)
+def test_incremental_merge_equals_batch_merge(ts, cuts):
+    """EXACTNESS CORE: folding events into held sessions batch by batch
+    (any split, any order) yields the same session set as one batch
+    merge — i.e. state transitions commute with batching."""
+    bounds = sorted({0, len(ts), *[c % (len(ts) + 1) for c in cuts]})
+    held: list[list[int]] = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = ts[lo:hi]
+        held = merge_gap_intervals([tuple(t) for t in held] + [(t, t, 1) for t in batch], _GAP)
+    assert held == _batch_sessions(ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_events, _cuts)
+def test_streamed_seal_emits_exactly_the_batch_sessions(ts, cuts):
+    """End-to-end replay of the operator's admission + seal rules:
+    process batches with the watermark advancing to max(seen) - delay,
+    DROP events below the watermark (Spark's admission rule), seal
+    sessions whose close point the watermark passed.  The union of
+    emitted + final held sessions must equal the one-shot batch
+    sessionization of the admitted events — no splits, no overlaps, no
+    duplicates."""
+    bounds = sorted({0, len(ts), *[c % (len(ts) + 1) for c in cuts]})
+    held: list[list[int]] = []
+    emitted: list[list[int]] = []
+    admitted: list[int] = []
+    wm = -(10**12)
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = [t for t in ts[lo:hi] if t >= wm]
+        admitted.extend(batch)
+        held = merge_gap_intervals(
+            [tuple(t) for t in held] + [(t, t, 1) for t in batch], _GAP
+        )
+        if ts[lo:hi]:
+            wm = max(wm, max(ts[lo:hi]) - _DELAY)
+        sealed, held = split_sealed(held, wm, _GAP)
+        emitted.extend(sealed)
+    assert sorted(emitted + held) == _batch_sessions(admitted)
