@@ -117,6 +117,12 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.distinct().cache()
+    # Materialize the edge cache BEFORE deriving labels: round 1's first
+    # job would otherwise evaluate `sym` on both sides of the join (sym
+    # itself + labels-derived-from-sym) with the cache still cold, paying
+    # the whole upstream pair pipeline several times in one job
+    # (measured: 38 s -> 6 s cold at sf0.1 for the LSH-verified input).
+    sym.count()
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
