@@ -34,23 +34,41 @@ def pack_shards(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     bucket_size: int | None = None,
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """(id, n_tokens, cum_before, shard_id) for ``docs`` with an integer
     id column and a per-document token count.
 
-    ``bucket_size`` defaults to id-range/4096 (one tiny min/max agg), so
-    the driver-side offset list is bounded at ~4096 rows REGARDLESS of
-    corpus size — a fixed small default would collect n/256 rows and
-    melt the driver at billions of documents.  NULL token counts count
-    as 0.
+    ``bucket_size`` defaults to order-key-range/4096 (one tiny min/max
+    agg), so the driver-side offset list is bounded at ~4096 rows
+    REGARDLESS of corpus size — a fixed small default would collect
+    n/256 rows and melt the driver at billions of documents.  NULL token
+    counts count as 0.
+
+    ``shuffle_salt``: training pipelines pack documents in a SHUFFLED
+    order, not ingestion order (sequential shards of a sorted corpus
+    concentrate one source/time-slice per shard).  Passing a salt packs
+    by the deterministic pseudorandom order ``md5(salt | id)`` — a
+    reproducible permutation with no RNG state, re-shufflable per epoch
+    by changing the salt.  The prefix sum machinery is unchanged: the
+    order key's range replaces the id range for bucketing, so the
+    driver-side offset list stays ~4096 rows.
     """
+    if shuffle_salt is None:
+        order_col = F.col(id_col)
+    else:
+        # 60-bit md5-derived order key (collisions broken by id below)
+        order_col = F.expr(
+            "cast(conv(substr(md5(concat("
+            f"'{shuffle_salt}', '|', cast({id_col} as string))), 1, 15), 16, 10)"
+            " as bigint)"
+        )
+    b = docs.select(id_col, tokens_col).withColumn("_ord", order_col)
     if bucket_size is None:
-        lo, hi = docs.agg(F.min(id_col), F.max(id_col)).collect()[0]
+        lo, hi = b.agg(F.min("_ord"), F.max("_ord")).collect()[0]
         span = (hi - lo + 1) if hi is not None else 1
         bucket_size = max(1, span // 4096)
-    b = docs.select(id_col, tokens_col).withColumn(
-        "_bucket", F.expr(f"{id_col} div {bucket_size}")
-    )
+    b = b.withColumn("_bucket", F.expr(f"_ord div {bucket_size}"))
     per_bucket = b.groupBy("_bucket").agg(F.sum(tokens_col).alias("_bsum")).collect()
     offsets: list[tuple[int, int]] = []
     acc = 0
@@ -62,7 +80,7 @@ def pack_shards(
     )
     w = (
         Window.partitionBy("_bucket")
-        .orderBy(id_col)
+        .orderBy("_ord", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
