@@ -382,12 +382,16 @@ def ann_topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: coarse quantizer -> probe n cells -> exact re-rank.
 
-    Centroids are the seed vectors ``vec_id < n_cells`` (deterministic
-    "training"; a production build would run k-means and persist the
-    codebook — the query-path plan is identical).  Every vector is assigned
+    ``centroids``: an optional trained codebook (cell_id, cq array<bigint>)
+    — pass ``train_ivf_centroids(emb)[0]`` for the full train -> index ->
+    search composition (tests/test_similarity_kmeans.py pins it).  Default
+    is the seed vectors ``vec_id < n_cells`` (deterministic zero-training
+    quantizer, what the sim_ann_ivf_topk gate oracles); the query-path
+    plan is identical either way.  Every vector is assigned
     to the centroid maximizing the integer-quantized inner product
     (tie-break: lowest cell id); a query probes its ``n_probe`` best cells
     and re-ranks candidates by exact double cosine.
@@ -398,10 +402,12 @@ def ann_topk_ivf(
     brute-force baseline is gate ``sim_cosine_topk``; the hyperplane
     alternative is ``ann_topk_lsh``.
     """
-    cent = (
-        emb.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell_id"), quantized_expr().alias("cq"))
-    )
+    cent = centroids
+    if cent is None:
+        cent = (
+            emb.filter(F.col("vec_id") < n_cells)
+            .select(F.col("vec_id").alias("cell_id"), quantized_expr().alias("cq"))
+        )
     vq = emb.select("vec_id", quantized_expr().alias("q"))
     assign = assign_cells(vq, cent)
     probe = probe_cells(

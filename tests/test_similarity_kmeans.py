@@ -185,3 +185,51 @@ def test_multiband_near_dup_recall_not_worse(spark, sf_dir):
     assert four <= truth  # LSH prefilter never invents pairs
     if truth:
         assert len(four) / len(truth) >= len(one) / len(truth)
+
+
+def test_ivf_train_search_composition(spark, sf_dir):
+    """The full IVF story composes: train_ivf_centroids -> codebook ->
+    ann_topk_ivf(centroids=...).  Training's job at fixed n_probe is
+    BALANCE (even cell sizes = even probe cost and bounded per-cell
+    candidate lists at scale), so the pinned properties are: the search
+    still returns k results per query with sane recall, and the trained
+    codebook's cell-size distribution is tighter than the seed one's."""
+    from pyspark.sql import functions as F
+    from statistics import pvariance
+
+    from jobcan_data_integrator_spark.gate.llm import _brute_topk
+    from jobcan_data_integrator_spark.operators.similarity import (
+        ann_topk_ivf,
+        assign_cells,
+        quantized_expr,
+        train_ivf_centroids,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {(r.q_id, r.vec_id) for r in _brute_topk(emb, queries, k=5).collect()}
+
+    cent, _assign = train_ivf_centroids(emb, n_cells=16, iters=2)
+    cent = cent.cache()
+    res = ann_topk_ivf(emb, queries, k=5, n_probe=2, centroids=cent).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.q_id, []).append(r.vec_id)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in per_q.values())
+    hits = {(r.q_id, r.vec_id) for r in res}
+    assert len(hits & truth) / len(truth) >= 0.5
+
+    vq = emb.select("vec_id", quantized_expr().alias("q"))
+    seed_cent = vq.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cell_id"), F.col("q").alias("cq")
+    )
+
+    def cell_sizes(codebook):
+        return [
+            r["count"]
+            for r in assign_cells(vq, codebook).groupBy("cell_id").count().collect()
+        ]
+
+    assert pvariance(cell_sizes(cent)) < pvariance(cell_sizes(seed_cent))
