@@ -58,12 +58,13 @@ def ngram_jaccard_pairs(
     join, then the usual sizes aggregate + shingle equi-join.
     """
     sh = shingles.select("doc_id", "shingle").distinct()
+    pre_filter = None
     if max_doc_freq is not None:
         # cache BEFORE deriving the hot set: the distinct feeds both the
         # frequency aggregate and the anti-join input, and shingle
         # construction upstream (explode + window) is the expensive part
         # — without the cache it would run twice
-        sh = sh.cache()
+        pre_filter = sh.cache()
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
@@ -73,6 +74,13 @@ def ngram_jaccard_pairs(
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Feeds the self-join twice plus the size aggregate: materialize once.
     sh = sh.cache()
+    if pre_filter is not None:
+        # Materialize the post-anti-join cache off the pre-filter cache
+        # NOW, then drop the pre-filter cache — it is never read again,
+        # and leaving it persisted would accumulate cached partitions
+        # across repeated calls in a long-lived session.
+        sh.count()
+        pre_filter.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -112,6 +120,14 @@ def connected_components(
     ``cluster_id`` is the minimum node id of the component.  Nodes not
     appearing in any edge are by definition singleton clusters and are
     not emitted — callers union them back if they need full coverage.
+
+    EAGER: constructing the result runs Spark jobs immediately (the edge
+    cache is materialized up front — see the inline comment — and each
+    propagation round runs one action), so building the DataFrame is not
+    free even if the caller never executes it.  One action per round: the
+    per-round job materializes the localCheckpoint AND counts changed
+    labels (a ``chg`` flag computed in the same select), instead of a
+    separate edges-x-labels convergence join on top of the label job.
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -142,24 +158,23 @@ def connected_components(
             # every previous round's joins (plan bloat grows Catalyst
             # planning time per iteration and makes eviction
             # catastrophic).  On a real cluster with executor loss, use
-            # a reliable checkpoint dir instead.
+            # a reliable checkpoint dir instead.  The ``chg`` flag rides
+            # along so convergence is read off the SAME materialization
+            # (the count below triggers the lazy checkpoint) — no second
+            # edges-x-labels join per round.
+            new_min = F.least(
+                F.col("cluster_id"), F.coalesce("neigh_min", "cluster_id")
+            )
             new_labels = (
                 labels.join(neigh, "doc_id", "left")
                 .select(
                     "doc_id",
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce("neigh_min", "cluster_id"),
-                    ).alias("cluster_id"),
+                    new_min.alias("cluster_id"),
+                    (new_min != F.col("cluster_id")).alias("chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
+            changed = new_labels.filter(F.col("chg")).count()
             labels.unpersist()
             labels = new_labels
             if changed == 0:
@@ -171,7 +186,7 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} "
                 "rounds — raise max_iter (graph diameter exceeds it)"
             )
-        return labels
+        return labels.select("doc_id", "cluster_id")
     finally:
         sym.unpersist()
 

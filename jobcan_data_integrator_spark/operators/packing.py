@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: hard cap on the driver-side per-bucket offset list.  The default
+#: bucket_size derivation bounds the list at ~4096 rows regardless of
+#: corpus size; an explicit caller-supplied ``bucket_size`` could defeat
+#: that bound (range/bucket_size rows collect to the driver), so the
+#: count is checked BEFORE the collect and the call fails loudly instead
+#: of melting the driver.
+_MAX_BUCKETS = 100_000
+
 
 def pack_shards(
     docs: DataFrame,
@@ -68,6 +76,17 @@ def pack_shards(
         lo, hi = b.agg(F.min("_ord"), F.max("_ord")).collect()[0]
         span = (hi - lo + 1) if hi is not None else 1
         bucket_size = max(1, span // 4096)
+    else:
+        lo, hi = b.agg(F.min("_ord"), F.max("_ord")).collect()[0]
+        span = (hi - lo + 1) if hi is not None else 1
+        n_buckets = (span + bucket_size - 1) // bucket_size
+        if n_buckets > _MAX_BUCKETS:
+            raise ValueError(
+                f"bucket_size={bucket_size} yields ~{n_buckets} buckets over "
+                f"the order-key range ({span}); the per-bucket offset list is "
+                f"collected driver-side and is capped at {_MAX_BUCKETS} rows — "
+                "pass a larger bucket_size or None to derive a safe one"
+            )
     b = b.withColumn("_bucket", F.expr(f"_ord div {bucket_size}"))
     per_bucket = b.groupBy("_bucket").agg(F.sum(tokens_col).alias("_bsum")).collect()
     offsets: list[tuple[int, int]] = []

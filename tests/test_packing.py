@@ -4,6 +4,7 @@ pipelines actually use."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from jobcan_data_integrator_spark.operators.packing import pack_shards
@@ -64,3 +65,16 @@ def test_shuffled_packing_has_no_global_window(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_pathological_bucket_size_is_rejected(spark):
+    # an explicit tiny bucket_size would collect one offset row per bucket
+    # (range/bucket_size rows) — the guard fails loudly BEFORE the collect
+    docs = _docs(spark, n=500_000)
+    with pytest.raises(ValueError, match="bucket_size"):
+        pack_shards(docs, budget=BUDGET, bucket_size=1)
+
+
+def test_sane_explicit_bucket_size_still_packs(spark):
+    rows = pack_shards(_docs(spark, n=200), budget=BUDGET, bucket_size=50).collect()
+    _check_packing(rows, BUDGET)
