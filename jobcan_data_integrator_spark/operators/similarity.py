@@ -291,21 +291,46 @@ def embedding_near_dup_pairs(
     )
     a = b.alias("a")
     c = b.alias("b")
-    pairs = a.join(
-        c,
+    collide = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.embedding").alias("emb_a"),
-        F.col("b.embedding").alias("emb_b"),
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
     if n_bands > 1:
         # the same pair can collide in several bands — dedup BEFORE the
-        # cosine so each candidate is scored once
-        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+        # cosine so each candidate is scored once.  The dedup shuffles
+        # IDS ONLY (two longs per row, not two full embedding arrays);
+        # the vectors are re-fetched from the cached bucketed table
+        # afterwards, so the wide arrays move once per surviving pair
+        # instead of once per (pair x colliding band).
+        cand_ids = (
+            a.join(c, collide)
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        vecs = b.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        pairs = (
+            cand_ids.join(vecs.alias("va"), F.col("vec_a") == F.col("va.vec_id"))
+            .join(vecs.alias("vb"), F.col("vec_b") == F.col("vb.vec_id"))
+            .select(
+                "vec_a",
+                "vec_b",
+                F.col("va.embedding").alias("emb_a"),
+                F.col("vb.embedding").alias("emb_b"),
+            )
+        )
+    else:
+        # single band: no dedup shuffle exists, so carrying the vectors
+        # straight out of the self-join is the cheaper path
+        pairs = a.join(c, collide).select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
     return (
         pairs.select(
             "vec_a",

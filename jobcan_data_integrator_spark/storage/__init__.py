@@ -66,6 +66,7 @@ class TableStore:
         write_partitions: int | None = None,
         partitioned: dict[str, list[str]] | None = None,
         bucketed: dict[str, tuple[str, int]] | None = None,
+        snapshot_isolation: bool = False,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -87,13 +88,36 @@ class TableStore:
         and reads drop it, so merges rewrite only the 1/n of the table
         the update batch's keys hash into.  The same key always lands in
         the same bucket, so scoped syncs stay correct by construction.
-        """
+
+        ``snapshot_isolation`` switches the store to
+        versioned writes published through a single manifest pointer:
+        every ``overwrite`` lands in a fresh ``<table>.v-*`` directory and
+        becomes reader-visible only when ``end_commit`` atomically swaps
+        ``_snapshot.json`` — so a reader that pins one snapshot (see
+        ``current_snapshot``/``read_at``) observes a CONSISTENT set of
+        tables even while a multi-table batch is mid-write.  This is the
+        manifest-pointer mechanism Delta/Iceberg provide natively; plain
+        in-place mode (the default) keeps the reference's
+        converged-by-replay contract instead.  Incompatible with
+        ``partitioned``/``bucketed`` tables (their dynamic partition
+        overwrite rewrites in place)."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.write_partitions = write_partitions
         self.partitioned = dict(partitioned or {})
         self.bucketed = dict(bucketed or {})
+        self.snapshot_isolation = snapshot_isolation
+        if snapshot_isolation and (self.partitioned or self.bucketed):
+            raise ValueError(
+                "snapshot_isolation does not compose with partitioned/"
+                "bucketed tables (dynamic partition overwrite is in-place);"
+                " use a table format with native snapshots for those"
+            )
+        #: snapshot mode: versioned dirs written this batch, not yet
+        #: published ({table: dirname}) — read() prefers these so a batch
+        #: reads its own writes
+        self._pending_versions: dict[str, str] = {}
         #: instance-scoped swap-name token: _recover may always reclaim
         #: THIS instance's leftover tmp dirs, but foreign ones only when
         #: stale (they may be another live writer's in-flight swap)
@@ -142,13 +166,43 @@ class TableStore:
             except OSError:
                 continue  # deleted concurrently
             if mine or not fresh:
+                # Re-check in-flight membership IMMEDIATELY before the
+                # delete: a concurrent overwrite() on this table (same
+                # store instance, same token) may have registered and
+                # created its tmp between this function's entry check and
+                # the glob — deleting that fresh tmp mid-write would fail
+                # the writer loudly for no reason (check-then-act TOCTOU).
+                with _INFLIGHT_LOCK:
+                    if str(target) in _INFLIGHT:
+                        return
                 shutil.rmtree(p, ignore_errors=True)
 
+    def _resolve(self, table: str) -> Path | None:
+        """Snapshot mode: the directory a read of ``table`` should scan —
+        this batch's own pending write first, then the published
+        snapshot, then a legacy live dir (a table written before the
+        store switched modes).  None = table does not exist."""
+        if table in self._pending_versions:
+            return self.root / self._pending_versions[table]
+        snap_tables = self.current_snapshot()["tables"]
+        if table in snap_tables:
+            return self.root / snap_tables[table]
+        if self.path(table).exists():
+            return self.path(table)
+        return None
+
     def exists(self, table: str) -> bool:
+        if self.snapshot_isolation:
+            return self._resolve(table) is not None
         self._recover(table)
         return self.path(table).exists()
 
     def read(self, table: str) -> DataFrame:
+        if self.snapshot_isolation:
+            p = self._resolve(table)
+            if p is None:
+                raise FileNotFoundError(f"no snapshot or live dir for table {table!r}")
+            return self.spark.read.parquet(str(p))
         self._recover(table)
         df = self.spark.read.parquet(str(self.path(table)))
         if table in self.bucketed and BUCKET_COL in df.columns:
@@ -167,7 +221,19 @@ class TableStore:
         concurrent _recover (another thread sharing the store root)
         neither deletes the tmp mid-write nor renames the .old back
         between the two swap renames.
+
+        Snapshot mode: the write lands in a fresh versioned directory and
+        is NOT reader-visible until ``end_commit`` publishes the manifest
+        pointer — no swap, no in-flight bookkeeping needed.
         """
+        if self.snapshot_isolation:
+            df_out = df
+            if self.write_partitions is not None:
+                df_out = df_out.coalesce(self.write_partitions)
+            vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
+            df_out.write.mode("overwrite").parquet(str(self.root / vdir))
+            self._pending_versions[table] = vdir
+            return
         target = self.path(table)
         tmp = self.root / f"{table}.tmp-{self._token}-{uuid.uuid4().hex[:8]}"
         old = self.root / f"{table}.old-{uuid.uuid4().hex[:8]}"
@@ -210,9 +276,56 @@ class TableStore:
         tmp.write_text(_json.dumps(payload))
         os.replace(tmp, self.root / self.MANIFEST)
 
+    #: versioned manifest pointer (snapshot mode): the ONE file whose
+    #: atomic replace publishes a whole batch to readers
+    SNAPSHOT = "_snapshot.json"
+
+    def current_snapshot(self) -> dict:
+        """The published snapshot: ``{"version": N, "tables": {name ->
+        versioned dirname}}``.  Pin the returned dict and resolve every
+        table of a multi-table read through it (``read_at``) to observe
+        one consistent batch; calling ``read`` per table re-reads the
+        pointer and can straddle a concurrent publish."""
+        import json as _json
+
+        p = self.root / self.SNAPSHOT
+        if p.exists():
+            return _json.loads(p.read_text())
+        return {"version": 0, "tables": {}}
+
+    def read_at(self, table: str, snapshot: dict) -> DataFrame:
+        """Read ``table`` as of a pinned ``current_snapshot()`` result."""
+        if table in snapshot["tables"]:
+            return self.spark.read.parquet(str(self.root / snapshot["tables"][table]))
+        return self.read(table)
+
     def end_commit(self) -> None:
         """Clear the manifest: the batch's tables are all written (or its
-        replay is owned by recorded failure state)."""
+        replay is owned by recorded failure state).
+
+        Snapshot mode: FIRST atomically publish the batch's versioned
+        dirs as the new snapshot pointer — until this single
+        ``os.replace`` every reader resolves the pre-batch snapshot, after
+        it every new pin resolves the whole batch.  Superseded versioned
+        dirs are GC'd except the immediately-previous snapshot's (a
+        reader that pinned just before the publish may still be lazily
+        scanning those paths; one-version grace matches one batch cycle).
+        """
+        import json as _json
+
+        if self.snapshot_isolation and self._pending_versions:
+            snap = self.current_snapshot()
+            new_tables = dict(snap["tables"])
+            new_tables.update(self._pending_versions)
+            payload = {"version": snap["version"] + 1, "tables": new_tables}
+            tmp = self.root / f"{self.SNAPSHOT}.tmp"
+            tmp.write_text(_json.dumps(payload))
+            os.replace(tmp, self.root / self.SNAPSHOT)
+            self._pending_versions = {}
+            keep = set(new_tables.values()) | set(snap["tables"].values())
+            for p in self.root.glob("*.v-*"):
+                if p.name not in keep:
+                    shutil.rmtree(p, ignore_errors=True)
         (self.root / self.MANIFEST).unlink(missing_ok=True)
 
     def pending_commit(self) -> dict | None:

@@ -130,6 +130,14 @@ SESSION_SCHEMA = StructType(
 #: bounded-error).  State stays O(sessions inside one watermark window)
 #: per user, which the watermark bounds just like built-in session
 #: windows.
+#:
+#: COMPAT: this parallel-array layout replaced an earlier scalar
+#: (start_ms, end_ms, n_events) state schema.  applyInPandasWithState
+#: cannot migrate checkpointed state between schemas — a streaming query
+#: restarted from a checkpoint written under the old layout will fail or
+#: misread its state.  Discard the old checkpoint directory and let the
+#: query rebuild state from the source (the sessionizer is deterministic
+#: over replayed events).
 _STATE_SCHEMA = StructType(
     [
         StructField("starts_ms", ArrayType(LongType())),
