@@ -7,17 +7,29 @@ extraction, frame sampling) runs as Arrow-batched ``mapInPandas`` so at
 row-at-a-time Python overhead, and the binary payload never transits the
 driver.
 
-The actual media decode is STUBBED: the container has no image/audio
-libraries, so ``_fake_decode`` derives deterministic pseudo-metadata from a
-sha256 of the payload.  The Spark-side contract — schema, batching, and
+Decode strategy (``_decode``): recognized image containers get REAL
+metadata — via PIL when installed, else via pure-Python container header
+parsing (PNG IHDR, GIF logical-screen + block walk, JPEG SOF scan) — so
+real bytes yield real width/height with zero extra dependencies.
+Unrecognized payloads (e.g. the text-derived gate corpus) fall back to
+``_fake_decode``'s deterministic sha256-derived pseudo-metadata, which
+keeps every gate oracle replayable in DuckDB.  Pixel-level work (resize)
+is real only under PIL; without it the resize payload stays a
+deterministic stub.  The Spark-side contract — schema, batching, and
 partition behavior — is real and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 from typing import Any
+
+try:  # optional: real pixel decode/resize when pillow is installed
+    from PIL import Image as _PILImage  # type: ignore
+except Exception:  # pragma: no cover - container has no pillow
+    _PILImage = None
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -50,9 +62,10 @@ METADATA_SCHEMA = StructType(
 def _fake_decode(payload: bytes) -> dict[str, Any]:
     """Deterministic stand-in for a real media decoder.
 
-    A real implementation would go through PIL / torchaudio / pyav here;
-    those libraries are not installed in this container, so dimensions are
-    derived from the content hash (stable across runs and partitionings).
+    Used for payloads that are not a recognized image container (the
+    text-derived gate corpus lands here): dimensions are derived from the
+    content hash (stable across runs and partitionings), which is what
+    makes the multimodal gates value-replayable in DuckDB.
     """
     digest = hashlib.sha256(payload).digest()
     return {
@@ -61,6 +74,106 @@ def _fake_decode(payload: bytes) -> dict[str, Any]:
         "height": 64 + digest[1] % 192,
         "n_frames": 1 + digest[2] % 30,
     }
+
+
+def _parse_png(b: bytes) -> dict[str, int] | None:
+    """PNG IHDR: width/height are the first 8 bytes of the first chunk."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack(">II", b[16:24])
+    return {"width": width, "height": height, "n_frames": 1}
+
+
+def _parse_gif(b: bytes) -> dict[str, int] | None:
+    """GIF logical screen descriptor + a block walk counting image
+    descriptors (= frames).  The walk follows the container grammar, so
+    0x2C bytes inside pixel data are never miscounted as frames."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack("<HH", b[6:10])
+    pos = 13
+    flags = b[10]
+    if flags & 0x80:  # global color table: 3 * 2^(depth+1) bytes
+        pos += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    try:
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                n_frames += 1
+                pos += 9
+                lflags = b[pos]
+                pos += 1
+                if lflags & 0x80:  # local color table
+                    pos += 3 * (2 << (lflags & 0x07))
+                pos += 1  # LZW minimum code size
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            else:  # corrupt stream — treat as unparseable
+                return None
+    except IndexError:
+        return None  # truncated stream
+    return {"width": width, "height": height, "n_frames": max(n_frames, 1)}
+
+
+def _parse_jpeg(b: bytes) -> dict[str, int] | None:
+    """JPEG SOF marker scan: height/width live in the first
+    start-of-frame segment (SOF0-15 except the DHT/DAC/RST family)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(b):
+                return None
+            height, width = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return {"width": width, "height": height, "n_frames": 1}
+        pos += 2 + seg_len
+    return None
+
+
+def _decode(payload: bytes) -> dict[str, Any]:
+    """Real metadata for recognized image bytes, sha256 stub otherwise.
+
+    PIL (when installed) handles any format it knows, including
+    multi-frame containers; the pure-Python header parsers cover
+    PNG/GIF/JPEG with no dependencies.  Either way the sha256 content
+    hash is computed from the payload — it doubles as the dedup key.
+    """
+    sha = hashlib.sha256(payload).hexdigest()
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                return {
+                    "sha256": sha,
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "n_frames": int(getattr(img, "n_frames", 1)),
+                }
+        except Exception:
+            pass  # not an image PIL knows — try the header parsers
+    for parse in (_parse_png, _parse_gif, _parse_jpeg):
+        meta = parse(payload)
+        if meta is not None:
+            return {"sha256": sha, **meta}
+    return _fake_decode(payload)
 
 
 def extract_binary_metadata(media: DataFrame) -> DataFrame:
@@ -73,7 +186,7 @@ def extract_binary_metadata(media: DataFrame) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -118,13 +231,29 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for an image resize (real impl: PIL).
+    """Deterministic stand-in for an image resize.
 
     Output depends only on (payload, width, height) so results are stable
     across partitionings and re-runs.
     """
     seed = hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
     return seed * (1 + (width * height) // (4 * len(seed)))
+
+
+def _do_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real pixel resize when PIL can decode the payload (re-encoded as
+    PNG for a deterministic byte stream), deterministic stub otherwise."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as img:
+                out = io.BytesIO()
+                img.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:
+            pass  # not an image PIL knows — fall through to the stub
+    return _fake_resize(payload, width, height)
 
 
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -142,7 +271,7 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "payload": [
-                        _fake_resize(bytes(p), width, height) for p in pdf["payload"]
+                        _do_resize(bytes(p), width, height) for p in pdf["payload"]
                     ],
                     "width": pd.Series([width] * len(pdf), dtype="int32"),
                     "height": pd.Series([height] * len(pdf), dtype="int32"),
@@ -170,7 +299,7 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
             payloads: list[bytes] = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(p)
-                n_frames = _fake_decode(raw)["n_frames"]
+                n_frames = _decode(raw)["n_frames"]
                 for i in range(0, n_frames, every_n):
                     ids.append(int(doc_id))
                     idxs.append(i)

@@ -86,3 +86,94 @@ def test_feature_extraction_feeds_similarity(media, spark):
     topk = ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 2), k=3, dim=16)
     got = topk.collect()
     assert all(r["q_id"] in (0, 1) and r["vec_id"] != r["q_id"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Real container decode (optional-PIL path + pure-Python header parsers)
+# ---------------------------------------------------------------------------
+
+
+def _png_1x1() -> bytes:
+    """A real, fully valid 1x1 grayscale PNG built from the spec."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1, 8-bit gray
+    idat = zlib.compress(b"\x00\x80")  # filter byte + one pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_2frames_3x2() -> bytes:
+    """A real 3x2 GIF89a with two frames (minimal LZW payload per frame)."""
+    import struct
+
+    header = b"GIF89a" + struct.pack("<HH", 3, 2) + bytes([0x80, 0, 0])
+    palette = b"\x00\x00\x00\xff\xff\xff"  # 2-entry global color table
+    frame = (
+        b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 2) + b"\x00"  # descriptor
+        + b"\x02" + b"\x02\x44\x01" + b"\x00"  # LZW min code + 1 sub-block
+    )
+    return header + palette + frame + frame + b"\x3b"
+
+
+def _jpeg_sof_5x7() -> bytes:
+    """A JPEG prefix through its SOF0 marker declaring height=7 width=5."""
+    import struct
+
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 7, 5, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof
+
+
+def test_real_png_bytes_yield_real_dimensions(spark):
+    from jobcan_data_integrator_spark.operators.multimodal import _decode
+
+    png = _png_1x1()
+    meta = _decode(png)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (1, 1, 1)
+
+    # and through the full Spark mapInPandas path
+    df = spark.createDataFrame(
+        [(1, png, "image/png")], "doc_id long, payload binary, mime string"
+    )
+    row = extract_binary_metadata(df).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (1, 1, 1)
+    assert row.n_bytes == len(png)
+    import hashlib
+
+    assert row.sha256 == hashlib.sha256(png).hexdigest()
+
+
+def test_real_gif_and_jpeg_headers_parse(spark):
+    from jobcan_data_integrator_spark.operators.multimodal import _decode
+
+    gif = _decode(_gif_2frames_3x2())
+    assert (gif["width"], gif["height"], gif["n_frames"]) == (3, 2, 2)
+    jpg = _decode(_jpeg_sof_5x7())
+    assert (jpg["width"], jpg["height"]) == (5, 7)
+
+
+def test_unrecognized_payload_keeps_sha256_stub_contract():
+    from jobcan_data_integrator_spark.operators.multimodal import _decode
+
+    payload = b"just some text bytes, not an image"
+    assert _decode(payload) == _fake_decode(payload)
+
+
+def test_frame_sampling_uses_real_frame_count(spark):
+    gif = _gif_2frames_3x2()
+    df = spark.createDataFrame([(1, gif)], "doc_id long, payload binary")
+    rows = sample_frames(df, every_n=1).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 1]
