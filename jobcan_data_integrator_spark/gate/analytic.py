@@ -203,25 +203,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@gate(
-    "j1_customer_details",
-    oracle="""
-    SELECT c.c_custkey, c.c_name,
-           n.n_name AS nation_name, r.r_name AS region_name,
-           CASE c.c_mktsegment
-                WHEN 'BUILDING' THEN '建築' WHEN 'AUTOMOBILE' THEN '自動車'
-                WHEN 'MACHINERY' THEN '機械' WHEN 'HOUSEHOLD' THEN '家庭'
-                ELSE c.c_mktsegment END AS segment_jp,
-           c.c_acctbal AS acctbal,
-           CASE WHEN c.c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS acctbal_flag
-    FROM customer c
-    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-    """,
-    doc="J1/J2 (create_views.sql:7-42): chained LEFT joins to broadcast "
-    "dimensions + CASE decode with ELSE passthrough (create_views.sql:130-138).",
-)
+# NOT driver-gated: the registry is capped at 50 rows (the driver
+# artifact's observed limit) and this was its weakest evidence row — the
+# broadcast-left-join + CASE-decode shape is already value-proven by
+# j2/j3/j4 and the view goldens.  The query stays covered by a pytest
+# golden (tests/test_gate_oracle.py::test_j1_customer_details_golden)
+# with the identical DuckDB oracle; its registry slot now carries
+# dd_incremental_dedup (gate/llm.py).
 def j1_customer_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 (create_views.sql:7-42): chained LEFT joins to broadcast
+    dimensions + CASE decode with ELSE passthrough
+    (create_views.sql:130-138)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

@@ -55,13 +55,19 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: universal-hash family h_i(x) = (A[i]*x + B[i]) mod P over a base 60-bit
-#: md5 hash reduced mod P — ONE md5 per shingle instead of k (the md5 was
-#: ~8x of the minhash cost); plain bigint math replays identically in any
-#: engine (P = 2^31 - 1 keeps every product under 2^63).
-_MH_P = 2_147_483_647
-_MH_A = [1103515245, 1103517221, 2654435761, 805306457, 668265263, 374761393, 969581051, 1540483477]
-_MH_B = [12345, 362437, 521288629, 88675123, 5783321, 6543989, 14665, 9999971]
+#: universal-hash family (see operators/minhash.py — the ONE
+#: implementation shared with the incremental index; these aliases keep
+#: the oracle CTE strings below in lockstep with the Spark side).
+from jobcan_data_integrator_spark.operators.minhash import (  # noqa: E402
+    MH_A as _MH_A,
+    MH_B as _MH_B,
+    MH_P as _MH_P,
+    band_rows as _band_rows,
+    candidate_pairs as _candidate_pairs,
+    shingle_sizes as _shingle_sizes,
+    signature_rows as _signature_rows,
+    verify_candidate_pairs as _verify_candidate_pairs,
+)
 
 
 def _sql_arr(vals: list[int]) -> str:
@@ -157,23 +163,7 @@ def minhash_signature_rows(
         hashed_shingles = _shingle_rows(spark, sf_dir).select(
             "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
         )
-    a = "array(" + ", ".join(f"{v}L" for v in _MH_A[:n_hashes]) + ")"
-    b = "array(" + ", ".join(f"{v}L" for v in _MH_B[:n_hashes]) + ")"
-    hashed = hashed_shingles.select(
-        "doc_id", F.expr(f"pmod(shingle, {_MH_P})").alias("hs")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_hashes - 1}), i -> struct(i,"
-                f" pmod(element_at({a}, i + 1) * hs + element_at({b}, i + 1),"
-                f" {_MH_P}) as h))"
-            )
-        ).alias("x"),
-    )
-    return hashed.groupBy("doc_id", F.col("x.i").alias("h_idx")).agg(
-        F.min("x.h").alias("minhash")
-    )
+    return _signature_rows(hashed_shingles, n_hashes)
 
 
 def minhash_bands(
@@ -184,20 +174,11 @@ def minhash_bands(
     hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_idx, band_key) — LSH banding of the minhash signature."""
-    sig_rows = minhash_signature_rows(spark, sf_dir, n_hashes, hashed_shingles)
-    return (
-        sig_rows.groupBy("doc_id", F.expr(f"h_idx div {band_size}").alias("band_idx"))
-        .agg(F.array_sort(F.collect_list(F.struct("h_idx", "minhash"))).alias("mins"))
-        .select(
-            "doc_id",
-            "band_idx",
-            F.md5(
-                F.concat_ws(
-                    "_", F.transform(F.col("mins"), lambda x: x["minhash"].cast("string"))
-                ).cast("binary")
-            ).alias("band_key"),
+    if hashed_shingles is None:
+        hashed_shingles = _shingle_rows(spark, sf_dir).select(
+            "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
         )
-    )
+    return _band_rows(hashed_shingles, n_hashes, band_size)
 
 
 #: hot-shingle document-frequency cap for the exhaustive Jaccard gate —
@@ -280,62 +261,19 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass of the expensive shingle window feeds BOTH the minhash
     # signature path and the exact-Jaccard verify path (the two would
-    # otherwise each re-run explode+window over the whole corpus).
+    # otherwise each re-run explode+window over the whole corpus).  The
+    # building blocks live in operators/minhash.py — the SAME functions
+    # the incremental index uses, which is what makes the
+    # dd_incremental_dedup equivalence hold by construction.
     hashed = _shingle_rows(spark, sf_dir).select(
         "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
     ).cache()
-    bands = minhash_bands(spark, sf_dir, hashed_shingles=hashed).cache()
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("ba.band_idx") == F.col("bb.band_idx"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
-        .distinct()
-        # the candidate set feeds the intersection join AND the final
-        # left join; it is tiny (that is the point of LSH) — cache it
-        .cache()
-    )
+    bands = _band_rows(hashed).cache()
+    # the candidate set feeds the intersection join AND the final left
+    # join; it is tiny (that is the point of LSH) — cache it
+    cands = _candidate_pairs(bands).cache()
     sh = hashed.distinct().cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        F.broadcast(cands)
-        .join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    # Left join back onto the candidate set so candidates with zero shared
-    # shingles surface with n_common = 0 — the output rows ARE the
-    # candidates, making this gate subsume candidate generation.
-    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
-    return (
-        cands.join(inter, ["doc_a", "doc_b"], "left")
-        .join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            n_common.alias("n_common"),
-            F.round(
-                n_common.cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - n_common),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    return _verify_candidate_pairs(cands, sh, _shingle_sizes(sh))
 
 
 @gate(
@@ -374,6 +312,55 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dd_lsh_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
     return dup_clusters(pairs)
+
+
+def _index_root(sf_dir: str) -> str:
+    """Scratch root for the incremental-dedup index tables: stable per
+    (process, sf_dir) so repeated gate runs overwrite rather than
+    accumulate, and concurrent processes never share a store."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    return _os.path.join(_tf.gettempdir(), f"jdi-mh-index-{tag}-{_os.getpid()}")
+
+
+@gate(
+    "dd_incremental_dedup",
+    oracle=f"""
+    WITH {_VERIFIED_CTES}
+    SELECT doc_a, doc_b, n_common, jaccard FROM verified
+    """,
+    doc="Incremental new-vs-corpus dedup (operators/incremental.py): the "
+    "corpus (doc_id % 10 < 8) is indexed ONCE — LSH band table, shingle "
+    "sets, sizes, and corpus-internal verified pairs persisted via "
+    "TableStore — and the increment (the other 20% of docs) is deduped "
+    "by joining ONLY against that index: new-vs-corpus candidates from "
+    "new_bands ⋈ mh_bands, new-vs-new from the increment's self-join, "
+    "verify over candidate docs' shingle sets.  The oracle is the FULL-"
+    "corpus pipeline, so a green hash PROVES full ≡ index ∪ increment — "
+    "the property that turns per-batch dedup cost from corpus-linear "
+    "into increment-linear at 100 TB.  Reference analog: the incremental "
+    "outline fetch (api_client.py:521-597) — increments against "
+    "persisted state, never full snapshots.",
+)
+def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_increment,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    ).cache()
+    corpus = hashed.filter(F.col("doc_id") % 10 < 8)
+    increment = hashed.filter(F.col("doc_id") % 10 >= 8)
+    store = TableStore(spark, _index_root(sf_dir), write_partitions=4)
+    build_minhash_index(store, corpus)
+    inc_pairs = dedup_increment(store, increment)
+    return store.read("mh_pairs").unionByName(inc_pairs)
 
 
 #: SimHash geometry: fingerprint width and pigeonhole block count.  For

@@ -1,0 +1,140 @@
+"""Incremental (new-vs-corpus) deduplication over a persisted MinHash
+index.
+
+A 100 TB training pipeline cannot re-dedup the whole corpus for every
+ingest batch — the full-corpus LSH pipeline (gate/llm.py
+dd_lsh_verified_pairs) is linear in CORPUS size per run, so running it
+per batch is quadratic over the pipeline's lifetime.  The scale-correct
+composition persists an INDEX of the corpus:
+
+- ``mh_bands``    (doc_id, band_idx, band_key) — the LSH band table
+- ``mh_shingles`` (doc_id, shingle)            — distinct shingle sets
+- ``mh_sizes``    (doc_id, n)                  — Jaccard denominators
+- ``mh_pairs``    (doc_a, doc_b, n_common, jaccard) — verified
+  corpus-internal pairs (the previous runs' output)
+
+and joins ONLY each increment against it: new-vs-corpus candidates come
+from ``new_bands ⋈ mh_bands`` (the big side is touched once, by an
+equi-join on the band key), new-vs-new from the increment's self-join,
+and the verify stage reads corpus shingles only for candidate docs.
+Per-batch cost is therefore linear in the INCREMENT (times the
+candidate fan-out), not the corpus.
+
+Equivalence contract (driver-gated in dd_incremental_dedup): banding
+and verification are per-doc deterministic, so
+
+    full_corpus_pairs ≡ mh_pairs ∪ dedup_increment(new_docs)
+
+holds exactly — the gate runs the split pipeline in Spark against the
+full-corpus SQL oracle and the driver hash-compares the values.
+
+Reference analog: the reference never refetches full snapshots either —
+`/root/reference/jobcan_di/gateway/api_client.py:521-597` pulls
+increments against persisted state; this is the same stance applied to
+the dedup index.  Storage: a TableStore (plain or snapshot-isolation
+mode); at warehouse scale these tables would be bucketed by doc_id /
+band_key and the pair upsert becomes a Delta/Iceberg MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from jobcan_data_integrator_spark.operators.minhash import (
+    band_rows,
+    candidate_pairs,
+    shingle_sizes,
+    verify_candidate_pairs,
+)
+from jobcan_data_integrator_spark.storage import TableStore
+
+#: the index's table names, in commit-manifest order
+INDEX_TABLES = ("mh_bands", "mh_shingles", "mh_sizes", "mh_pairs")
+
+
+def build_minhash_index(
+    store: TableStore,
+    hashed_shingles: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Build the dedup index for an initial corpus: band table, shingle
+    sets, sizes, and the corpus-internal verified pairs — one multi-table
+    commit (crash mid-build is detected via the commit manifest and the
+    idempotent re-run converges)."""
+    hashed = hashed_shingles.cache()
+    sh = hashed.select("doc_id", "shingle").distinct().cache()
+    bands = band_rows(hashed, n_hashes, band_size).cache()
+    try:
+        sizes = shingle_sizes(sh)
+        cands = candidate_pairs(bands)
+        pairs = verify_candidate_pairs(cands, sh, sizes)
+        store.begin_commit("mh-index-build", list(INDEX_TABLES))
+        store.overwrite("mh_bands", bands)
+        store.overwrite("mh_shingles", sh)
+        store.overwrite("mh_sizes", sizes)
+        store.overwrite("mh_pairs", pairs)
+        store.end_commit()
+    finally:
+        # the build is EAGER (all four tables written above), so the
+        # scratch caches can be dropped before returning
+        bands.unpersist()
+        sh.unpersist()
+        hashed.unpersist()
+
+
+def dedup_increment(
+    store: TableStore,
+    new_hashed_shingles: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Verified near-dup pairs INVOLVING the increment: new-vs-corpus
+    plus new-vs-new, with the exact columns/values the full-corpus
+    pipeline would produce for those pairs.
+
+    The corpus side is touched by (1) one band-key equi-join against the
+    persisted band table and (2) a shingle fetch for candidate docs — no
+    corpus-wide shingling, no corpus self-join.  Union the result with
+    the stored ``mh_pairs`` to reproduce the full-corpus pair set.
+    """
+    new_hashed = new_hashed_shingles.cache()
+    new_sh = new_hashed.select("doc_id", "shingle").distinct().cache()
+    new_bands = band_rows(new_hashed, n_hashes, band_size).cache()
+    corpus_bands = store.read("mh_bands")
+    cands = candidate_pairs(new_bands, corpus_bands).unionByName(
+        candidate_pairs(new_bands)
+    ).distinct()
+    shingles = store.read("mh_shingles").unionByName(new_sh)
+    sizes = store.read("mh_sizes").unionByName(shingle_sizes(new_sh))
+    return verify_candidate_pairs(cands, shingles, sizes)
+
+
+def extend_index(
+    store: TableStore,
+    new_hashed_shingles: DataFrame,
+    new_pairs: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Absorb a processed increment into the index so the NEXT increment
+    dedups against it: append the increment's bands/shingles/sizes and
+    upsert its verified pairs.  After this, ``mh_pairs`` holds the full
+    pair set over everything indexed so far."""
+    # ``new_pairs`` (from dedup_increment) lazily SCANS the index tables
+    # this function is about to rewrite — materialize it first, or the
+    # upsert below would read replaced files (FAILED_READ_FILE).  On a
+    # snapshot-isolation store the old version dirs would survive one
+    # publish, but plain mode swaps in place, so the checkpoint is the
+    # mode-independent contract.
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    new_sh = new_hashed_shingles.select("doc_id", "shingle").distinct().cache()
+    store.begin_commit("mh-index-extend", list(INDEX_TABLES))
+    store.merge_insert_missing(
+        "mh_bands", band_rows(new_hashed_shingles, n_hashes, band_size),
+        ["doc_id", "band_idx"],
+    )
+    store.merge_insert_missing("mh_shingles", new_sh, ["doc_id", "shingle"])
+    store.merge_insert_missing("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
+    store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.end_commit()

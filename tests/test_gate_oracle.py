@@ -81,6 +81,36 @@ def test_every_gate_has_a_value_oracle():
     assert sorted(REGISTRY) == ORACLE_QUERIES
 
 
+#: j1 was rotated out of the 50-row driver registry (its slot carries
+#: dd_incremental_dedup now) but keeps the SAME dual-engine value golden
+#: here so the J1 evidence never regresses.
+_J1_ORACLE = """
+    SELECT c.c_custkey, c.c_name,
+           n.n_name AS nation_name, r.r_name AS region_name,
+           CASE c.c_mktsegment
+                WHEN 'BUILDING' THEN '建築' WHEN 'AUTOMOBILE' THEN '自動車'
+                WHEN 'MACHINERY' THEN '機械' WHEN 'HOUSEHOLD' THEN '家庭'
+                ELSE c.c_mktsegment END AS segment_jp,
+           c.c_acctbal AS acctbal,
+           CASE WHEN c.c_acctbal < 0 THEN 'negative' ELSE 'ok' END AS acctbal_flag
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def test_j1_customer_details_golden(spark, sf_dir):
+    from jobcan_data_integrator_spark.gate.analytic import j1_customer_details
+
+    sdf = j1_customer_details(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_J1_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    d_recs = res.fetchall()
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, d_recs)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -1,0 +1,85 @@
+"""Incremental new-vs-corpus dedup (operators/incremental.py).
+
+The load-bearing property: for ANY split of the corpus into
+corpus + increment,
+
+    full_corpus_pairs ≡ stored_index_pairs ∪ dedup_increment(increment)
+
+— exactly, values included.  The driver gate (dd_incremental_dedup)
+proves one split against the DuckDB full-corpus oracle; these tests
+prove a second split, the two-increment composition via extend_index,
+and the index's crash-recovery manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.gate._common import _H, _shingle_rows
+from jobcan_data_integrator_spark.gate.llm import dd_lsh_verified_pairs
+from jobcan_data_integrator_spark.operators.incremental import (
+    INDEX_TABLES,
+    build_minhash_index,
+    dedup_increment,
+    extend_index,
+)
+from jobcan_data_integrator_spark.storage import TableStore
+
+
+def _hashed(spark, sf_dir):
+    return _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    )
+
+
+def _pairs_set(df):
+    return {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in df.collect()
+    }
+
+
+def test_split_equals_full_corpus(spark, sf_dir, tmp_path):
+    hashed = _hashed(spark, sf_dir).cache()
+    full = _pairs_set(dd_lsh_verified_pairs(spark, sf_dir))
+
+    # a DIFFERENT split than the driver gate's % 10 < 8
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 3 != 0))
+    inc = dedup_increment(store, hashed.filter(F.col("doc_id") % 3 == 0))
+    combined = _pairs_set(store.read("mh_pairs")) | _pairs_set(inc)
+    assert combined == full
+    for t in INDEX_TABLES:
+        assert store.exists(t)
+
+
+def test_two_increments_via_extend_index(spark, sf_dir, tmp_path):
+    hashed = _hashed(spark, sf_dir).cache()
+    full = _pairs_set(dd_lsh_verified_pairs(spark, sf_dir))
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 4 < 2))
+    inc1_sh = hashed.filter(F.col("doc_id") % 4 == 2)
+    inc1 = dedup_increment(store, inc1_sh)
+    extend_index(store, inc1_sh, inc1)
+    # after absorption, mh_pairs covers everything indexed so far
+    inc2 = dedup_increment(store, hashed.filter(F.col("doc_id") % 4 == 3))
+    combined = _pairs_set(store.read("mh_pairs")) | _pairs_set(inc2)
+    assert combined == full
+
+
+def test_crash_mid_build_is_detected(spark, sf_dir, tmp_path):
+    hashed = _hashed(spark, sf_dir).filter(F.col("doc_id") < 100)
+    store = TableStore(spark, tmp_path, write_partitions=2)
+
+    # simulate a crash between tables: begin the manifest, write one
+    # table, die before end_commit
+    store.begin_commit("mh-index-build", list(INDEX_TABLES))
+    store.overwrite("mh_bands", _hashed(spark, sf_dir).limit(0))
+    pending = TableStore(spark, tmp_path, write_partitions=2).pending_commit()
+    assert pending is not None and "mh_pairs" in pending["tables"]
+
+    # the idempotent replay converges and clears the manifest
+    build_minhash_index(store, hashed)
+    assert store.pending_commit() is None
+    assert store.read("mh_bands").count() > 0
