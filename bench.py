@@ -17,6 +17,14 @@ collect overhead) after a JVM/session warmup pass.  The suite runs
 $SPARK_GRAFT_BENCH_TRIALS times (default 3) in one session; reported
 numbers are per-query and total MEDIANS with the raw trial totals
 alongside — a distribution, not a single sample.
+
+Per-gate regression tracking: BENCH_BASELINE.json freezes each gate's
+recorded per-query median (suite composition changes round to round, so
+suite-total comparisons stop meaning anything — per-gate ratios stay
+attributable).  The output carries "vs_baseline" (gate -> median /
+frozen baseline; null for gates added after the freeze, at a different
+sf, or at a different cpu count) and "regressions" (gates over
+2x) so a slowdown names its query instead of hiding in the total.
 """
 
 from __future__ import annotations
@@ -114,6 +122,30 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings = {name: round(_median(ts), 3) for name, ts in per_query.items()}
+
+    vs_baseline: dict[str, float | None] = {}
+    regressions: list[str] = []
+    baseline_path = Path(_REPO) / "BENCH_BASELINE.json"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text())
+        meta = baseline.get("_meta", {})
+        comparable = (
+            str(meta.get("sf")) == sf and str(meta.get("cpus")) == (cpus or "32")
+        )
+        for name in suite:
+            base = baseline["queries"].get(name) if comparable else None
+            if base:
+                ratio = round(timings[name] / base, 2)
+                vs_baseline[name] = ratio
+                # ratio alone false-flags sub-second gates (host jitter
+                # is ±0.3s here; measured A/B/A against the frozen
+                # commit) — require a real absolute delta too
+                if ratio > 2.0 and timings[name] - base > 0.5:
+                    regressions.append(name)
+            else:
+                vs_baseline[name] = None
+
     print(
         json.dumps(
             {
@@ -132,6 +164,8 @@ def main() -> None:
                 "trials": sorted(headline_totals),
                 "value_full": round(_median(full_totals), 3),
                 "trials_full": sorted(full_totals),
+                "vs_baseline": vs_baseline,
+                "regressions": sorted(regressions),
             }
         )
     )

@@ -59,15 +59,18 @@ METADATA_SCHEMA = StructType(
 )
 
 
-def _fake_decode(payload: bytes) -> dict[str, Any]:
+def _fake_decode(payload: bytes, digest: bytes | None = None) -> dict[str, Any]:
     """Deterministic stand-in for a real media decoder.
 
     Used for payloads that are not a recognized image container (the
     text-derived gate corpus lands here): dimensions are derived from the
     content hash (stable across runs and partitionings), which is what
-    makes the multimodal gates value-replayable in DuckDB.
+    makes the multimodal gates value-replayable in DuckDB.  ``digest``
+    lets ``_decode`` share its already-computed sha256 instead of
+    hashing the payload a second time.
     """
-    digest = hashlib.sha256(payload).digest()
+    if digest is None:
+        digest = hashlib.sha256(payload).digest()
     return {
         "sha256": digest.hex(),
         "width": 64 + digest[0] % 192,
@@ -155,7 +158,8 @@ def _decode(payload: bytes) -> dict[str, Any]:
     PNG/GIF/JPEG with no dependencies.  Either way the sha256 content
     hash is computed from the payload — it doubles as the dedup key.
     """
-    sha = hashlib.sha256(payload).hexdigest()
+    digest = hashlib.sha256(payload).digest()
+    sha = digest.hex()
     if _PILImage is not None:
         import io
 
@@ -173,7 +177,7 @@ def _decode(payload: bytes) -> dict[str, Any]:
         meta = parse(payload)
         if meta is not None:
             return {"sha256": sha, **meta}
-    return _fake_decode(payload)
+    return _fake_decode(payload, digest)
 
 
 def extract_binary_metadata(media: DataFrame) -> DataFrame:
