@@ -24,6 +24,11 @@ so FK joins keep their selectivity:
   the same reason (identical vectors would pile into identical LSH
   buckets and square the candidate volume).
 
+Also runs a HOT-KEY SKEW experiment: a same-volume variant of sf0.1
+where one user owns 50% of all events, isolating skew cost from scale
+cost for the collect_list-bound a6 reconstruct (the 10x smoke's most
+data-bound gate).
+
 Usage: python scale_smoke.py [out_dir]  (default /tmp/spark_graft_sf1;
 reuses the synthesized tables if already present).  Prints one JSON line
 per suite (sf0.1 reference, sf1) plus a per-query ratio table.
@@ -134,6 +139,40 @@ def synthesize(spark, out_dir: Path) -> None:
         )
 
 
+#: a6's collect_list is the one data-bound aggregation whose cost
+#: concentrates on a hot key; flag if the same-volume skewed corpus runs
+#: worse than this many x the uniform one (a skew-tolerant plan is ~1x,
+#: the single hot reducer building a half-corpus array costs some).
+SKEW_BUDGET = 5.0
+
+#: the gate whose hot-key behavior the skew experiment measures
+SKEW_GATE = "a6_json_reconstruct_user_events"
+
+
+def synthesize_skew(spark, skew_dir: Path) -> None:
+    """Same tables and VOLUME as sf0.1, but one user owns ~50% of events
+    (every even event_id reassigned to the minimum user) — isolates
+    hot-key cost from scale-up cost.  Non-event tables are symlinked."""
+    ev = load_table(spark, SRC_SF, "events")
+    hot = ev.agg(F.min("user_id")).collect()[0][0]
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(hot)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    skew_dir.mkdir(parents=True, exist_ok=True)
+    skewed.repartition(16).write.mode("overwrite").parquet(
+        str(skew_dir / "events.parquet")
+    )
+    for table in TESTDATA_TABLES:
+        if table == "events":
+            continue
+        link = skew_dir / f"{table}.parquet"
+        if not link.exists():
+            os.symlink(f"{SRC_SF}/{table}.parquet", link)
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     queries = _gate.queries()
     out: dict[str, float] = {}
@@ -166,17 +205,43 @@ def main() -> None:
     base = run_suite(spark, SRC_SF)
     scaled = run_suite(spark, str(out_dir))
 
+    # hot-key skew experiment: same volume, half the events on one user
+    skew_dir = out_dir.parent / f"{out_dir.name}_skew"
+    if not (skew_dir / "events.parquet").exists():
+        synthesize_skew(spark, skew_dir)
+    queries = _gate.queries()
+    skew_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        queries[SKEW_GATE](spark, str(skew_dir)).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        skew_times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    skew_t = round(sorted(skew_times)[1], 3)
+    skew_ratio = round(skew_t / base[SKEW_GATE], 2) if base[SKEW_GATE] else None
+
     ratios = {
         n: round(scaled[n] / base[n], 2) if base[n] > 0 else None for n in HEADLINE
     }
     flagged = {n: r for n, r in ratios.items() if r and r > SCALE_BUDGET}
+    if skew_ratio and skew_ratio > SKEW_BUDGET:
+        flagged[f"{SKEW_GATE}@skew"] = skew_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
-                      "scale_budget": SCALE_BUDGET, "flagged": flagged}))
+                      "scale_budget": SCALE_BUDGET, "flagged": flagged,
+                      "skew": {"gate": SKEW_GATE, "uniform_sec": base[SKEW_GATE],
+                               "skewed_sec": skew_t, "ratio": skew_ratio,
+                               "budget": SKEW_BUDGET,
+                               "note": "same-volume corpus, one user owns "
+                               "50% of events (median of 3)"}}))
     for n in HEADLINE:
         print(f"# {base[n]:8.2f} -> {scaled[n]:8.2f}  ({ratios[n]:6.2f}x)  {n}",
               file=sys.stderr)
+    print(f"# skew: {SKEW_GATE} {base[SKEW_GATE]:.2f} uniform -> "
+          f"{skew_t:.2f} skewed ({skew_ratio}x, budget {SKEW_BUDGET}x)",
+          file=sys.stderr)
     if flagged:
         print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",
               file=sys.stderr)
