@@ -467,41 +467,17 @@ _SIMHASH_CTE = f"""
     "computed once (cached; persisted at ingest in a real deployment).",
 )
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block/pair building blocks live in operators/simhash.py — the SAME
+    # functions the incremental SimHash index uses (full ≡ index ∪
+    # increment by construction; tests/test_incremental_dedup.py).
+    from jobcan_data_integrator_spark.operators.simhash import (
+        block_rows,
+        near_dup_pairs,
+    )
+
     sig = _simhash_signatures(spark, sf_dir).cache()
-    blocks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(_SH_BLOCKS - 1))).alias("b"),
-    ).withColumn(
-        "block_val",
-        F.expr(
-            f"(simhash >> cast({_SH_BLOCK_BITS} * b as int))"
-            f" & {(1 << _SH_BLOCK_BITS) - 1}"
-        ),
-    )
-    a = blocks.alias("a")
-    c = blocks.alias("b")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= _SH_BLOCKS - 1)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    blocks = block_rows(sig, _SH_BLOCKS, _SH_BLOCK_BITS)
+    return near_dup_pairs(blocks, n_blocks=_SH_BLOCKS)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
-"""Incremental (new-vs-corpus) deduplication over a persisted MinHash
-index.
+"""Incremental (new-vs-corpus) deduplication and ANN indexing over
+persisted index tables — MinHash bands, SimHash blocks, and IVF cell
+assignments (the three index families this engine maintains).
 
 A 100 TB training pipeline cannot re-dedup the whole corpus for every
 ingest batch — the full-corpus LSH pipeline (gate/llm.py
@@ -137,4 +138,132 @@ def extend_index(
     store.merge_insert_missing("mh_shingles", new_sh, ["doc_id", "shingle"])
     store.merge_insert_missing("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
     store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# SimHash block index (same incremental stance, Hamming-distance dedup)
+# ---------------------------------------------------------------------------
+
+#: SimHash index tables: the signature table is the index (blocks are a
+#: pure per-row projection of it); pairs are the accumulated output.
+SIMHASH_TABLES = ("sh_signatures", "sh_pairs")
+
+
+def build_simhash_index(
+    store: TableStore,
+    signatures: DataFrame,
+    n_blocks: int = 4,
+    block_bits: int = 15,
+) -> None:
+    """Persist (doc_id, simhash) plus the corpus-internal near-dup pairs
+    (doc_a, doc_b, hamming) for an initial corpus."""
+    from jobcan_data_integrator_spark.operators.simhash import (
+        block_rows,
+        near_dup_pairs,
+    )
+
+    sig = signatures.cache()
+    try:
+        pairs = near_dup_pairs(block_rows(sig, n_blocks, block_bits), n_blocks=n_blocks)
+        store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
+        store.overwrite("sh_signatures", sig)
+        store.overwrite("sh_pairs", pairs)
+        store.end_commit()
+    finally:
+        sig.unpersist()
+
+
+def simhash_increment(
+    store: TableStore,
+    new_signatures: DataFrame,
+    n_blocks: int = 4,
+    block_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the increment (new-vs-corpus ∪
+    new-vs-new) — union with stored ``sh_pairs`` to reproduce the full
+    corpus's pair set.  The corpus side is one block-key equi-join
+    against the persisted signature table; block explosion of both sides
+    is a narrow projection, so per-batch shuffle volume is bounded by
+    the candidate set, not the corpus."""
+    from jobcan_data_integrator_spark.operators.simhash import (
+        block_rows,
+        near_dup_pairs,
+    )
+
+    new_blocks = block_rows(new_signatures.cache(), n_blocks, block_bits).cache()
+    corpus_blocks = block_rows(store.read("sh_signatures"), n_blocks, block_bits)
+    return near_dup_pairs(
+        new_blocks, corpus_blocks, n_blocks=n_blocks
+    ).unionByName(near_dup_pairs(new_blocks, n_blocks=n_blocks)).distinct()
+
+
+def extend_simhash_index(
+    store: TableStore, new_signatures: DataFrame, new_pairs: DataFrame
+) -> None:
+    """Absorb a processed increment: append signatures, upsert pairs.
+    ``new_pairs`` is materialized first — it lazily scans the signature
+    table being rewritten (same contract as extend_index)."""
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    store.begin_commit("sh-index-extend", list(SIMHASH_TABLES))
+    store.merge_insert_missing("sh_signatures", new_signatures, ["doc_id"])
+    store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-assignment index (incremental ANN indexing)
+# ---------------------------------------------------------------------------
+
+#: IVF index tables: trained codebook + per-vector cell assignments.
+IVF_TABLES = ("ivf_codebook", "ivf_assignments")
+
+
+def build_ivf_index(
+    store: TableStore, emb: DataFrame, n_cells: int = 16, iters: int = 2
+) -> None:
+    """Train the k-means codebook on the initial corpus and persist it
+    with the corpus's cell assignments.  The codebook is FROZEN at build
+    time — increments are assigned under it (the standard IVF stance:
+    retrain offline when drift accumulates, never per batch)."""
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+        train_ivf_centroids,
+    )
+
+    cent, _ = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+    # NOT the trainer's returned assignment: Lloyd's last half-step
+    # assigns under the PRE-update codebook (that is what the new
+    # centroids are computed from).  The index serves the FINAL codebook,
+    # so assignments are recomputed under it — the same per-row map an
+    # increment gets, which is exactly what makes stored ∪ increment
+    # equal a one-pass assignment of everything.
+    assign = assign_cells(
+        emb.select("vec_id", quantized_expr("embedding").alias("q")), cent
+    )
+    store.begin_commit("ivf-index-build", list(IVF_TABLES))
+    store.overwrite("ivf_codebook", cent)
+    store.overwrite("ivf_assignments", assign)
+    store.end_commit()
+
+
+def assign_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
+    """(vec_id, cell_id) for new vectors under the persisted codebook —
+    a pure broadcast-codebook map (zero shuffle, the assign_cells shape),
+    so indexing an increment costs one narrow pass over the increment."""
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+    )
+
+    vq = new_emb.select("vec_id", quantized_expr("embedding").alias("q"))
+    return assign_cells(vq, store.read("ivf_codebook"))
+
+
+def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
+    """Absorb an assigned increment into the assignment table."""
+    new_assignments = new_assignments.localCheckpoint(eager=True)
+    store.begin_commit("ivf-index-extend", ["ivf_assignments"])
+    store.merge_insert_missing("ivf_assignments", new_assignments, ["vec_id"])
     store.end_commit()

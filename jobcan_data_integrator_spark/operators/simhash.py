@@ -1,0 +1,97 @@
+"""SimHash pigeonhole-block building blocks, shared by the full-corpus
+gate (gate/llm.py dd_simhash_pairs) and the incremental index
+(operators/incremental.py) — like operators/minhash.py, ONE
+implementation so "full ≡ index ∪ increment" holds by construction.
+
+Geometry: a ``bits``-wide fingerprint splits into ``n_blocks`` blocks;
+any pair within Hamming distance ``n_blocks - 1`` must agree on at least
+one whole block (pigeonhole), so candidate generation is an equi-join on
+(block_idx, block_value) instead of an O(n²) scan.  Block-value
+cardinality 2^(bits/n_blocks) is the quadratic-control knob — widen the
+fingerprint as the corpus grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def block_rows(signatures: DataFrame, n_blocks: int, block_bits: int) -> DataFrame:
+    """(doc_id, simhash, b, block_val): one row per fingerprint block —
+    a narrow per-row explode, no shuffle."""
+    return signatures.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("b"),
+    ).withColumn(
+        "block_val",
+        F.expr(
+            f"(simhash >> cast({block_bits} * b as int))"
+            f" & {(1 << block_bits) - 1}"
+        ),
+    )
+
+
+def near_dup_pairs(
+    blocks: DataFrame,
+    other_blocks: DataFrame | None = None,
+    max_hamming: int | None = None,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs agreeing on >= 1 block and
+    within ``max_hamming`` (default ``n_blocks - 1``, the pigeonhole
+    completeness bound).
+
+    One frame: within-set pairs (doc_a < doc_b).  Two frames: cross
+    pairs normalized to (least, greatest) — the split-corpus composition
+    (within-corpus ∪ cross ∪ within-new) reproduces the full corpus's
+    pair set exactly, because blocks are a pure per-doc function.
+    """
+    if max_hamming is None:
+        max_hamming = n_blocks - 1
+    a = blocks.alias("a")
+    if other_blocks is None:
+        b = blocks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.block_val") == F.col("b.block_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"),
+            )
+            .distinct()
+        )
+    else:
+        b = other_blocks.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.b") == F.col("b.b"))
+                & (F.col("a.block_val") == F.col("b.block_val"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                F.when(
+                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.simhash")
+                ).otherwise(F.col("b.simhash")).alias("sa"),
+                F.when(
+                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.simhash")
+                ).otherwise(F.col("a.simhash")).alias("sb"),
+            )
+            .distinct()
+        )
+    hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

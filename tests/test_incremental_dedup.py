@@ -83,3 +83,82 @@ def test_crash_mid_build_is_detected(spark, sf_dir, tmp_path):
     build_minhash_index(store, hashed)
     assert store.pending_commit() is None
     assert store.read("mh_bands").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# SimHash block index
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.gate.llm import (
+        _simhash_signatures,
+        dd_simhash_pairs,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_simhash_index,
+        extend_simhash_index,
+        simhash_increment,
+    )
+
+    sig = _simhash_signatures(spark, sf_dir).cache()
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd_simhash_pairs(spark, sf_dir).collect()
+    }
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_simhash_index(store, sig.filter(F.col("doc_id") % 3 != 0))
+    inc_sig = sig.filter(F.col("doc_id") % 3 == 0)
+    inc = simhash_increment(store, inc_sig)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in inc.collect()} | {
+        (r.doc_a, r.doc_b, r.hamming) for r in store.read("sh_pairs").collect()
+    }
+    assert got == full
+
+    # absorb and verify the index now covers everything
+    extend_simhash_index(store, inc_sig, inc)
+    assert store.read("sh_signatures").count() == sig.count()
+    stored = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in store.read("sh_pairs").collect()
+    }
+    assert stored == full
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-assignment index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_increment_assignment_matches_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        assign_increment,
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_ivf_index(store, corpus)
+    inc = assign_increment(store, new)
+    extend_ivf_index(store, inc)
+
+    # invariant: assignment is per-row deterministic under a FROZEN
+    # codebook, so (stored corpus ∪ increment) == assigning ALL vectors
+    # under the stored codebook in one pass
+    cent = store.read("ivf_codebook")
+    full = assign_cells(
+        emb.select("vec_id", quantized_expr("embedding").alias("q")), cent
+    )
+    got = {(r.vec_id, r.cell_id) for r in store.read("ivf_assignments").collect()}
+    want = {(r.vec_id, r.cell_id) for r in full.collect()}
+    assert got == want
