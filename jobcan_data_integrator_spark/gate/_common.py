@@ -10,14 +10,14 @@ DuckDB (see the paired CTE strings).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from jobcan_data_integrator_spark.operators.minhash import H60, shingle_rows
 from jobcan_data_integrator_spark.session import load_table
 
 #: Portable 60-bit hash of a string expression (same value in DuckDB via
-#: ('0x' || substr(md5(x),1,15))::BIGINT).
-_H = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+#: ('0x' || substr(md5(x),1,15))::BIGINT).  Canonical definition lives in
+#: operators/minhash.py (H60); aliased here for the gate modules.
+_H = H60
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,39 +39,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) rows: 3-gram word shingles via token explode +
-    window lead.
+    window lead (operators/minhash.shingle_rows — see its docstring for
+    why the window shape beats array-transform + explode).
 
-    NOT the tempting array-transform + explode formulation: explode adds
-    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
-    shingle expression, which Catalyst pushes below the exchange — the
-    full shingle construction then runs twice, serially, on the map side
-    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
-    (doc_id, pos, tok) rows once and builds each shingle exactly once,
-    distributed; it is also literally the DuckDB oracle's shape.
+    Goes through ``_docs`` (not a raw load): the local testdata is one
+    row group = one partition, so the token explode and the exchange
+    WRITE of ~5M rows would otherwise run on a single core before the
+    window's shuffle spreads the work (measured: the serial map side
+    dominated every shingle-based gate).  ``_docs`` repartitions
+    conditionally, so at real scale (many splits) this adds nothing.
     """
-    # _docs (not a raw load): the local testdata is one row group = one
-    # partition, so split+posexplode and the exchange WRITE of ~5M token
-    # rows would otherwise run on a single core before the window's
-    # shuffle spreads the work (measured: the serial map side dominated
-    # every shingle-based gate).  _docs repartitions conditionally, so at
-    # real scale (many splits) this adds nothing.
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            F.concat(
-                F.col("tok"),
-                F.lit(" "),
-                F.lead("tok", 1).over(w),
-                F.lit(" "),
-                F.lead("tok", 2).over(w),
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-    )
+    return shingle_rows(_docs(spark, sf_dir))
 
 
 #: DuckDB replica of operators/similarity.py's deterministic LSH bucketing

@@ -26,6 +26,55 @@ MH_P = 2_147_483_647
 MH_A = [1103515245, 1103517221, 2654435761, 805306457, 668265263, 374761393, 969581051, 1540483477]
 MH_B = [12345, 362437, 521288629, 88675123, 5783321, 6543989, 14665, 9999971]
 
+#: portable 60-bit hash of a string expression — identical in DuckDB via
+#: ('0x' || substr(md5(x),1,15))::BIGINT (gate/_common aliases this).
+H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle string): 3-gram word shingles via token explode +
+    window lead.
+
+    NOT the tempting array-transform + explode formulation: explode adds
+    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
+    shingle expression, which Catalyst pushes below the exchange — the
+    full shingle construction then runs twice, serially, on the map side
+    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
+    (doc_id, pos, tok) rows once and builds each shingle exactly once,
+    distributed; it is also literally the DuckDB oracle's shape.
+
+    Callers reading a single-row-group local file should disperse the
+    scan first (gate/_common._docs) — the window's exchange cannot
+    parallelize a serial upstream explode.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks.select(
+            "doc_id",
+            F.concat(
+                F.col("tok"),
+                F.lit(" "),
+                F.lead("tok", 1).over(w),
+                F.lit(" "),
+                F.lead("tok", 2).over(w),
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def hashed_shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle bigint): shingles carried as 60-bit hashes — the
+    input every index/signature function here expects."""
+    return shingle_rows(docs, text_col).select(
+        "doc_id", F.expr(H60.format(x="shingle")).alias("shingle")
+    )
+
 
 def signature_rows(hashed_shingles: DataFrame, n_hashes: int = 8) -> DataFrame:
     """(doc_id, h_idx int, minhash bigint) — one row per doc per hash fn.

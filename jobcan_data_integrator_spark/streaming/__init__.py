@@ -88,6 +88,56 @@ def merge_documents_stream(
     )
 
 
+def dedup_documents_stream(
+    docs: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+):
+    """Ingest-time near-dup detection: each micro-batch of documents
+    (doc_id, text) is deduped against the persisted MinHash index and
+    absorbed into it — the streaming face of operators/incremental.py.
+
+    Per batch: shingle the batch (batch-linear), join its bands against
+    the persisted band table (corpus touched via one equi-join), verify
+    candidates, upsert pairs, append the batch to the index.  After the
+    stream drains, ``store.read("mh_pairs")`` holds EXACTLY the pairs a
+    full-corpus run would produce (tests/test_streaming.py pins the
+    equivalence) — dedup cost amortizes over ingest instead of ever
+    re-running corpus-wide.  Replays after a crash converge: the extend
+    merges are insert-missing/upsert keyed on content-derived ids, the
+    same idempotence contract as merge_documents_stream.
+    """
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_increment,
+        extend_index,
+    )
+    from jobcan_data_integrator_spark.operators.minhash import (
+        hashed_shingle_rows,
+    )
+
+    def _dedup(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh = hashed_shingle_rows(batch_df.select("doc_id", "text")).cache()
+        try:
+            if not store.exists("mh_bands"):
+                build_minhash_index(store, sh, n_hashes, band_size)
+            else:
+                pairs = dedup_increment(store, sh, n_hashes, band_size)
+                extend_index(store, sh, pairs, n_hashes, band_size)
+        finally:
+            sh.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def windowed_request_counts(
     docs: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -336,3 +336,42 @@ def test_streamed_seal_emits_exactly_the_batch_sessions(ts, cuts):
         sealed, held = split_sealed(held, wm, _GAP)
         emitted.extend(sealed)
     assert sorted(emitted + held) == _batch_sessions(admitted)
+
+
+def test_streaming_ingest_dedup_equals_full_corpus(spark, sf_dir, tmp_path):
+    """dedup_documents_stream: documents arriving in micro-batches build
+    the SAME pair set a full-corpus run produces — ingest-time dedup over
+    the persisted MinHash index (operators/incremental.py)."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.gate.llm import dd_lsh_verified_pairs
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "doc_stream"
+    # two files => two micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    store = TableStore(spark, tmp_path / "index", write_partitions=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.dedup_documents_stream(stream, store, str(tmp_path / "ckpt_dd")).start()
+    q.awaitTermination()
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in store.read("mh_pairs").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in dd_lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
