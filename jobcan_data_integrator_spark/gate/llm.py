@@ -357,6 +357,11 @@ def dd_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     corpus = hashed.filter(F.col("doc_id") % 10 < 8)
     increment = hashed.filter(F.col("doc_id") % 10 >= 8)
+    # write_partitions=4: fewer, larger index files win at this SF (the
+    # increment path re-reads three of the four tables, and 32 shards per
+    # tiny table cost more in scan/write overhead than the coalesce's
+    # final-stage task cap costs in parallelism — measured both ways).
+    # At warehouse scale leave it None and let AQE size the writes.
     store = TableStore(spark, _index_root(sf_dir), write_partitions=4)
     build_minhash_index(store, corpus)
     inc_pairs = dedup_increment(store, increment)

@@ -40,6 +40,7 @@ band_key and the pair upsert becomes a Delta/Iceberg MERGE.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from jobcan_data_integrator_spark.operators.minhash import (
     band_rows,
@@ -266,4 +267,130 @@ def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
     new_assignments = new_assignments.localCheckpoint(eager=True)
     store.begin_commit("ivf-index-extend", ["ivf_assignments"])
     store.merge_insert_missing("ivf_assignments", new_assignments, ["vec_id"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH-bucket index (cosine near-dup, the 4th index family)
+# ---------------------------------------------------------------------------
+
+#: embedding index tables: vectors + their per-band LSH buckets + pairs.
+EMBEDDING_TABLES = ("eb_vectors", "eb_buckets", "eb_pairs")
+
+
+def build_embedding_index(
+    store: TableStore,
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_bands: int = 1,
+) -> None:
+    """Persist (vec_id, embedding), the per-band bucket table, and the
+    corpus-internal near-dup pairs for an initial corpus."""
+    from jobcan_data_integrator_spark.operators.similarity import (
+        bucket_rows,
+        embedding_near_dup_pairs,
+    )
+
+    emb = emb.cache()
+    try:
+        pairs = embedding_near_dup_pairs(emb, threshold, n_planes, dim, n_bands)
+        store.begin_commit("eb-index-build", list(EMBEDDING_TABLES))
+        store.overwrite("eb_vectors", emb)
+        store.overwrite(
+            "eb_buckets",
+            bucket_rows(emb, n_planes, dim, n_bands).select("vec_id", "band", "bucket"),
+        )
+        store.overwrite("eb_pairs", pairs)
+        store.end_commit()
+    finally:
+        emb.unpersist()
+
+
+def embedding_increment(
+    store: TableStore,
+    new_emb: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_bands: int = 1,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim) near-dup pairs INVOLVING the increment
+    — union with stored ``eb_pairs`` to reproduce the full corpus's pair
+    set.  Candidates come from one (band, bucket) equi-join against the
+    persisted bucket table plus the increment's self-join; embeddings are
+    fetched for candidate ids only (ids-only dedup first, the same
+    vector-movement discipline as embedding_near_dup_pairs)."""
+    from jobcan_data_integrator_spark.operators.similarity import (
+        bucket_rows,
+        cosine_expr,
+    )
+
+    new_emb = new_emb.cache()
+    new_b = (
+        bucket_rows(new_emb, n_planes, dim, n_bands)
+        .select("vec_id", "band", "bucket")
+        .cache()
+    )
+    corpus_b = store.read("eb_buckets")
+    a = new_b.alias("a")
+    cross = (
+        a.join(
+            corpus_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+        )
+    )
+    within = (
+        a.join(
+            new_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    cand = cross.unionByName(within).distinct()
+    vecs = store.read("eb_vectors").unionByName(new_emb)
+    return (
+        cand.join(vecs.alias("va"), F.col("vec_a") == F.col("va.vec_id"))
+        .join(vecs.alias("vb"), F.col("vec_b") == F.col("vb.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr("va.embedding", "vb.embedding").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def extend_embedding_index(
+    store: TableStore,
+    new_emb: DataFrame,
+    new_pairs: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_bands: int = 1,
+) -> None:
+    """Absorb a processed increment: append vectors + buckets, upsert
+    pairs (materialized first — it scans the tables being rewritten)."""
+    from jobcan_data_integrator_spark.operators.similarity import bucket_rows
+
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    store.begin_commit("eb-index-extend", list(EMBEDDING_TABLES))
+    store.merge_insert_missing("eb_vectors", new_emb, ["vec_id"])
+    store.merge_insert_missing(
+        "eb_buckets",
+        bucket_rows(new_emb, n_planes, dim, n_bands).select(
+            "vec_id", "band", "bucket"
+        ),
+        ["vec_id", "band"],
+    )
+    store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"])
     store.end_commit()

@@ -249,6 +249,23 @@ def ann_recall_at_k(ann: DataFrame, truth: DataFrame, k: int) -> DataFrame:
     )
 
 
+def bucket_rows(
+    emb: DataFrame, n_planes: int = 8, dim: int = 64, n_bands: int = 1
+) -> DataFrame:
+    """(vec_id, embedding, band, bucket): each vector's LSH bucket per
+    band — a narrow per-row projection (no shuffle), the frame a
+    warehouse persists at ingest as the embedding near-dup index."""
+    bucket_cols = [
+        hyperplane_bucket_expr("embedding", n_planes, dim, plane_offset=band * n_planes)
+        for band in range(n_bands)
+    ]
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -275,20 +292,10 @@ def embedding_near_dup_pairs(
     # Materialize the bucketed table once: the self-join would otherwise
     # evaluate the per-band 512-term hyperplane folds on BOTH sides
     # (measured 2.7x at sf0.1). At warehouse scale the (band, bucket)
-    # columns are persisted at ingest; cache() is the same compute-once
-    # decision for the ad-hoc path.
-    bucket_cols = [
-        hyperplane_bucket_expr("embedding", n_planes, dim, plane_offset=band * n_planes)
-        for band in range(n_bands)
-    ]
-    b = (
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
-        )
-        .cache()
-    )
+    # columns are persisted at ingest (operators/incremental.py's
+    # embedding index does exactly that); cache() is the same
+    # compute-once decision for the ad-hoc path.
+    b = bucket_rows(emb, n_planes, dim, n_bands).cache()
     a = b.alias("a")
     c = b.alias("b")
     collide = (

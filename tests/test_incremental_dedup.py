@@ -162,3 +162,45 @@ def test_ivf_increment_assignment_matches_full(spark, sf_dir, tmp_path):
     got = {(r.vec_id, r.cell_id) for r in store.read("ivf_assignments").collect()}
     want = {(r.vec_id, r.cell_id) for r in full.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Embedding LSH-bucket index
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_embedding_index,
+        embedding_increment,
+        extend_embedding_index,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    # n_bands=2 exercises the multi-band path on both sides of the split
+    kw = dict(threshold=0.2, n_planes=6, n_bands=2)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    full = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(emb, **kw).collect()
+    }
+    assert full  # the parameters must actually produce pairs to prove anything
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_embedding_index(store, emb.filter(F.col("vec_id") % 3 != 0), **kw)
+    inc_emb = emb.filter(F.col("vec_id") % 3 == 0)
+    inc = embedding_increment(store, inc_emb, **kw)
+    got = {(r.vec_a, r.vec_b, r.cosine_sim) for r in inc.collect()} | {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in store.read("eb_pairs").collect()
+    }
+    assert got == full
+
+    extend_embedding_index(store, inc_emb, inc, n_planes=6, n_bands=2)
+    stored = {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in store.read("eb_pairs").collect()
+    }
+    assert stored == full
+    assert store.read("eb_vectors").count() == emb.count()
