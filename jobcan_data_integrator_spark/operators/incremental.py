@@ -143,6 +143,73 @@ def extend_index(
 
 
 # ---------------------------------------------------------------------------
+# Exact-dedup hash index (content-hash groupBy, incrementally maintained)
+# ---------------------------------------------------------------------------
+
+
+#: exact-dedup index tables: the per-doc hash map is PRIMARY (keyed by
+#: doc_id, so replays are idempotent); the group table is derived from
+#: it for affected hashes only.  An additive groups-only design would
+#: double-count dup_count when a crashed batch replays.
+EXACT_TABLES = ("ex_docs", "ex_groups")
+
+
+def _doc_hashes(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5")
+    )
+
+
+def _hash_groups(doc_hashes: DataFrame) -> DataFrame:
+    return doc_hashes.groupBy("text_md5").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count")
+    )
+
+
+def build_exact_index(store: TableStore, docs: DataFrame) -> None:
+    """Persist the per-doc content hashes (doc_id, text_md5) and the
+    derived dedup groups (text_md5, keep_doc_id, dup_count) for an
+    initial corpus of (doc_id, text)."""
+    hashes = _doc_hashes(docs).cache()
+    try:
+        store.begin_commit("ex-index-build", list(EXACT_TABLES))
+        store.overwrite("ex_docs", hashes)
+        store.overwrite("ex_groups", _hash_groups(hashes))
+        store.end_commit()
+    finally:
+        hashes.unpersist()
+
+
+def exact_increment(store: TableStore, new_docs: DataFrame) -> DataFrame:
+    """Up-to-date (text_md5, keep_doc_id, dup_count) groups for every
+    hash the increment touches — the corpus side contributes via one
+    semi-join of the narrow stored hash map against the increment's hash
+    set (the corpus text is never re-hashed).  IDEMPOTENT under replay:
+    the groups are a pure function of (stored ∪ increment) doc-hash
+    rows, deduped by doc_id, so re-running an already-absorbed batch
+    yields the identical frame and the upsert converges."""
+    inc = _doc_hashes(new_docs).cache()
+    stored = store.read("ex_docs")
+    affected = stored.join(
+        F.broadcast(inc.select("text_md5").distinct()), "text_md5", "leftsemi"
+    )
+    return _hash_groups(affected.unionByName(inc).dropDuplicates(["doc_id"]))
+
+
+def extend_exact_index(
+    store: TableStore, new_docs: DataFrame, merged_groups: DataFrame
+) -> None:
+    """Absorb an increment: insert its doc hashes (keyed by doc_id, so a
+    replay inserts nothing) and upsert the recomputed affected groups
+    (materialized first — it scans the tables being rewritten)."""
+    merged_groups = merged_groups.localCheckpoint(eager=True)
+    store.begin_commit("ex-index-extend", list(EXACT_TABLES))
+    store.merge_insert_missing("ex_docs", _doc_hashes(new_docs), ["doc_id"])
+    store.merge_upsert("ex_groups", merged_groups, ["text_md5"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
 # SimHash block index (same incremental stance, Hamming-distance dedup)
 # ---------------------------------------------------------------------------
 

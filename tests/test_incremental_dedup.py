@@ -204,3 +204,45 @@ def test_embedding_split_equals_full(spark, sf_dir, tmp_path):
     }
     assert stored == full
     assert store.read("eb_vectors").count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# Exact-dedup hash index
+# ---------------------------------------------------------------------------
+
+
+def test_exact_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.gate import REGISTRY
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_exact_index,
+        exact_increment,
+        extend_exact_index,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    full = {
+        (r.text_md5, r.keep_doc_id, r.dup_count)
+        for r in REGISTRY["dd_exact_dedup"].spark(spark, sf_dir).collect()
+    }
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_exact_index(store, docs.filter(F.col("doc_id") % 3 != 0))
+    inc_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    merged = exact_increment(store, inc_docs)
+    extend_exact_index(store, inc_docs, merged)
+    stored = {
+        (r.text_md5, r.keep_doc_id, r.dup_count)
+        for r in store.read("ex_groups").collect()
+    }
+    assert stored == full
+
+    # replaying an already-absorbed batch converges (idempotence — the
+    # crash-replay contract): counts must NOT double
+    merged2 = exact_increment(store, inc_docs)
+    extend_exact_index(store, inc_docs, merged2)
+    stored2 = {
+        (r.text_md5, r.keep_doc_id, r.dup_count)
+        for r in store.read("ex_groups").collect()
+    }
+    assert stored2 == full
