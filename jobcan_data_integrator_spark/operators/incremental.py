@@ -1,6 +1,6 @@
 """Incremental (new-vs-corpus) deduplication and ANN indexing over
-persisted index tables — MinHash bands, SimHash blocks, and IVF cell
-assignments (the three index families this engine maintains).
+persisted index tables — five families: exact-dedup hashes, MinHash
+bands, SimHash blocks, embedding LSH buckets, and IVF cell assignments.
 
 A 100 TB training pipeline cannot re-dedup the whole corpus for every
 ingest batch — the full-corpus LSH pipeline (gate/llm.py
