@@ -310,6 +310,12 @@ class TableStore:
         dirs are GC'd except the immediately-previous snapshot's (a
         reader that pinned just before the publish may still be lazily
         scanning those paths; one-version grace matches one batch cycle).
+
+        Snapshot mode assumes ONE logical writer per STORE (the pointer
+        update is read-modify-write, and the GC reclaims any versioned
+        dir the manifest doesn't reference): readers may be many and
+        concurrent, but route all writes through one process — the same
+        single-writer stance as the reference's SQLite.
         """
         import json as _json
 
