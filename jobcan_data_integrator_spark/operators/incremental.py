@@ -143,6 +143,92 @@ def extend_index(
 
 
 # ---------------------------------------------------------------------------
+# Dup-cluster labels (connected components, incrementally maintained)
+# ---------------------------------------------------------------------------
+
+
+def build_cluster_index(store: TableStore, pairs: DataFrame) -> None:
+    """Persist (doc_id, cluster_id) connected-component labels for an
+    initial pair set (cluster_id = min doc id of the component, as in
+    operators/dedup.connected_components)."""
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    store.begin_commit("cc-index-build", ["cc_labels"])
+    store.overwrite("cc_labels", labels)
+    store.end_commit()
+
+
+def extend_clusters(store: TableStore, new_pairs: DataFrame) -> None:
+    """Merge a batch of new near-dup pairs into the stored labels WITHOUT
+    re-clustering the corpus graph.
+
+    New edges are projected into label space (each endpoint replaced by
+    its current cluster label; unseen nodes keep their own id), connected
+    components runs on that LABEL graph — one node per affected cluster
+    plus the new nodes, a graph whose size is bounded by the increment,
+    not the corpus — and the resulting label→label remap broadcasts onto
+    the stored table.  Correctness: component membership is transitive
+    union, so contracting already-known components to single nodes
+    preserves the final partition, and min-of-mins keeps the global
+    min-id labeling (tests pin equivalence with a from-scratch run).
+
+    IDEMPOTENT under replay: re-merging absorbed edges finds every
+    endpoint already sharing a label, the label graph has only self-free
+    components, and the remap is empty.
+    """
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    labels = store.read("cc_labels")
+    e = new_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    la = (
+        e.join(labels.alias("l1"), e["src"] == F.col("l1.doc_id"), "left")
+        .select(
+            F.coalesce("l1.cluster_id", "src").alias("src_label"), "dst"
+        )
+    )
+    label_edges = (
+        la.join(labels.alias("l2"), la["dst"] == F.col("l2.doc_id"), "left")
+        .select(
+            F.col("src_label").alias("src"),
+            F.coalesce("l2.cluster_id", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    # connected_components is eager; on an empty/self-only label graph it
+    # returns an empty frame and the remap below is a no-op
+    merged = connected_components(label_edges)
+    remap = merged.select(
+        F.col("doc_id").alias("old_label"), F.col("cluster_id").alias("new_label")
+    ).filter(F.col("old_label") != F.col("new_label"))
+    updated = (
+        labels.join(
+            F.broadcast(remap), labels["cluster_id"] == F.col("old_label"), "left"
+        )
+        .select(
+            "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+        )
+    )
+    # nodes seen for the first time in this batch: their label-space id IS
+    # their doc id, so the merged label graph already carries their final
+    # label; stored nodes are excluded (they are covered by the remap)
+    new_nodes = (
+        merged.join(labels, "doc_id", "left_anti")
+        .select("doc_id", "cluster_id")
+    )
+    out = updated.unionByName(new_nodes).localCheckpoint(eager=True)
+    store.begin_commit("cc-index-extend", ["cc_labels"])
+    store.overwrite("cc_labels", out)
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
 # Exact-dedup hash index (content-hash groupBy, incrementally maintained)
 # ---------------------------------------------------------------------------
 

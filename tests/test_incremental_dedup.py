@@ -246,3 +246,67 @@ def test_exact_split_equals_full(spark, sf_dir, tmp_path):
         for r in store.read("ex_groups").collect()
     }
     assert stored2 == full
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster label maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_extend_equals_full_reclustering(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_cluster_index,
+        extend_clusters,
+    )
+
+    pairs = (
+        dd_lsh_verified_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        ).collect()
+    }
+
+    # split edges into two arrival batches by a pair hash
+    batch_of = F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2))
+    b0 = pairs.filter(batch_of == 0)
+    b1 = pairs.filter(batch_of == 1)
+    assert b0.count() > 0 and b1.count() > 0  # the split must be real
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_cluster_index(store, b0)
+    extend_clusters(store, b1)
+    got = {(r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()}
+    assert got == full
+
+    # replaying an absorbed batch is a no-op (crash-replay contract)
+    extend_clusters(store, b1)
+    again = {(r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()}
+    assert again == full
+
+
+def test_cluster_extend_bridges_two_existing_clusters(spark, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_cluster_index,
+        extend_clusters,
+    )
+
+    store = TableStore(spark, tmp_path, write_partitions=1)
+    # two separate clusters {1,2} and {10,11}, plus singleton-free node 20
+    build_cluster_index(
+        store, spark.createDataFrame([(1, 2), (10, 11)], "doc_a long, doc_b long")
+    )
+    # one new edge bridges the clusters THROUGH a brand-new node
+    extend_clusters(
+        store, spark.createDataFrame([(2, 20), (20, 10)], "doc_a long, doc_b long")
+    )
+    got = {(r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()}
+    assert got == {(1, 1), (2, 1), (10, 1), (11, 1), (20, 1)}
