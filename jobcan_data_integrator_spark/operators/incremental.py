@@ -392,9 +392,16 @@ def build_ivf_index(
     # centroids are computed from).  The index serves the FINAL codebook,
     # so assignments are recomputed under it — the same per-row map an
     # increment gets, which is exactly what makes stored ∪ increment
-    # equal a one-pass assignment of everything.
+    # equal a one-pass assignment of everything.  The embedding rides
+    # along so ``ann_search_indexed`` probes read vectors directly from
+    # the assignment table (at warehouse scale: partitioned by cell_id,
+    # so a probe scans n_probe/n_cells of the data).
     assign = assign_cells(
-        emb.select("vec_id", quantized_expr("embedding").alias("q")), cent
+        emb.select(
+            "vec_id", "embedding", quantized_expr("embedding").alias("q")
+        ),
+        cent,
+        keep=("embedding",),
     )
     store.begin_commit("ivf-index-build", list(IVF_TABLES))
     store.overwrite("ivf_codebook", cent)
@@ -403,16 +410,19 @@ def build_ivf_index(
 
 
 def assign_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
-    """(vec_id, cell_id) for new vectors under the persisted codebook —
-    a pure broadcast-codebook map (zero shuffle, the assign_cells shape),
-    so indexing an increment costs one narrow pass over the increment."""
+    """(vec_id, embedding, cell_id) for new vectors under the persisted
+    codebook — a pure broadcast-codebook map (zero shuffle, the
+    assign_cells shape), so indexing an increment costs one narrow pass
+    over the increment."""
     from jobcan_data_integrator_spark.operators.similarity import (
         assign_cells,
         quantized_expr,
     )
 
-    vq = new_emb.select("vec_id", quantized_expr("embedding").alias("q"))
-    return assign_cells(vq, store.read("ivf_codebook"))
+    vq = new_emb.select(
+        "vec_id", "embedding", quantized_expr("embedding").alias("q")
+    )
+    return assign_cells(vq, store.read("ivf_codebook"), keep=("embedding",))
 
 
 def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
@@ -421,6 +431,50 @@ def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
     store.begin_commit("ivf-index-extend", ["ivf_assignments"])
     store.merge_insert_missing("ivf_assignments", new_assignments, ["vec_id"])
     store.end_commit()
+
+
+def ann_search_indexed(
+    store: TableStore, queries: DataFrame, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """(q_id, vec_id, cosine_sim) top-k over the PERSISTED IVF index —
+    the serving path: queries probe their ``n_probe`` best cells under
+    the stored codebook (broadcast, zero shuffle on the corpus side) and
+    re-rank only the vectors assigned to those cells, read straight from
+    the assignment table.  No corpus-wide assignment recompute — that
+    already happened at build/extend time.  At warehouse scale the
+    assignment table is partitioned by cell_id, so each probe scans
+    n_probe/n_cells of the data; results match ``ann_topk_ivf`` run with
+    the stored codebook exactly (same rounded-cosine + vec_id ranking)."""
+    from jobcan_data_integrator_spark.operators.similarity import (
+        cosine_expr,
+        probe_cells,
+        quantized_expr,
+    )
+    from pyspark.sql.window import Window
+
+    cent = store.read("ivf_codebook")
+    assign = store.read("ivf_assignments")
+    probe = probe_cells(
+        queries.select("vec_id", quantized_expr("embedding").alias("q")),
+        cent,
+        n_probe,
+    ).withColumnRenamed("vec_id", "q_id")
+    q_emb = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        F.broadcast(probe)
+        .join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q_emb), "q_id")
+        .withColumn("cosine_sim", cosine_expr("q_emb", "embedding"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine_sim")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -310,3 +310,33 @@ def test_cluster_extend_bridges_two_existing_clusters(spark, tmp_path):
     )
     got = {(r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()}
     assert got == {(1, 1), (2, 1), (10, 1), (11, 1), (20, 1)}
+
+
+def test_ann_search_over_persisted_index_matches_direct(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        ann_search_indexed,
+        assign_increment,
+        build_ivf_index,
+        extend_ivf_index,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import ann_topk_ivf
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    # index built from a split: corpus first, increment absorbed after
+    build_ivf_index(store, emb.filter(F.col("vec_id") % 2 == 0))
+    extend_ivf_index(store, assign_increment(store, emb.filter(F.col("vec_id") % 2 == 1)))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.q_id, r.vec_id, r.cosine_sim)
+        for r in ann_search_indexed(store, queries, k=5, n_probe=2).collect()
+    }
+    want = {
+        (r.q_id, r.vec_id, r.cosine_sim)
+        for r in ann_topk_ivf(
+            emb, queries, k=5, n_probe=2, centroids=store.read("ivf_codebook")
+        ).collect()
+    }
+    assert got == want and got
