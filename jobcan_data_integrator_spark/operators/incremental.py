@@ -53,6 +53,34 @@ from jobcan_data_integrator_spark.storage import TableStore
 #: the index's table names, in commit-manifest order
 INDEX_TABLES = ("mh_bands", "mh_shingles", "mh_sizes", "mh_pairs")
 
+#: the bucketing layout that makes every index probe below PRUNED: pass
+#: ``TableStore(..., bucketed=minhash_index_buckets(n))`` and the
+#: increment's corpus-side reads scan only the bucket dirs its keys hash
+#: into (TableStore.read_for_keys) instead of the whole index.  ``n``
+#: is a real scale knob: at 100 TB size it so one bucket ~ a few GB.
+#: Plain (unbucketed) stores keep working — probes fall back to full
+#: scans, and results are identical either way (tests pin this).
+
+
+def minhash_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    return {
+        "mh_bands": ("band_key", n),
+        "mh_shingles": ("doc_id", n),
+        "mh_sizes": ("doc_id", n),
+    }
+
+
+def exact_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    return {"ex_docs": ("text_md5", n)}
+
+
+def embedding_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    return {"eb_buckets": ("bucket", n), "eb_vectors": ("vec_id", n)}
+
+
+def simhash_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    return {"sh_blocks": ("block_val", n), "sh_signatures": ("doc_id", n)}
+
 
 def build_minhash_index(
     store: TableStore,
@@ -99,16 +127,37 @@ def dedup_increment(
     persisted band table and (2) a shingle fetch for candidate docs — no
     corpus-wide shingling, no corpus self-join.  Union the result with
     the stored ``mh_pairs`` to reproduce the full-corpus pair set.
+
+    On a store bucketed with ``minhash_index_buckets`` the corpus-side
+    reads are additionally BUCKET-PRUNED (read_for_keys): the band scan
+    touches only the bucket dirs the increment's band keys hash into, and
+    the shingle/size scans only the buckets of the CANDIDATE docs — so a
+    small increment against a huge index reads a fraction of it, at the
+    cost of materializing the candidate set early (one extra small
+    action).  Results are identical to the unbucketed path.
     """
     new_hashed = new_hashed_shingles.cache()
     new_sh = new_hashed.select("doc_id", "shingle").distinct().cache()
     new_bands = band_rows(new_hashed, n_hashes, band_size).cache()
-    corpus_bands = store.read("mh_bands")
+    corpus_bands = store.read_for_keys("mh_bands", new_bands.select("band_key"))
     cands = candidate_pairs(new_bands, corpus_bands).unionByName(
         candidate_pairs(new_bands)
     ).distinct()
-    shingles = store.read("mh_shingles").unionByName(new_sh)
-    sizes = store.read("mh_sizes").unionByName(shingle_sizes(new_sh))
+    if "mh_shingles" in store.bucketed or "mh_sizes" in store.bucketed:
+        # the candidate set names exactly which corpus docs the verify
+        # stage needs — cache it (verify consumes it twice anyway) and
+        # prune the shingle/size scans to those docs' buckets
+        cands = cands.cache()
+        cand_docs = cands.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        corpus_sh = store.read_for_keys("mh_shingles", cand_docs)
+        corpus_sz = store.read_for_keys("mh_sizes", cand_docs)
+    else:
+        corpus_sh = store.read("mh_shingles")
+        corpus_sz = store.read("mh_sizes")
+    shingles = corpus_sh.unionByName(new_sh)
+    sizes = corpus_sz.unionByName(shingle_sizes(new_sh))
     return verify_candidate_pairs(cands, shingles, sizes)
 
 
@@ -273,9 +322,12 @@ def exact_increment(store: TableStore, new_docs: DataFrame) -> DataFrame:
     set (the corpus text is never re-hashed).  IDEMPOTENT under replay:
     the groups are a pure function of (stored ∪ increment) doc-hash
     rows, deduped by doc_id, so re-running an already-absorbed batch
-    yields the identical frame and the upsert converges."""
+    yields the identical frame and the upsert converges.  On a store
+    bucketed with ``exact_index_buckets`` the stored-hash scan is
+    bucket-pruned to the increment's hash buckets before the
+    semi-join."""
     inc = _doc_hashes(new_docs).cache()
-    stored = store.read("ex_docs")
+    stored = store.read_for_keys("ex_docs", inc.select("text_md5"))
     affected = stored.join(
         F.broadcast(inc.select("text_md5").distinct()), "text_md5", "leftsemi"
     )
@@ -299,9 +351,12 @@ def extend_exact_index(
 # SimHash block index (same incremental stance, Hamming-distance dedup)
 # ---------------------------------------------------------------------------
 
-#: SimHash index tables: the signature table is the index (blocks are a
-#: pure per-row projection of it); pairs are the accumulated output.
-SIMHASH_TABLES = ("sh_signatures", "sh_pairs")
+#: SimHash index tables: the signature table is the canonical per-doc
+#: record; the BLOCK table is the probe target (persisted, not derived
+#: at probe time, so a store bucketed by block_val serves an increment's
+#: block-key equi-join from only the matching bucket dirs); pairs are
+#: the accumulated output.
+SIMHASH_TABLES = ("sh_signatures", "sh_blocks", "sh_pairs")
 
 
 def build_simhash_index(
@@ -310,21 +365,25 @@ def build_simhash_index(
     n_blocks: int = 4,
     block_bits: int = 15,
 ) -> None:
-    """Persist (doc_id, simhash) plus the corpus-internal near-dup pairs
-    (doc_a, doc_b, hamming) for an initial corpus."""
+    """Persist (doc_id, simhash), the pigeonhole block table, and the
+    corpus-internal near-dup pairs (doc_a, doc_b, hamming) for an
+    initial corpus."""
     from jobcan_data_integrator_spark.operators.simhash import (
         block_rows,
         near_dup_pairs,
     )
 
     sig = signatures.cache()
+    blocks = block_rows(sig, n_blocks, block_bits).cache()
     try:
-        pairs = near_dup_pairs(block_rows(sig, n_blocks, block_bits), n_blocks=n_blocks)
+        pairs = near_dup_pairs(blocks, n_blocks=n_blocks)
         store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
         store.overwrite("sh_signatures", sig)
+        store.overwrite("sh_blocks", blocks)
         store.overwrite("sh_pairs", pairs)
         store.end_commit()
     finally:
+        blocks.unpersist()
         sig.unpersist()
 
 
@@ -337,30 +396,43 @@ def simhash_increment(
     """Near-dup pairs INVOLVING the increment (new-vs-corpus ∪
     new-vs-new) — union with stored ``sh_pairs`` to reproduce the full
     corpus's pair set.  The corpus side is one block-key equi-join
-    against the persisted signature table; block explosion of both sides
-    is a narrow projection, so per-batch shuffle volume is bounded by
-    the candidate set, not the corpus."""
+    against the persisted block table — bucket-pruned to the
+    increment's block values on a store bucketed with
+    ``simhash_index_buckets`` — so per-batch scan and shuffle volume is
+    bounded by the candidate set, not the corpus."""
     from jobcan_data_integrator_spark.operators.simhash import (
         block_rows,
         near_dup_pairs,
     )
 
     new_blocks = block_rows(new_signatures.cache(), n_blocks, block_bits).cache()
-    corpus_blocks = block_rows(store.read("sh_signatures"), n_blocks, block_bits)
+    corpus_blocks = store.read_for_keys(
+        "sh_blocks", new_blocks.select("block_val")
+    )
     return near_dup_pairs(
         new_blocks, corpus_blocks, n_blocks=n_blocks
     ).unionByName(near_dup_pairs(new_blocks, n_blocks=n_blocks)).distinct()
 
 
 def extend_simhash_index(
-    store: TableStore, new_signatures: DataFrame, new_pairs: DataFrame
+    store: TableStore,
+    new_signatures: DataFrame,
+    new_pairs: DataFrame,
+    n_blocks: int = 4,
+    block_bits: int = 15,
 ) -> None:
-    """Absorb a processed increment: append signatures, upsert pairs.
-    ``new_pairs`` is materialized first — it lazily scans the signature
-    table being rewritten (same contract as extend_index)."""
+    """Absorb a processed increment: append signatures + their block
+    rows, upsert pairs.  ``new_pairs`` is materialized first — it lazily
+    scans the tables being rewritten (same contract as extend_index)."""
+    from jobcan_data_integrator_spark.operators.simhash import block_rows
+
     new_pairs = new_pairs.localCheckpoint(eager=True)
+    sig = new_signatures.cache()
     store.begin_commit("sh-index-extend", list(SIMHASH_TABLES))
-    store.merge_insert_missing("sh_signatures", new_signatures, ["doc_id"])
+    store.merge_insert_missing("sh_signatures", sig, ["doc_id"])
+    store.merge_insert_missing(
+        "sh_blocks", block_rows(sig, n_blocks, block_bits), ["doc_id", "b"]
+    )
     store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"])
     store.end_commit()
 
@@ -441,10 +513,14 @@ def ann_search_indexed(
     the stored codebook (broadcast, zero shuffle on the corpus side) and
     re-rank only the vectors assigned to those cells, read straight from
     the assignment table.  No corpus-wide assignment recompute — that
-    already happened at build/extend time.  At warehouse scale the
-    assignment table is partitioned by cell_id, so each probe scans
-    n_probe/n_cells of the data; results match ``ann_topk_ivf`` run with
-    the stored codebook exactly (same rounded-cosine + vec_id ranking)."""
+    already happened at build/extend time.  Declare the assignment table
+    hive-partitioned (``TableStore(..., partitioned={"ivf_assignments":
+    ["cell_id"]})``) and the probe is PARTITION-PRUNED: the probed cell
+    set is collected (≤ n_probe × queries, a serving-path action) and
+    pushed as a partition filter, so each search scans ~n_probe/n_cells
+    of the table instead of all of it.  Results match ``ann_topk_ivf``
+    run with the stored codebook exactly (same rounded-cosine + vec_id
+    ranking) in either layout."""
     from jobcan_data_integrator_spark.operators.similarity import (
         cosine_expr,
         probe_cells,
@@ -459,6 +535,10 @@ def ann_search_indexed(
         cent,
         n_probe,
     ).withColumnRenamed("vec_id", "q_id")
+    if "ivf_assignments" in store.partitioned:
+        probe = probe.cache()
+        cells = [r[0] for r in probe.select("cell_id").distinct().collect()]
+        assign = assign.filter(F.col("cell_id").isin(cells))
     q_emb = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -540,7 +620,11 @@ def embedding_increment(
         .select("vec_id", "band", "bucket")
         .cache()
     )
-    corpus_b = store.read("eb_buckets")
+    # bucket-pruned on a store bucketed with ``embedding_index_buckets``:
+    # the corpus bucket table is scanned only where the increment's LSH
+    # bucket values hash, and vectors are fetched only from the candidate
+    # ids' buckets (plain read on an unbucketed store, same results)
+    corpus_b = store.read_for_keys("eb_buckets", new_b.select("bucket"))
     a = new_b.alias("a")
     cross = (
         a.join(
@@ -564,7 +648,15 @@ def embedding_increment(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
     cand = cross.unionByName(within).distinct()
-    vecs = store.read("eb_vectors").unionByName(new_emb)
+    if "eb_vectors" in store.bucketed:
+        cand = cand.cache()
+        cand_ids = cand.select(
+            F.explode(F.array("vec_a", "vec_b")).alias("vec_id")
+        )
+        corpus_vecs = store.read_for_keys("eb_vectors", cand_ids)
+    else:
+        corpus_vecs = store.read("eb_vectors")
+    vecs = corpus_vecs.unionByName(new_emb)
     return (
         cand.join(vecs.alias("va"), F.col("vec_a") == F.col("va.vec_id"))
         .join(vecs.alias("vb"), F.col("vec_b") == F.col("vb.vec_id"))

@@ -214,6 +214,48 @@ class TableStore:
             return self.read(table)
         return self.spark.createDataFrame([], like.schema)
 
+    def read_for_keys(
+        self, table: str, keys: DataFrame, key_col: str | None = None
+    ) -> DataFrame:
+        """Bucket-pruned read: only the hive bucket directories that the
+        given key values hash into are scanned.
+
+        ``keys`` is a (small) one-column-of-interest frame; ``key_col``
+        names that column (default: the table's declared bucket source
+        column) and MUST have the same type as the stored source column
+        — ``xxhash64`` is type-sensitive, so a string key against a
+        bigint-bucketed table would silently prune the wrong dirs.
+
+        Returns a SUPERSET of the rows whose source column equals one of
+        the keys (everything in the matching buckets rides along) — the
+        caller's own equi-/semi-join does the exact filtering, as it
+        already must.  This is what turns an incremental index probe from
+        "scan the whole 100 TB index" into "scan keys/n_buckets of it":
+        the distinct bucket set is at most ``n_buckets`` values (one tiny
+        aggregate over the increment), and the ``isin`` filter on the
+        partition column prunes at the FILE LISTING level — unmatched
+        bucket dirs are never opened.
+
+        Falls back to a plain ``read`` when the table is not bucketed
+        (nothing to prune on) or when the keys cover every bucket.
+        """
+        if table not in self.bucketed:
+            return self.read(table)
+        src, n = self.bucketed[table]
+        kc = key_col or src
+        buckets = [
+            r[0]
+            for r in keys.select(
+                F.pmod(F.xxhash64(F.col(kc)), F.lit(n)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        df = self._read_raw(table)
+        if len(buckets) < n:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        return df.drop(BUCKET_COL)
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Atomic full replace: write to a tmp dir, swap, drop the old.
 
@@ -221,6 +263,11 @@ class TableStore:
         concurrent _recover (another thread sharing the store root)
         neither deletes the tmp mid-write nor renames the .old back
         between the two swap renames.
+
+        Partitioned/bucketed tables land in their managed hive layout
+        directly (partitionBy into the tmp dir, same swap) — an initial
+        build is then bucket-prunable immediately instead of paying the
+        migrate-on-first-merge rewrite.
 
         Snapshot mode: the write lands in a fresh versioned directory and
         is NOT reader-visible until ``end_commit`` publishes the manifest
@@ -240,9 +287,15 @@ class TableStore:
         with _INFLIGHT_LOCK:
             _INFLIGHT.add(str(target))
         try:
+            pcols = self._managed_pcols(table)
+            if pcols:
+                df = self._prep(table, df)
             if self.write_partitions is not None:
                 df = df.coalesce(self.write_partitions)
-            df.write.mode("overwrite").parquet(str(tmp))
+            w = df.write.mode("overwrite")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(str(tmp))
             if target.exists():
                 os.replace(target, old)
             os.replace(tmp, target)

@@ -1,0 +1,233 @@
+"""Bucket-pruned incremental index probes (TableStore.read_for_keys).
+
+Two properties per index family:
+
+1. EQUALITY — a store bucketed with the family's ``*_index_buckets``
+   layout produces byte-identical results to the plain (full-scan)
+   store; the pruned read is a superset of the key-matching rows and the
+   downstream joins do the exact filtering, so nothing can be lost.
+2. PRUNING — the physical plan actually carries a partition filter on
+   the derived bucket column (``PartitionFilters`` in the scan node), so
+   unmatched bucket directories are skipped at file-listing time.  This
+   is the mechanism that turns "probe a 100 TB index" into "scan
+   keys/n_buckets of it".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.gate._common import _H, _shingle_rows
+from jobcan_data_integrator_spark.gate.llm import dd_lsh_verified_pairs
+from jobcan_data_integrator_spark.operators.incremental import (
+    build_minhash_index,
+    dedup_increment,
+    embedding_index_buckets,
+    exact_index_buckets,
+    minhash_index_buckets,
+    simhash_index_buckets,
+)
+from jobcan_data_integrator_spark.storage import BUCKET_COL, TableStore
+
+
+def _hashed(spark, sf_dir):
+    return _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    )
+
+
+def _plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jqe.explainString(mode)
+
+
+def test_read_for_keys_is_pruned_superset(spark, tmp_path):
+    store = TableStore(
+        spark, tmp_path, write_partitions=1, bucketed={"t": ("k", 16)}
+    )
+    rows = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    store.overwrite("t", rows)
+
+    keys = spark.createDataFrame([(7,), (8,)], "k long")
+    got = store.read_for_keys("t", keys)
+
+    # superset: every key-matching row present, nothing outside the
+    # keys' buckets present
+    want_buckets = {
+        r[0]
+        for r in keys.select(F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")).collect()
+    }
+    all_rows = store._read_raw("t")
+    expect = {
+        (r.k, r.v)
+        for r in all_rows.filter(F.col(BUCKET_COL).isin(list(want_buckets))).collect()
+    }
+    assert {(r.k, r.v) for r in got.collect()} == expect
+    assert {7, 8} <= {r.k for r in got.collect()}
+    assert got.count() < 500  # actually pruned something
+
+    # and the pruning happens at the partition level, not a post-scan
+    # filter: the scan node must carry a PartitionFilters entry on the
+    # bucket column
+    plan = _plan(got)
+    assert f"PartitionFilters: [{BUCKET_COL}" in plan
+
+
+def test_read_for_keys_unbucketed_falls_back(spark, tmp_path):
+    store = TableStore(spark, tmp_path, write_partitions=1)
+    rows = spark.range(0, 50).select(F.col("id").alias("k"))
+    store.overwrite("t", rows)
+    keys = spark.createDataFrame([(1,)], "k long")
+    assert store.read_for_keys("t", keys).count() == 50
+
+
+def test_minhash_bucketed_split_equals_full(spark, sf_dir, tmp_path):
+    hashed = _hashed(spark, sf_dir).cache()
+    full = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in dd_lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, bucketed=minhash_index_buckets(16)
+    )
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 3 != 0))
+    inc = dedup_increment(store, hashed.filter(F.col("doc_id") % 3 == 0))
+    combined = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in inc.collect()
+    } | {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in store.read("mh_pairs").collect()
+    }
+    assert combined == full
+
+    # the corpus-side band read for a TINY increment prunes: fewer
+    # buckets scanned than the full layout holds
+    tiny = hashed.filter(F.col("doc_id") == hashed.agg(F.min("doc_id")).collect()[0][0])
+    from jobcan_data_integrator_spark.operators.minhash import band_rows
+
+    pruned = store.read_for_keys("mh_bands", band_rows(tiny).select("band_key"))
+    assert f"PartitionFilters: [{BUCKET_COL}" in _plan(pruned)
+
+
+def test_simhash_bucketed_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.gate.llm import (
+        _simhash_signatures,
+        dd_simhash_pairs,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_simhash_index,
+        extend_simhash_index,
+        simhash_increment,
+    )
+
+    sig = _simhash_signatures(spark, sf_dir).cache()
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd_simhash_pairs(spark, sf_dir).collect()
+    }
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, bucketed=simhash_index_buckets(16)
+    )
+    build_simhash_index(store, sig.filter(F.col("doc_id") % 3 != 0))
+    inc_sig = sig.filter(F.col("doc_id") % 3 == 0)
+    inc = simhash_increment(store, inc_sig)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in inc.collect()} | {
+        (r.doc_a, r.doc_b, r.hamming) for r in store.read("sh_pairs").collect()
+    }
+    assert got == full
+
+    # absorption keeps working on the bucketed layout
+    extend_simhash_index(store, inc_sig, inc)
+    assert store.read("sh_signatures").count() == sig.count()
+    assert store.read("sh_blocks").count() == sig.count() * 4
+
+
+def test_exact_bucketed_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.gate import REGISTRY
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_exact_index,
+        exact_increment,
+        extend_exact_index,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+    full = {
+        (r.text_md5, r.keep_doc_id, r.dup_count)
+        for r in REGISTRY["dd_exact_dedup"].spark(spark, sf_dir).collect()
+    }
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, bucketed=exact_index_buckets(16)
+    )
+    build_exact_index(store, docs.filter(F.col("doc_id") % 3 != 0))
+    inc_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    extend_exact_index(store, inc_docs, exact_increment(store, inc_docs))
+    stored = {
+        (r.text_md5, r.keep_doc_id, r.dup_count)
+        for r in store.read("ex_groups").collect()
+    }
+    assert stored == full
+
+
+def test_embedding_bucketed_split_equals_full(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_embedding_index,
+        embedding_increment,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    kw = dict(threshold=0.2, n_planes=6, n_bands=2)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    full = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in embedding_near_dup_pairs(emb, **kw).collect()
+    }
+    assert full
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, bucketed=embedding_index_buckets(16)
+    )
+    build_embedding_index(store, emb.filter(F.col("vec_id") % 3 != 0), **kw)
+    inc = embedding_increment(store, emb.filter(F.col("vec_id") % 3 == 0), **kw)
+    got = {(r.vec_a, r.vec_b, r.cosine_sim) for r in inc.collect()} | {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in store.read("eb_pairs").collect()
+    }
+    assert got == full
+
+
+def test_ivf_partitioned_search_matches_and_prunes(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        ann_search_indexed,
+        build_ivf_index,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import ann_topk_ivf
+    from jobcan_data_integrator_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        partitioned={"ivf_assignments": ["cell_id"]},
+    )
+    build_ivf_index(store, emb)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = ann_search_indexed(store, queries, k=5, n_probe=2)
+    got = {(r.q_id, r.vec_id, r.cosine_sim) for r in res.collect()}
+    want = {
+        (r.q_id, r.vec_id, r.cosine_sim)
+        for r in ann_topk_ivf(
+            emb, queries, k=5, n_probe=2, centroids=store.read("ivf_codebook")
+        ).collect()
+    }
+    assert got == want and got
+
+    # the probe is partition-pruned on cell_id
+    assert "PartitionFilters: [cell_id" in _plan(res)
