@@ -191,6 +191,103 @@ def connected_components(
         sym.unpersist()
 
 
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as canonical (a > b) rows, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star phase: every node's strictly-LARGER neighbors are
+    re-pointed at the minimum of its closed neighborhood min(Γ(u)∪{u})."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star phase: every node with smaller neighbors points
+    them AND itself at the smallest of them (which is min(Γ(u)∪{u}),
+    since any smaller neighbor beats both u and u's larger neighbors)."""
+    smaller = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    m = smaller.groupBy("u").agg(F.min("v").alias("m"))
+    re_pointed = (
+        smaller.join(m, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    self_edges = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return re_pointed.unionByName(self_edges).distinct()
+
+
+def connected_components_twophase(
+    edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """(doc_id, cluster_id) via the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — the HIGH-DIAMETER scale path.
+
+    Same contract as ``connected_components`` (cluster_id = component
+    minimum; nodes outside any edge not emitted), but convergence is
+    O(log n) rounds on ANY graph instead of O(diameter): each phase is
+    still one shuffle join + one min-groupBy, so a million-hop chain
+    costs ~20 rounds, not a million.  Near-dup graphs are almost always
+    tiny stars where plain label propagation's 2-3 rounds win on
+    constant factors — use THIS variant when the pair graph may chain
+    (transitive near-dups over a sliding threshold, link graphs).
+
+    EAGER like its sibling: each round materializes via localCheckpoint
+    and runs a fixed-point check (edge set unchanged under both phases).
+    """
+    e = _canonical(edges).localCheckpoint(eager=True)
+    nodes = e.select(F.col("a").alias("doc_id")).unionByName(
+        e.select(F.col("b").alias("doc_id"))
+    ).distinct().localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # fixed point of the canonical edge set == both phases stable;
+        # exceptAll both ways (counts ride on already-checkpointed frames)
+        if (
+            nxt.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(nxt).limit(1).count() == 0
+        ):
+            e = nxt
+            converged = True
+            break
+        e = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in {max_iter} "
+            "rounds — raise max_iter"
+        )
+    # converged edges are stars (a -> component min); roots map to
+    # themselves (a left join keeps nodes whose component has size 1
+    # impossible here — every node came from an edge — but keeps ROOTS)
+    labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    roots = nodes.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labels.unionByName(roots)
+
+
 def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """(doc_id, cluster_id, keep) from a near-dup pair frame
     (doc_a, doc_b): ``keep`` marks the canonical (minimum-id) member of

@@ -7,8 +7,11 @@ join, so each round costs one job instead of two.
 
 from __future__ import annotations
 
+import random
+
 from jobcan_data_integrator_spark.operators.dedup import (
     connected_components,
+    connected_components_twophase,
     dup_clusters,
 )
 
@@ -68,3 +71,56 @@ def test_one_action_per_round_no_convergence_join(spark, monkeypatch):
     # checkpointed frame (LogicalRDD + filter), the warmup is a distinct
     # over a union
     assert not any("Join" in p for p in counted_plans)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase (large-star/small-star) variant — the high-diameter scale path
+# ---------------------------------------------------------------------------
+
+
+def _cc_set(df):
+    return {(r.doc_id, r.cluster_id) for r in df.collect()}
+
+
+def test_twophase_on_known_graph(spark):
+    e = _edges(spark, [(2, 1), (2, 3), (3, 4), (10, 11), (10, 12)])
+    assert _cc_set(connected_components_twophase(e)) == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
+def test_twophase_long_chain_few_rounds(spark):
+    # a 200-hop chain has diameter 200: label propagation needs ~200
+    # rounds, the alternating algorithm O(log n) — cap max_iter at 12 to
+    # PROVE the logarithmic convergence, not just the answer
+    n = 200
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    got = _cc_set(connected_components_twophase(e, max_iter=12))
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_twophase_matches_label_propagation_on_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        e = _edges(spark, edges)
+        assert _cc_set(connected_components_twophase(e)) == _cc_set(
+            connected_components(e, max_iter=60)
+        ), f"trial {trial} diverged"
+
+
+def test_twophase_on_gate_pair_graph(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.gate.llm import dd_lsh_verified_pairs
+
+    pairs = dd_lsh_verified_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    assert _cc_set(connected_components_twophase(e)) == _cc_set(
+        connected_components(e)
+    )
