@@ -889,24 +889,49 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate(
     "tx_quality_score",
     oracle=f"""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+    ), top AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(toks) AS n_tokens,
            length(text) AS n_chars_actual,
-           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-           CAST(len(list_filter(string_split(text, ' '),
-                     t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS stopword_ratio,
-           0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0)
-                 + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
-                          t -> list_contains([{_sql_list(_STOPWORDS["en"])}], t))) AS DOUBLE)
-                          / len(string_split(text, ' ')))
+           CAST(length(text) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(list_filter(toks,
+                     tok -> list_contains([{_sql_list(_STOPWORDS["en"])}], tok))) AS DOUBLE)
+                 / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             AS distinct_token_ratio,
+           coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+           (coalesce(top.top_bigram_frac, 0.0) > 0.2
+            OR CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.5)
+             AS repetition_flag,
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+                 + 0.3 * (CAST(len(list_filter(toks,
+                          tok -> list_contains([{_sql_list(_STOPWORDS["en"])}], tok))) AS DOUBLE)
+                          / len(toks))
                  + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score
-    FROM documents
+    FROM t LEFT JOIN top ON t.doc_id = top.doc_id
     """,
-    doc="Quality scoring: length/stopword-ratio composite (the reference-free "
-    "text-quality operator) — deterministic double math, identical operand "
-    "order on both engines (no rounding: Spark rounds HALF_UP, DuckDB "
-    "half-even, so rounding would DIVERGE at exact boundaries).",
+    doc="Quality scoring: length/stopword-ratio composite plus the "
+    "Gopher-style REPETITION signals (Rae et al. 2021 §A1.1: repetitious "
+    "documents are low-quality training data) — distinct-token ratio "
+    "(in-row) and top-bigram fraction (most frequent 2-gram's share of all "
+    "2-grams; per-doc keyed aggregate with map-side partials, the one "
+    "shuffle), with a composite repetition_flag at the published-style "
+    "thresholds (top-2-gram > 0.2, distinct ratio < 0.5). Deterministic "
+    "double math, identical operand order on both engines (no rounding: "
+    "Spark rounds HALF_UP, DuckDB half-even, so rounding would DIVERGE at "
+    "exact boundaries).",
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
@@ -921,13 +946,53 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * stop_ratio
         + F.lit(0.3) * F.least(n_chars.cast("double") / 500, F.lit(1.0))
     )
-    return docs.select(
+    distinct_ratio = (
+        F.expr("size(array_distinct(toks))").cast("double") / n_tokens
+    )
+    # in-row adjacent-pair construction: zip toks with its own tail; the
+    # unmatched last slot concats with null -> null -> filtered (no
+    # sequence() call, which rejects empty ranges)
+    base = docs.withColumn(
+        "bigrams",
+        F.expr(
+            "filter(zip_with(toks, slice(toks, 2, size(toks)),"
+            " (a, b) -> concat(a, ' ', b)), x -> x is not null)"
+        ),
+    ).select(
         "doc_id",
+        "bigrams",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_actual"),
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_token_ratio"),
         quality.alias("quality_score"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+        )
+    )
+    top_frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_actual",
+            "avg_token_len",
+            "stopword_ratio",
+            "distinct_token_ratio",
+            top_frac.alias("top_bigram_frac"),
+            (
+                (top_frac > 0.2) | (F.col("distinct_token_ratio") < 0.5)
+            ).alias("repetition_flag"),
+            "quality_score",
+        )
     )
 
 
