@@ -531,3 +531,70 @@ def ivf_codebook_stats(emb: DataFrame, n_cells: int = 16, iters: int = 2) -> Dat
     return sizes.join(checks, "cell_id").select(
         "cell_id", "n_members", "centroid_checksum"
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, score cosine
+    similarity ONLY within each cluster, and keep one representative of
+    every semantic-duplicate group.
+
+    Output: (vec_id, cell_id, keep) for every input vector — ``keep`` is
+    false for all but the minimum-id member of each duplicate group
+    (deterministic engine-independent choice; the paper keeps the member
+    farthest from the centroid, an arbitrary-but-fixed policy either
+    way).  Duplicate groups are the connected components of the
+    within-cell threshold graph, so transitive near-dups collapse to one
+    survivor like the text-side ``dup_clusters``.
+
+    Scale shape: assignment is the zero-shuffle broadcast-codebook map
+    (``assign_cells``); the pairwise score is a self-join keyed by
+    ``cell_id`` — quadratic only WITHIN a cell, which is the whole point
+    of the clustering, and ``n_cells`` is the knob that bounds cell size
+    (the paper uses ~11k clusters at web scale; grow it with the
+    corpus).  A pathologically hot cell shows up as one oversized join
+    partition — re-train with more cells or pre-split on an extra
+    hash.
+    """
+    from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+
+    if centroids is None:
+        centroids, _ = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+    assign = assign_cells(
+        emb.select("vec_id", "embedding", quantized_expr("embedding").alias("q")),
+        centroids,
+        keep=("embedding",),
+    ).cache()
+    a = assign.alias("a")
+    b = assign.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    cc = dup_clusters(pairs, max_iter=max_iter)
+    return (
+        assign.select("vec_id", "cell_id")
+        .join(cc.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
