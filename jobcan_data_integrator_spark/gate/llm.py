@@ -924,14 +924,15 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Quality scoring: length/stopword-ratio composite plus the "
     "Gopher-style REPETITION signals (Rae et al. 2021 §A1.1: repetitious "
-    "documents are low-quality training data) — distinct-token ratio "
-    "(in-row) and top-bigram fraction (most frequent 2-gram's share of all "
-    "2-grams; per-doc keyed aggregate with map-side partials, the one "
-    "shuffle), with a composite repetition_flag at the published-style "
-    "thresholds (top-2-gram > 0.2, distinct ratio < 0.5). Deterministic "
-    "double math, identical operand order on both engines (no rounding: "
-    "Spark rounds HALF_UP, DuckDB half-even, so rounding would DIVERGE at "
-    "exact boundaries).",
+    "documents are low-quality training data) — distinct-token ratio and "
+    "top-bigram fraction (most frequent 2-gram's share of all 2-grams), "
+    "with a composite repetition_flag at the published-style thresholds "
+    "(top-2-gram > 0.2, distinct ratio < 0.5). The bigram mode count is an "
+    "IN-ROW sorted run-length fold — the whole gate stays one narrow "
+    "zero-shuffle projection; the DuckDB oracle replays it as "
+    "unnest+group-by, same values. Deterministic double math, identical "
+    "operand order on both engines (no rounding: Spark rounds HALF_UP, "
+    "DuckDB half-even, so rounding would DIVERGE at exact boundaries).",
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
@@ -951,48 +952,35 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # in-row adjacent-pair construction: zip toks with its own tail; the
     # unmatched last slot concats with null -> null -> filtered (no
-    # sequence() call, which rejects empty ranges)
-    base = docs.withColumn(
-        "bigrams",
-        F.expr(
-            "filter(zip_with(toks, slice(toks, 2, size(toks)),"
-            " (a, b) -> concat(a, ' ', b)), x -> x is not null)"
-        ),
-    ).select(
+    # sequence() call, which rejects empty ranges).  The mode count is a
+    # run-length fold over the SORTED bigram array — per-doc n log n,
+    # zero shuffle, instead of an explode + two keyed aggregates.
+    bigrams = (
+        "filter(zip_with(toks, slice(toks, 2, size(toks)),"
+        " (a, b) -> concat(a, ' ', b)), x -> x is not null)"
+    )
+    mode_count = (
+        f"aggregate(array_sort({bigrams}),"
+        " struct(cast(null as string) as prev, 0L as run, 0L as best),"
+        " (a, x) -> if(x <=> a.prev,"
+        "  struct(x as prev, a.run + 1L as run, greatest(a.best, a.run + 1L) as best),"
+        "  struct(x as prev, 1L as run, greatest(a.best, 1L) as best)),"
+        " a -> a.best)"
+    )
+    top_frac = F.expr(
+        f"if(size({bigrams}) = 0, 0.0D,"
+        f" cast({mode_count} as double) / cast(size({bigrams}) as double))"
+    )
+    return docs.select(
         "doc_id",
-        "bigrams",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_actual"),
         (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_token_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        ((top_frac > 0.2) | (distinct_ratio < 0.5)).alias("repetition_flag"),
         quality.alias("quality_score"),
-    )
-    top = (
-        base.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
-        )
-    )
-    top_frac = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
-    return (
-        base.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_chars_actual",
-            "avg_token_len",
-            "stopword_ratio",
-            "distinct_token_ratio",
-            top_frac.alias("top_bigram_frac"),
-            (
-                (top_frac > 0.2) | (F.col("distinct_token_ratio") < 0.5)
-            ).alias("repetition_flag"),
-            "quality_score",
-        )
     )
 
 
