@@ -113,3 +113,48 @@ def pack_shards(
         .withColumn("shard_id", F.expr(f"cum_before div {budget}"))
         .select(id_col, tokens_col, "cum_before", "shard_id")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): sliding token-window
+    chunking — the step BEFORE ``pack_shards`` when documents exceed the
+    training context length.
+
+    Windows start every ``max_tokens - overlap`` tokens (so consecutive
+    chunks share ``overlap`` tokens of context, the standard
+    long-document training prep); every token appears in at least one
+    chunk, and trailing chunks may be shorter than ``max_tokens``.
+    Deterministic: chunk boundaries are a pure function of the token
+    count, so replays and engine ports agree exactly.
+
+    Scale shape: one narrow projection + posexplode — no shuffle, no
+    driver state; a 100 TB corpus chunks in a single map pass.  Feed the
+    result's (composite id, n_tokens) into ``pack_shards`` to get
+    context-length-bounded, budget-packed shards.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be smaller than max_tokens={max_tokens}"
+            " (the window would never advance)"
+        )
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    chunks = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - 1, {stride}),"
+        f" s -> slice(split({text_col}, ' '), s + 1, {max_tokens}))"
+    )
+    return (
+        docs.select(id_col, F.posexplode(chunks).alias("chunk_idx", "_ctoks"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+            F.size("_ctoks").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -78,3 +78,69 @@ def test_pathological_bucket_size_is_rejected(spark):
 def test_sane_explicit_bucket_size_still_packs(spark):
     rows = pack_shards(_docs(spark, n=200), budget=BUDGET, bucket_size=50).collect()
     _check_packing(rows, BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking
+# ---------------------------------------------------------------------------
+
+
+def _chunk_py(text, max_tokens, overlap):
+    toks = text.split(" ")
+    stride = max_tokens - overlap
+    return [
+        (" ".join(toks[s : s + max_tokens]), len(toks[s : s + max_tokens]))
+        for s in range(0, len(toks), stride)
+    ]
+
+
+def test_chunking_matches_python_replica(spark):
+    from jobcan_data_integrator_spark.operators.packing import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "one two three"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_tokens, overlap in [(4, 0), (4, 2), (8, 3), (3, 1)]:
+        got = {
+            (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(df, max_tokens, overlap).collect()
+        }
+        want = {
+            (doc_id, i): chunk
+            for doc_id, text in rows
+            for i, chunk in enumerate(_chunk_py(text, max_tokens, overlap))
+        }
+        assert got == want, f"max={max_tokens} overlap={overlap}"
+
+
+def test_chunking_covers_every_token_and_respects_overlap(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.operators.packing import chunk_documents
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, max_tokens=16, overlap=4).cache()
+    # every chunk bounded; total tokens >= corpus tokens (overlap re-counts)
+    assert out.filter(F.col("n_tokens") > 16).count() == 0
+    corpus_toks = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).collect()[0].s
+    chunk_toks = out.agg(F.sum("n_tokens")).collect()[0][0]
+    assert chunk_toks >= corpus_toks
+    # narrow plan: chunking itself introduces no shuffle
+    plan = chunk_documents(docs, max_tokens=16, overlap=4)
+    assert "Exchange" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_rejects_non_advancing_window(spark):
+    import pytest
+
+    from jobcan_data_integrator_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
