@@ -173,6 +173,50 @@ def synthesize_skew(spark, skew_dir: Path) -> None:
             os.symlink(f"{SRC_SF}/{table}.parquet", link)
 
 
+#: incremental-dedup probe: a FIXED increment against a 10x index must
+#: cost ~flat, not 10x — that is the whole point of the persisted index
+#: + bucket pruning.  Budget is loose (3x) because the corpus-side
+#: equi-join still touches 10x-bigger matching buckets at this small
+#: increment size.
+INC_BUDGET = 3.0
+
+
+def incremental_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
+    """Median seconds to dedup a FIXED ~20-doc increment against a
+    bucket-pruned MinHash index of ``sf_dir``'s corpus (doc_id % 10 < 8).
+
+    ``n_buckets`` scales with the corpus (the documented knob: hold
+    bucket SIZE roughly constant), so the increment's band keys prune to
+    a corpus-independent byte volume.  The increment is doc_id < 100 of
+    the held-out 20% — replica 0 of the synthesized sf1 keeps original
+    ids, so the exact same documents probe both indexes.
+    """
+    from jobcan_data_integrator_spark.gate._common import _H, _shingle_rows
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_increment,
+        minhash_index_buckets,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    )
+    store = TableStore(
+        spark, workdir, write_partitions=1,
+        bucketed=minhash_index_buckets(n_buckets),
+    )
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 10 < 8))
+    inc = hashed.filter((F.col("doc_id") % 10 >= 8) & (F.col("doc_id") < 100))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dedup_increment(store, inc).write.mode("overwrite").format("noop").save()
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     queries = _gate.queries()
     out: dict[str, float] = {}
@@ -221,12 +265,24 @@ def main() -> None:
     skew_t = round(sorted(skew_times)[1], 3)
     skew_ratio = round(skew_t / base[SKEW_GATE], 2) if base[SKEW_GATE] else None
 
+    # incremental probe: same ~20-doc increment, sf0.1 index (64 buckets)
+    # vs the 10x index (640 buckets — bucket size held constant)
+    inc01 = incremental_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_incidx01"
+    )
+    inc1 = incremental_experiment(
+        spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_incidx1"
+    )
+    inc_ratio = round(inc1 / inc01, 2) if inc01 else None
+
     ratios = {
         n: round(scaled[n] / base[n], 2) if base[n] > 0 else None for n in HEADLINE
     }
     flagged = {n: r for n, r in ratios.items() if r and r > SCALE_BUDGET}
     if skew_ratio and skew_ratio > SKEW_BUDGET:
         flagged[f"{SKEW_GATE}@skew"] = skew_ratio
+    if inc_ratio and inc_ratio > INC_BUDGET:
+        flagged["dedup_increment@10x"] = inc_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
@@ -235,12 +291,22 @@ def main() -> None:
                                "skewed_sec": skew_t, "ratio": skew_ratio,
                                "budget": SKEW_BUDGET,
                                "note": "same-volume corpus, one user owns "
-                               "50% of events (median of 3)"}}))
+                               "50% of events (median of 3)"},
+                      "incremental": {"op": "dedup_increment",
+                                      "sf01_sec": inc01, "sf1_sec": inc1,
+                                      "ratio": inc_ratio, "budget": INC_BUDGET,
+                                      "note": "fixed ~20-doc increment vs "
+                                      "bucket-pruned MinHash index; buckets "
+                                      "64 -> 640 so bucket size stays "
+                                      "constant (median of 3)"}}))
     for n in HEADLINE:
         print(f"# {base[n]:8.2f} -> {scaled[n]:8.2f}  ({ratios[n]:6.2f}x)  {n}",
               file=sys.stderr)
     print(f"# skew: {SKEW_GATE} {base[SKEW_GATE]:.2f} uniform -> "
           f"{skew_t:.2f} skewed ({skew_ratio}x, budget {SKEW_BUDGET}x)",
+          file=sys.stderr)
+    print(f"# incremental: dedup_increment {inc01:.2f} @sf0.1-index -> "
+          f"{inc1:.2f} @sf1-index ({inc_ratio}x, budget {INC_BUDGET}x)",
           file=sys.stderr)
     if flagged:
         print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",
