@@ -260,19 +260,25 @@ def connected_components_twophase(
     nodes = e.select(F.col("a").alias("doc_id")).unionByName(
         e.select(F.col("b").alias("doc_id"))
     ).distinct().localCheckpoint(eager=True)
+    n_e = e.count()
     converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # fixed point of the canonical edge set == both phases stable;
-        # exceptAll both ways (counts ride on already-checkpointed frames)
+        # fixed point of the canonical edge set == both phases stable.
+        # Both sides are distinct row sets, so |nxt| == |e| plus
+        # nxt∖e == ∅ proves equality — one count (carried to the next
+        # round) and one early-exiting anti-join instead of two full
+        # exceptAll passes.  Superseded checkpoint RDDs are released by
+        # GC once `e` is rebound (localCheckpoints have no unpersist).
+        n_nxt = nxt.count()
         if (
-            nxt.exceptAll(e).limit(1).count() == 0
-            and e.exceptAll(nxt).limit(1).count() == 0
+            n_nxt == n_e
+            and nxt.join(e, ["a", "b"], "left_anti").limit(1).count() == 0
         ):
             e = nxt
             converged = True
             break
-        e = nxt
+        e, n_e = nxt, n_nxt
     if not converged:
         raise RuntimeError(
             f"connected_components_twophase did not converge in {max_iter} "

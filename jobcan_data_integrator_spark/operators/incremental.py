@@ -135,19 +135,38 @@ def dedup_increment(
     small increment against a huge index reads a fraction of it, at the
     cost of materializing the candidate set early (one extra small
     action).  Results are identical to the unbucketed path.
+
+    REPLAY-SAFE: a crash between ``extend_index`` and the caller's own
+    checkpoint (e.g. a streaming micro-batch commit) re-delivers a batch
+    the index already absorbed.  The increment is therefore made
+    AUTHORITATIVE for its own docs — corpus-side shingle/size rows for
+    increment doc ids are anti-joined away — so the unioned frames never
+    hold a doc twice (double-counted shingles would produce jaccard
+    values outside [0, 1] and corrupt ``mh_pairs`` on the upsert).
+    Candidate generation needs no such guard: a replayed doc's corpus
+    copy cannot self-pair (``doc_id`` inequality) and duplicate pairs
+    collapse in the candidates' ``distinct``.
+
+    Intermediates are ``localCheckpoint``ed rather than ``cache``d: the
+    checkpoint RDDs are released by GC when the result frame dies,
+    where forgotten cache entries would accumulate across micro-batches
+    in a long-lived session.
     """
-    new_hashed = new_hashed_shingles.cache()
-    new_sh = new_hashed.select("doc_id", "shingle").distinct().cache()
-    new_bands = band_rows(new_hashed, n_hashes, band_size).cache()
+    new_hashed = new_hashed_shingles.localCheckpoint(eager=True)
+    new_sh = (
+        new_hashed.select("doc_id", "shingle").distinct().localCheckpoint(eager=True)
+    )
+    new_ids = new_sh.select("doc_id").distinct()
+    new_bands = band_rows(new_hashed, n_hashes, band_size).localCheckpoint(eager=True)
     corpus_bands = store.read_for_keys("mh_bands", new_bands.select("band_key"))
     cands = candidate_pairs(new_bands, corpus_bands).unionByName(
         candidate_pairs(new_bands)
     ).distinct()
     if "mh_shingles" in store.bucketed or "mh_sizes" in store.bucketed:
         # the candidate set names exactly which corpus docs the verify
-        # stage needs — cache it (verify consumes it twice anyway) and
-        # prune the shingle/size scans to those docs' buckets
-        cands = cands.cache()
+        # stage needs — materialize it (verify consumes it twice anyway)
+        # and prune the shingle/size scans to those docs' buckets
+        cands = cands.localCheckpoint(eager=True)
         cand_docs = cands.select(
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         )
@@ -156,6 +175,8 @@ def dedup_increment(
     else:
         corpus_sh = store.read("mh_shingles")
         corpus_sz = store.read("mh_sizes")
+    corpus_sh = corpus_sh.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    corpus_sz = corpus_sz.join(F.broadcast(new_ids), "doc_id", "left_anti")
     shingles = corpus_sh.unionByName(new_sh)
     sizes = corpus_sz.unionByName(shingle_sizes(new_sh))
     return verify_candidate_pairs(cands, shingles, sizes)
@@ -387,6 +408,21 @@ def build_simhash_index(
         sig.unpersist()
 
 
+def _ensure_sh_blocks(store: TableStore, n_blocks: int, block_bits: int) -> None:
+    """Backfill the block table for an index persisted BEFORE sh_blocks
+    existed (the signature table alone was the index then; blocks were
+    derived at probe time).  Without this, probing a legacy store would
+    fail loudly, and extending one would seed a PARTIAL block table
+    covering only the increment — silent missed pairs ever after."""
+    from jobcan_data_integrator_spark.operators.simhash import block_rows
+
+    if store.exists("sh_signatures") and not store.exists("sh_blocks"):
+        store.overwrite(
+            "sh_blocks",
+            block_rows(store.read("sh_signatures"), n_blocks, block_bits),
+        )
+
+
 def simhash_increment(
     store: TableStore,
     new_signatures: DataFrame,
@@ -399,13 +435,19 @@ def simhash_increment(
     against the persisted block table — bucket-pruned to the
     increment's block values on a store bucketed with
     ``simhash_index_buckets`` — so per-batch scan and shuffle volume is
-    bounded by the candidate set, not the corpus."""
+    bounded by the candidate set, not the corpus.  Replay of an absorbed
+    batch is benign here: a doc's corpus copy cannot self-pair and
+    duplicate pairs collapse in the final ``distinct`` (Hamming is a
+    pure per-pair function, not a count over unioned rows)."""
     from jobcan_data_integrator_spark.operators.simhash import (
         block_rows,
         near_dup_pairs,
     )
 
-    new_blocks = block_rows(new_signatures.cache(), n_blocks, block_bits).cache()
+    _ensure_sh_blocks(store, n_blocks, block_bits)
+    new_blocks = block_rows(
+        new_signatures, n_blocks, block_bits
+    ).localCheckpoint(eager=True)
     corpus_blocks = store.read_for_keys(
         "sh_blocks", new_blocks.select("block_val")
     )
@@ -422,12 +464,16 @@ def extend_simhash_index(
     block_bits: int = 15,
 ) -> None:
     """Absorb a processed increment: append signatures + their block
-    rows, upsert pairs.  ``new_pairs`` is materialized first — it lazily
-    scans the tables being rewritten (same contract as extend_index)."""
+    rows, upsert pairs.  ``new_pairs`` AND ``new_signatures`` are
+    materialized first — both may lazily scan tables this function
+    rewrites (new_pairs via the probe, new_signatures via any
+    caller-side derivation), and the second merge would otherwise
+    re-evaluate ``sig`` against files the first merge replaced."""
     from jobcan_data_integrator_spark.operators.simhash import block_rows
 
+    _ensure_sh_blocks(store, n_blocks, block_bits)
     new_pairs = new_pairs.localCheckpoint(eager=True)
-    sig = new_signatures.cache()
+    sig = new_signatures.localCheckpoint(eager=True)
     store.begin_commit("sh-index-extend", list(SIMHASH_TABLES))
     store.merge_insert_missing("sh_signatures", sig, ["doc_id"])
     store.merge_insert_missing(
@@ -536,7 +582,9 @@ def ann_search_indexed(
         n_probe,
     ).withColumnRenamed("vec_id", "q_id")
     if "ivf_assignments" in store.partitioned:
-        probe = probe.cache()
+        # checkpoint, not cache: serving calls repeat, and forgotten
+        # cache entries would accumulate (GC reclaims checkpoint RDDs)
+        probe = probe.localCheckpoint(eager=True)
         cells = [r[0] for r in probe.select("cell_id").distinct().collect()]
         assign = assign.filter(F.col("cell_id").isin(cells))
     q_emb = queries.select(
@@ -608,17 +656,22 @@ def embedding_increment(
     set.  Candidates come from one (band, bucket) equi-join against the
     persisted bucket table plus the increment's self-join; embeddings are
     fetched for candidate ids only (ids-only dedup first, the same
-    vector-movement discipline as embedding_near_dup_pairs)."""
+    vector-movement discipline as embedding_near_dup_pairs).
+
+    REPLAY-SAFE like ``dedup_increment``: corpus-side vectors for
+    increment vec_ids are anti-joined away before the union, so a
+    re-delivered batch the index already absorbed cannot double-match
+    the embedding fetch join (which would emit duplicate pair rows)."""
     from jobcan_data_integrator_spark.operators.similarity import (
         bucket_rows,
         cosine_expr,
     )
 
-    new_emb = new_emb.cache()
+    new_emb = new_emb.localCheckpoint(eager=True)
     new_b = (
         bucket_rows(new_emb, n_planes, dim, n_bands)
         .select("vec_id", "band", "bucket")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # bucket-pruned on a store bucketed with ``embedding_index_buckets``:
     # the corpus bucket table is scanned only where the increment's LSH
@@ -649,13 +702,16 @@ def embedding_increment(
     )
     cand = cross.unionByName(within).distinct()
     if "eb_vectors" in store.bucketed:
-        cand = cand.cache()
+        cand = cand.localCheckpoint(eager=True)
         cand_ids = cand.select(
             F.explode(F.array("vec_a", "vec_b")).alias("vec_id")
         )
         corpus_vecs = store.read_for_keys("eb_vectors", cand_ids)
     else:
         corpus_vecs = store.read("eb_vectors")
+    corpus_vecs = corpus_vecs.join(
+        F.broadcast(new_emb.select("vec_id")), "vec_id", "left_anti"
+    )
     vecs = corpus_vecs.unionByName(new_emb)
     return (
         cand.join(vecs.alias("va"), F.col("vec_a") == F.col("va.vec_id"))

@@ -129,9 +129,14 @@ def chunk_documents(
     Windows start every ``max_tokens - overlap`` tokens (so consecutive
     chunks share ``overlap`` tokens of context, the standard
     long-document training prep); every token appears in at least one
-    chunk, and trailing chunks may be shorter than ``max_tokens``.
-    Deterministic: chunk boundaries are a pure function of the token
-    count, so replays and engine ports agree exactly.
+    chunk, the trailing chunk may be shorter than ``max_tokens``, and
+    windowing STOPS once a chunk reaches the document end — a further
+    window would be fully contained in the previous chunk and duplicate
+    its text into the training set (the start bound below is
+    ``size - overlap - 1``: any later start is within ``overlap`` of a
+    chunk that already covered the tail).  Deterministic: chunk
+    boundaries are a pure function of the token count, so replays and
+    engine ports agree exactly.
 
     Scale shape: one narrow projection + posexplode — no shuffle, no
     driver state; a 100 TB corpus chunks in a single map pass.  Feed the
@@ -144,9 +149,9 @@ def chunk_documents(
             " (the window would never advance)"
         )
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
     chunks = F.expr(
-        f"transform(sequence(0, size(split({text_col}, ' ')) - 1, {stride}),"
+        f"transform(sequence(0, greatest(0,"
+        f" size(split({text_col}, ' ')) - 1 - {overlap}), {stride}),"
         f" s -> slice(split({text_col}, ' '), s + 1, {max_tokens}))"
     )
     return (

@@ -28,10 +28,19 @@ from pyspark.sql import functions as F
 #: redaction order matters: emails first (their local parts can contain
 #: phone-like digit runs), then IPv4 (dotted digit runs a phone pattern
 #: would otherwise swallow), then bare phone-like runs.
+#:
+#: The phone pattern requires AT LEAST 9 DIGITS within the run (the
+#: lookahead counts digits separated only by run characters) and
+#: excludes '.' from the separator set — otherwise ordinary numeric
+#: text is destroyed corpus-wide: a year range "2020-2021" (8 digits)
+#: or a formatted amount "1 000 000.00" (the '.' splits the run to 7
+#: digits) must NOT be redacted.  Dotted European phone formats are the
+#: accepted miss; long separator-free IDs (13 digits) are the accepted
+#: hit — standard scrubber trade-offs.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ip": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    "phone": (r"\+?\d[\d ().-]{7,}\d", "<PHONE>"),
+    "phone": (r"\+?(?=(?:[ ()-]*\d){9})\d[\d ()-]{6,18}\d", "<PHONE>"),
 }
 
 

@@ -588,7 +588,14 @@ def semantic_dedup(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
-    cc = dup_clusters(pairs, max_iter=max_iter)
+    try:
+        # dup_clusters is EAGER and fully materializes its labels off the
+        # pair join, so the cache can be dropped before returning — the
+        # final id+cell projection recomputes from source (one cheap
+        # narrow pass) instead of pinning the vectors in executor storage
+        cc = dup_clusters(pairs, max_iter=max_iter)
+    finally:
+        assign.unpersist()
     return (
         assign.select("vec_id", "cell_id")
         .join(cc.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")

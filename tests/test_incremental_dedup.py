@@ -340,3 +340,96 @@ def test_ann_search_over_persisted_index_matches_direct(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Crash-replay convergence (re-delivered batches the index already absorbed)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_replay_of_absorbed_batch_converges(spark, sf_dir, tmp_path):
+    """A streaming crash between extend_index and the stream checkpoint
+    re-delivers the batch.  The re-run must produce EXACTLY the first
+    run's pairs (corpus-side rows for increment docs are anti-joined
+    away), not doubled-shingle garbage with jaccard outside [0, 1]."""
+    hashed = _hashed(spark, sf_dir).cache()
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 3 != 0))
+    inc_sh = hashed.filter(F.col("doc_id") % 3 == 0)
+    first = dedup_increment(store, inc_sh)
+    first_set = _pairs_set(first)
+    extend_index(store, inc_sh, first)
+
+    replay = dedup_increment(store, inc_sh)
+    replay_rows = replay.collect()
+    assert all(0.0 <= r.jaccard <= 1.0 for r in replay_rows)
+    assert {(r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in replay_rows} == first_set
+    # and re-absorbing converges (upsert overwrites with identical rows)
+    extend_index(store, inc_sh, replay)
+    full = _pairs_set(dd_lsh_verified_pairs(spark, sf_dir))
+    assert _pairs_set(store.read("mh_pairs")) == full
+
+
+def test_embedding_replay_of_absorbed_batch_converges(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_embedding_index,
+        embedding_increment,
+        extend_embedding_index,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    kw = dict(threshold=0.2, n_planes=6, n_bands=2)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_embedding_index(store, emb.filter(F.col("vec_id") % 3 != 0), **kw)
+    inc_emb = emb.filter(F.col("vec_id") % 3 == 0)
+    first = embedding_increment(store, inc_emb, **kw)
+    first_rows = first.collect()
+    extend_embedding_index(store, inc_emb, first, n_planes=6, n_bands=2)
+
+    replay_rows = embedding_increment(store, inc_emb, **kw).collect()
+    # no duplicate pair rows from double-matching the vector fetch join
+    keys = [(r.vec_a, r.vec_b) for r in replay_rows]
+    assert len(keys) == len(set(keys))
+    assert {(r.vec_a, r.vec_b, r.cosine_sim) for r in replay_rows} == {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in first_rows
+    }
+
+
+def test_simhash_legacy_store_backfills_block_table(spark, sf_dir, tmp_path):
+    """An index persisted before sh_blocks existed (signatures + pairs
+    only) must be backfilled on first touch — a partial block table
+    seeded from an increment alone would silently miss every pair
+    against the pre-upgrade corpus."""
+    from jobcan_data_integrator_spark.gate.llm import (
+        _simhash_signatures,
+        dd_simhash_pairs,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        simhash_increment,
+    )
+    from jobcan_data_integrator_spark.operators.simhash import (
+        block_rows,
+        near_dup_pairs,
+    )
+
+    sig = _simhash_signatures(spark, sf_dir).cache()
+    corpus_sig = sig.filter(F.col("doc_id") % 3 != 0)
+    # legacy layout: signatures + pairs, NO sh_blocks
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    store.overwrite("sh_signatures", corpus_sig)
+    store.overwrite(
+        "sh_pairs", near_dup_pairs(block_rows(corpus_sig, 4, 15), n_blocks=4)
+    )
+
+    inc = simhash_increment(store, sig.filter(F.col("doc_id") % 3 == 0))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in inc.collect()} | {
+        (r.doc_a, r.doc_b, r.hamming) for r in store.read("sh_pairs").collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd_simhash_pairs(spark, sf_dir).collect()
+    }
+    assert got == full
+    assert store.exists("sh_blocks")  # backfilled, not partial
+    assert store.read("sh_blocks").count() == corpus_sig.count() * 4

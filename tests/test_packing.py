@@ -88,10 +88,14 @@ def test_sane_explicit_bucket_size_still_packs(spark):
 def _chunk_py(text, max_tokens, overlap):
     toks = text.split(" ")
     stride = max_tokens - overlap
-    return [
-        (" ".join(toks[s : s + max_tokens]), len(toks[s : s + max_tokens]))
-        for s in range(0, len(toks), stride)
-    ]
+    out = []
+    for s in range(0, len(toks), stride):
+        out.append(
+            (" ".join(toks[s : s + max_tokens]), len(toks[s : s + max_tokens]))
+        )
+        if s + max_tokens >= len(toks):
+            break  # a further window would be contained in this chunk
+    return out
 
 
 def test_chunking_matches_python_replica(spark):
@@ -134,6 +138,35 @@ def test_chunking_covers_every_token_and_respects_overlap(spark, sf_dir):
     # narrow plan: chunking itself introduces no shuffle
     plan = chunk_documents(docs, max_tokens=16, overlap=4)
     assert "Exchange" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunking_never_emits_contained_chunks(spark):
+    """Regression: with overlap > 0, a window starting after the previous
+    chunk already reached the document end is pure duplicate text."""
+    from jobcan_data_integrator_spark.operators.packing import chunk_documents
+
+    cases = [
+        ("a b c d e f g h i j", 4, 2),  # 10 toks: starts 0,2,4,6 only (not 8)
+        ("a b c d e", 4, 3),            # 5 toks: starts 0,1 only (not 2,3,4)
+        ("a b c", 8, 4),                # shorter than one window: start 0 only
+    ]
+    for text, mx, ov in cases:
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = sorted(
+            (r.chunk_idx, r.chunk_text)
+            for r in chunk_documents(df, mx, ov).collect()
+        )
+        want = sorted(enumerate(c for c, _ in _chunk_py(text, mx, ov)))
+        assert got == want, (text, mx, ov)
+        # no chunk's token span is a subset of another's
+        spans = []
+        stride = mx - ov
+        for i, _ in got:
+            s = i * stride
+            spans.append((s, min(s + mx, len(text.split(" ")))))
+        for x in spans:
+            for y in spans:
+                assert x == y or not (y[0] <= x[0] and x[1] <= y[1]), spans
 
 
 def test_chunking_rejects_non_advancing_window(spark):

@@ -40,6 +40,14 @@ def test_ip_not_counted_as_phone(spark):
     assert (r.n_ip, r.n_phone) == (1, 0)
 
 
+def test_ordinary_numeric_text_is_not_phone(spark):
+    # year ranges (8 digits) and formatted amounts (dot-split runs) must
+    # survive: the phone pattern needs >= 9 digits in one dotless run
+    r = _scrub_one(spark, "revenue was 1 000 000.00 over 2020-2021 (see p. 12)")
+    assert r.n_phone == 0 and r.has_pii is False
+    assert r.redacted_text == r.text
+
+
 def test_idempotent(spark):
     df = spark.createDataFrame(
         [(1, "alice@example.com from 10.0.0.1 dials 555-123-4567")],
