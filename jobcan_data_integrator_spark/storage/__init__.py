@@ -66,6 +66,7 @@ class TableStore:
         write_partitions: int | None = None,
         partitioned: dict[str, list[str]] | None = None,
         bucketed: dict[str, tuple[str, int]] | None = None,
+        sorted_by: dict[str, list[str]] | None = None,
         snapshot_isolation: bool = False,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
@@ -89,6 +90,15 @@ class TableStore:
         the update batch's keys hash into.  The same key always lands in
         the same bucket, so scoped syncs stay correct by construction.
 
+        ``sorted_by`` maps table name -> columns to sort WITHIN each
+        written file (``sortWithinPartitions`` before every write — no
+        extra shuffle beyond the write's own layout).  Sorted files
+        carry tight per-row-group min/max statistics on those columns,
+        so a pushed ``In``/range filter (see ``read_for_keys``'s
+        key-value pushdown) skips whole row groups instead of decoding
+        them — the "z-order lite" a warehouse applies to its probe-side
+        index tables.
+
         ``snapshot_isolation`` switches the store to
         versioned writes published through a single manifest pointer:
         every ``overwrite`` lands in a fresh ``<table>.v-*`` directory and
@@ -107,6 +117,7 @@ class TableStore:
         self.write_partitions = write_partitions
         self.partitioned = dict(partitioned or {})
         self.bucketed = dict(bucketed or {})
+        self.sorted_by = dict(sorted_by or {})
         self.snapshot_isolation = snapshot_isolation
         if snapshot_isolation and (self.partitioned or self.bucketed):
             raise ValueError(
@@ -214,6 +225,12 @@ class TableStore:
             return self.read(table)
         return self.spark.createDataFrame([], like.schema)
 
+    #: key-value pushdown cap for read_for_keys: an ``In`` filter with
+    #: more literals than this stops helping (planning cost, and Parquet
+    #: dictionary/row-group pruning saturates) — past it, only the
+    #: partition-level bucket filter is pushed.
+    MAX_PUSHED_KEYS = 1024
+
     def read_for_keys(
         self, table: str, keys: DataFrame, key_col: str | None = None
     ) -> DataFrame:
@@ -227,14 +244,18 @@ class TableStore:
         bigint-bucketed table would silently prune the wrong dirs.
 
         Returns a SUPERSET of the rows whose source column equals one of
-        the keys (everything in the matching buckets rides along) — the
-        caller's own equi-/semi-join does the exact filtering, as it
-        already must.  This is what turns an incremental index probe from
-        "scan the whole 100 TB index" into "scan keys/n_buckets of it":
-        the distinct bucket set is at most ``n_buckets`` values (one tiny
-        aggregate over the increment), and the ``isin`` filter on the
-        partition column prunes at the FILE LISTING level — unmatched
-        bucket dirs are never opened.
+        the keys — the caller's own equi-/semi-join does the exact
+        filtering, as it already must.  Two pruning levels:
+
+        1. the bucket set (at most ``n_buckets`` values, one tiny
+           aggregate over the keys) goes into an ``isin`` on the
+           partition column — unmatched bucket dirs are never even
+           LISTED;
+        2. when the distinct key set itself is small (≤ MAX_PUSHED_KEYS)
+           the key VALUES are additionally pushed as an ``In`` filter on
+           the source column — Parquet row-group min/max statistics then
+           skip non-matching row groups inside the surviving buckets,
+           which is what the ``sorted_by`` write layout makes sharp.
 
         Falls back to a plain ``read`` when the table is not bucketed
         (nothing to prune on) or when the keys cover every bucket.
@@ -243,17 +264,36 @@ class TableStore:
             return self.read(table)
         src, n = self.bucketed[table]
         kc = key_col or src
-        buckets = [
-            r[0]
-            for r in keys.select(
-                F.pmod(F.xxhash64(F.col(kc)), F.lit(n)).alias("b")
+        pairs = (
+            keys.select(
+                F.col(kc).alias("k"),
+                F.pmod(F.xxhash64(F.col(kc)), F.lit(n)).alias("b"),
             )
             .distinct()
+            .limit(self.MAX_PUSHED_KEYS + 1)
             .collect()
-        ]
+        )
         df = self._read_raw(table)
-        if len(buckets) < n:
-            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        if len(pairs) <= self.MAX_PUSHED_KEYS:
+            # the full distinct key set fits: push values AND buckets
+            buckets = sorted({r["b"] for r in pairs})
+            if len(buckets) < n:
+                df = df.filter(F.col(BUCKET_COL).isin(buckets))
+            df = df.filter(F.col(src).isin([r["k"] for r in pairs]))
+        else:
+            # too many keys to push by value — bucket-level pruning only
+            # (the limit above truncated the pair list, so re-derive the
+            # complete bucket set)
+            buckets = [
+                r[0]
+                for r in keys.select(
+                    F.pmod(F.xxhash64(F.col(kc)), F.lit(n)).alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if len(buckets) < n:
+                df = df.filter(F.col(BUCKET_COL).isin(buckets))
         return df.drop(BUCKET_COL)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
@@ -278,7 +318,9 @@ class TableStore:
             if self.write_partitions is not None:
                 df_out = df_out.coalesce(self.write_partitions)
             vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
-            df_out.write.mode("overwrite").parquet(str(self.root / vdir))
+            self._sorted(table, df_out).write.mode("overwrite").parquet(
+                str(self.root / vdir)
+            )
             self._pending_versions[table] = vdir
             return
         target = self.path(table)
@@ -292,7 +334,7 @@ class TableStore:
                 df = self._prep(table, df)
             if self.write_partitions is not None:
                 df = df.coalesce(self.write_partitions)
-            w = df.write.mode("overwrite")
+            w = self._sorted(table, df).write.mode("overwrite")
             if pcols:
                 w = w.partitionBy(*pcols)
             w.parquet(str(tmp))
@@ -425,6 +467,23 @@ class TableStore:
             df = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(src)), F.lit(n)))
         return df
 
+    def _sorted(self, table: str, df: DataFrame) -> DataFrame:
+        """Apply the table's declared within-file sort (see sorted_by).
+
+        The hive partition columns lead the sort: the file writer
+        REQUIRES rows ordered by partition columns and would insert its
+        own (non-stable) sort otherwise, destroying the data-column
+        order — leading with them satisfies that requirement so the
+        declared order actually reaches the files.
+        """
+        cols = self.sorted_by.get(table)
+        if not cols:
+            return df
+        pcols = [
+            c for c in (self._managed_pcols(table) or []) if c in df.columns
+        ]
+        return df.sortWithinPartitions(*pcols, *cols)
+
     def _read_raw(self, table: str) -> DataFrame:
         """Like read(), but keeps the bucket column on bucketed tables.
 
@@ -453,7 +512,7 @@ class TableStore:
         with _INFLIGHT_LOCK:
             _INFLIGHT.add(str(self.path(table)))
         try:
-            prepped.write.mode("overwrite").partitionBy(
+            self._sorted(table, prepped).write.mode("overwrite").partitionBy(
                 *self._managed_pcols(table)
             ).parquet(str(tmp))
             os.replace(self.path(table), old)
@@ -471,7 +530,9 @@ class TableStore:
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            df.write.mode("overwrite").partitionBy(*pcols).parquet(str(self.path(table)))
+            self._sorted(table, df).write.mode("overwrite").partitionBy(
+                *pcols
+            ).parquet(str(self.path(table)))
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

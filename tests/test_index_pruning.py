@@ -54,20 +54,9 @@ def test_read_for_keys_is_pruned_superset(spark, tmp_path):
     keys = spark.createDataFrame([(7,), (8,)], "k long")
     got = store.read_for_keys("t", keys)
 
-    # superset: every key-matching row present, nothing outside the
-    # keys' buckets present
-    want_buckets = {
-        r[0]
-        for r in keys.select(F.pmod(F.xxhash64("k"), F.lit(16)).alias("b")).collect()
-    }
-    all_rows = store._read_raw("t")
-    expect = {
-        (r.k, r.v)
-        for r in all_rows.filter(F.col(BUCKET_COL).isin(list(want_buckets))).collect()
-    }
-    assert {(r.k, r.v) for r in got.collect()} == expect
-    assert {7, 8} <= {r.k for r in got.collect()}
-    assert got.count() < 500  # actually pruned something
+    # a small key set pushes values too, so the result is EXACT (still a
+    # superset of the contract's "rows matching the keys")
+    assert {(r.k, r.v) for r in got.collect()} == {(7, 14), (8, 16)}
 
     # and the pruning happens at the partition level, not a post-scan
     # filter: the scan node must carry a PartitionFilters entry on the
@@ -231,3 +220,62 @@ def test_ivf_partitioned_search_matches_and_prunes(spark, sf_dir, tmp_path):
 
     # the probe is partition-pruned on cell_id
     assert "PartitionFilters: [cell_id" in _plan(res)
+
+
+def test_read_for_keys_pushes_key_values_when_small(spark, tmp_path):
+    store = TableStore(
+        spark, tmp_path, write_partitions=1, bucketed={"t": ("k", 16)}
+    )
+    rows = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    store.overwrite("t", rows)
+    keys = spark.createDataFrame([(7,), (8,)], "k long")
+    got = store.read_for_keys("t", keys)
+    # small key set -> exact rows, and the In filter reaches the scan
+    assert {(r.k, r.v) for r in got.collect()} == {(7, 14), (8, 16)}
+    plan = _plan(got)
+    assert f"PartitionFilters: [{BUCKET_COL}" in plan
+    assert "PushedFilters: [In(k" in plan
+
+
+def test_read_for_keys_large_keyset_falls_back_to_buckets(spark, tmp_path):
+    store = TableStore(
+        spark, tmp_path, write_partitions=1, bucketed={"t": ("k", 4)}
+    )
+    old_cap = TableStore.MAX_PUSHED_KEYS
+    TableStore.MAX_PUSHED_KEYS = 10
+    try:
+        rows = spark.range(0, 200).select(F.col("id").alias("k"))
+        store.overwrite("t", rows)
+        keys = spark.range(0, 50).select(F.col("id").alias("k"))  # > cap
+        got = store.read_for_keys("t", keys)
+        plan = _plan(got)
+        assert "PushedFilters: [In(k" not in plan
+        # superset semantics: all 50 keys' rows present
+        assert {r.k for r in got.collect()} >= set(range(50))
+    finally:
+        TableStore.MAX_PUSHED_KEYS = old_cap
+
+
+def test_sorted_by_layout_writes_sorted_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        bucketed={"t": ("k", 4)},
+        sorted_by={"t": ["k"]},
+    )
+    # write in a scrambled order; files must come out sorted by k
+    rows = spark.range(0, 1000).select(
+        F.pmod(F.col("id") * 7919 + 13, F.lit(100000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    store.overwrite("t", rows)
+    files = list((tmp_path / "t").rglob("*.parquet"))
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks), f
+    # and reads still see every row exactly once
+    assert store.read("t").count() == 1000
