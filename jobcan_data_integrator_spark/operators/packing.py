@@ -163,3 +163,53 @@ def chunk_documents(
             F.size("_ctoks").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-weighted training mixture: source ``i`` with
+    weight ``w`` contributes each of its documents ``floor(w)`` times,
+    plus one more copy for the deterministic ``frac(w)`` fraction of its
+    documents (selected by an md5 bucket of (salt, source, id) — no RNG
+    state, so the mixture is reproducible on any engine, any
+    partitioning, any run; change ``salt`` to redraw the fractional
+    subset).  Weights above 1 express multi-epoch upsampling, weights
+    below 1 downsampling — the standard mixture-weights step before
+    shard packing.
+
+    Output: every input column plus ``source_id`` (index into
+    ``sources``) and ``copy`` (0-based repeat index) — feed the result
+    into ``pack_shards(..., shuffle_salt=...)`` so copies of a document
+    land in different shards.  All sources must share one schema.
+
+    Scale shape: per-source narrow projections (a bucket filter and a
+    bounded explode) + a union — no shuffle, no driver state.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (DataFrame, weight)")
+    mixed = None
+    for i, (df, weight) in enumerate(sources):
+        if weight <= 0:
+            raise ValueError(f"source {i}: weight must be positive, got {weight}")
+        full = int(weight)
+        frac_bp = round((weight - full) * 10_000)  # basis points
+        bucket = F.expr(
+            "pmod(cast(conv(substr(md5(concat("
+            f"'{salt}', '|', '{i}', '|', cast({id_col} as string))), 1, 15),"
+            " 16, 10) as bigint), 10000)"
+        )
+        n_copies = F.lit(full) + F.when(bucket < frac_bp, 1).otherwise(0)
+        part = (
+            df.withColumn("_n_copies", n_copies)
+            .filter(F.col("_n_copies") > 0)
+            .withColumn(
+                "copy", F.explode(F.expr("sequence(0, _n_copies - 1)"))
+            )
+            .drop("_n_copies")
+            .withColumn("source_id", F.lit(i))
+        )
+        mixed = part if mixed is None else mixed.unionByName(part)
+    return mixed

@@ -177,3 +177,73 @@ def test_chunking_rejects_non_advancing_window(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted corpus mixing
+# ---------------------------------------------------------------------------
+
+
+def _mix_bucket(salt, source, doc_id):
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{source}|{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 10000
+
+
+def test_mix_matches_python_replica(spark):
+    from jobcan_data_integrator_spark.operators.packing import mix_corpora
+
+    a = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    b = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    c = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    out = mix_corpora([(a, 1.0), (b, 2.5), (c, 0.25)], salt="s")
+    got = {(r.source_id, r.doc_id, r.copy) for r in out.collect()}
+
+    want = set()
+    for i, w in [(0, 1.0), (1, 2.5), (2, 0.25)]:
+        full = int(w)
+        frac_bp = round((w - full) * 10000)
+        for d in range(100):
+            n = full + (1 if _mix_bucket("s", i, d) < frac_bp else 0)
+            for cp in range(n):
+                want.add((i, d, cp))
+    assert got == want
+    # sanity on the mixture shape: source 1 contributes 2-3 copies per
+    # doc, source 2 roughly a quarter of its docs
+    n1 = sum(1 for s, _, _ in got if s == 1)
+    n2 = sum(1 for s, _, _ in got if s == 2)
+    assert 200 <= n1 <= 300 and 10 <= n2 <= 45
+
+
+def test_mix_composes_with_shuffled_packing(spark):
+    from jobcan_data_integrator_spark.operators.packing import (
+        mix_corpora,
+        pack_shards,
+    )
+
+    src = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 3).alias("n_tokens")
+    )
+    mixed = mix_corpora([(src, 2.0)], salt="epoch0")
+    # composite integer id so copies pack as distinct rows
+    packed = pack_shards(
+        mixed.select(
+            (F.col("doc_id") * 10 + F.col("copy")).alias("doc_id"), "n_tokens"
+        ),
+        budget=40,
+        shuffle_salt="epoch0",
+    )
+    rows = packed.collect()
+    assert len(rows) == 100  # every copy packed exactly once
+    _check_packing(rows, 40)
+
+
+def test_mix_rejects_bad_weights(spark):
+    from jobcan_data_integrator_spark.operators.packing import mix_corpora
+
+    src = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        mix_corpora([(src, 0.0)])
+    with pytest.raises(ValueError):
+        mix_corpora([])
