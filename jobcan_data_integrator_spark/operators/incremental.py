@@ -82,6 +82,18 @@ def simhash_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
     return {"sh_blocks": ("block_val", n), "sh_signatures": ("doc_id", n)}
 
 
+def index_layout(buckets: dict[str, tuple[str, int]]) -> dict:
+    """TableStore kwargs for a fully probe-optimized index layout:
+    ``TableStore(spark, root, **index_layout(minhash_index_buckets(n)))``
+    — the bucket map plus a within-file sort on each table's bucket
+    source column, so ``read_for_keys``'s pushed key values also skip
+    row groups via tight min/max statistics (see TableStore.sorted_by)."""
+    return {
+        "bucketed": buckets,
+        "sorted_by": {t: [src] for t, (src, _) in buckets.items()},
+    }
+
+
 def build_minhash_index(
     store: TableStore,
     hashed_shingles: DataFrame,

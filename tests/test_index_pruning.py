@@ -279,3 +279,36 @@ def test_sorted_by_layout_writes_sorted_files(spark, tmp_path):
         assert ks == sorted(ks), f
     # and reads still see every row exactly once
     assert store.read("t").count() == 1000
+
+
+def test_index_layout_sorted_and_equal(spark, sf_dir, tmp_path):
+    """The one-call probe-optimized layout: bucketed + sorted files,
+    same results as the plain store."""
+    import pyarrow.parquet as pq
+
+    from jobcan_data_integrator_spark.operators.incremental import index_layout
+
+    hashed = _hashed(spark, sf_dir).cache()
+    full = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in dd_lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    store = TableStore(
+        spark, tmp_path, write_partitions=2,
+        **index_layout(minhash_index_buckets(16)),
+    )
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 3 != 0))
+    inc = dedup_increment(store, hashed.filter(F.col("doc_id") % 3 == 0))
+    combined = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in inc.collect()
+    } | {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in store.read("mh_pairs").collect()
+    }
+    assert combined == full
+    # band files are sorted by band_key within each bucket dir
+    files = list((tmp_path / "mh_bands").rglob("*.parquet"))
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["band_key"])["band_key"].to_pylist()
+        assert ks == sorted(ks), f
