@@ -761,3 +761,110 @@ def extend_embedding_index(
     )
     store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"])
     store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup pair index (SemDeDup over the IVF assignments, the 6th
+# incremental family — closes the loop: IVF cells -> within-cell cosine
+# pairs -> cluster-label maintenance via extend_clusters)
+# ---------------------------------------------------------------------------
+
+#: semantic index tables: the IVF tables carry the geometry; sd_pairs
+#: accumulates the within-cell near-dup pairs.
+SEMANTIC_TABLES = ("ivf_codebook", "ivf_assignments", "sd_pairs")
+
+
+def _cell_pairs(a: DataFrame, b: DataFrame | None, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim) for vectors sharing a cell.  One frame:
+    within-set (vec_a < vec_b).  Two frames: cross pairs normalized to
+    (least, greatest) — the split composition matches the full corpus's
+    pair set exactly because cell assignment is per-row deterministic."""
+    from jobcan_data_integrator_spark.operators.similarity import cosine_expr
+
+    fa = a.alias("a")
+    if b is None:
+        fb = a.alias("b")
+        cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
+            F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        sel = [
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        ]
+    else:
+        fb = b.alias("b")
+        cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
+            F.col("a.vec_id") != F.col("b.vec_id")
+        )
+        sel = [
+            F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
+            F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        ]
+    return (
+        fa.join(fb, cond)
+        .select(*sel)
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
+def build_semantic_index(
+    store: TableStore,
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> None:
+    """SemDeDup as a PERSISTED index: train the frozen codebook, assign
+    the corpus, and store the corpus-internal within-cell near-dup pairs
+    — `semantic_increment` then processes each ingest batch against it
+    instead of re-running `semantic_dedup` corpus-wide."""
+    build_ivf_index(store, emb, n_cells=n_cells, iters=iters)
+    assign = store.read("ivf_assignments")
+    store.begin_commit("sd-index-build", ["sd_pairs"])
+    store.overwrite("sd_pairs", _cell_pairs(assign, None, threshold))
+    store.end_commit()
+
+
+def semantic_increment(
+    store: TableStore, new_emb: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Within-cell near-dup pairs INVOLVING the increment (new-vs-corpus
+    ∪ new-vs-new) under the stored frozen codebook — union with
+    ``sd_pairs`` to reproduce the full corpus's pair set.
+
+    The corpus side is one cell_id equi-join against the persisted
+    assignment table — partition-pruned to the increment's cells when
+    the store declares ``partitioned={"ivf_assignments": ["cell_id"]}``
+    — so per-batch cost is bounded by the increment's cells' populations,
+    not the corpus.  REPLAY-SAFE like its siblings (corpus copies of
+    increment ids are anti-joined away).  Feed the result to
+    ``extend_semantic_index`` and then ``extend_clusters`` to maintain
+    keep/drop labels without a corpus re-cluster.
+    """
+    inc = assign_increment(store, new_emb).localCheckpoint(eager=True)
+    corpus = store.read("ivf_assignments")
+    if "ivf_assignments" in store.partitioned:
+        cells = [r[0] for r in inc.select("cell_id").distinct().collect()]
+        corpus = corpus.filter(F.col("cell_id").isin(cells))
+    corpus = corpus.join(
+        F.broadcast(inc.select("vec_id")), "vec_id", "left_anti"
+    )
+    return _cell_pairs(inc, corpus, threshold).unionByName(
+        _cell_pairs(inc, None, threshold)
+    ).distinct()
+
+
+def extend_semantic_index(
+    store: TableStore, new_emb: DataFrame, new_pairs: DataFrame
+) -> None:
+    """Absorb a processed increment: insert its assignments (computed
+    under the stored codebook), upsert its pairs."""
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+    inc = assign_increment(store, new_emb).localCheckpoint(eager=True)
+    store.begin_commit("sd-index-extend", list(SEMANTIC_TABLES))
+    store.merge_insert_missing("ivf_assignments", inc, ["vec_id"])
+    store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"])
+    store.end_commit()

@@ -433,3 +433,92 @@ def test_simhash_legacy_store_backfills_block_table(spark, sf_dir, tmp_path):
     assert got == full
     assert store.exists("sh_blocks")  # backfilled, not partial
     assert store.read("sh_blocks").count() == corpus_sig.count() * 4
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup pair index (SemDeDup over IVF cells, incrementally)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_split_equals_full_and_clusters_maintain(spark, sf_dir, tmp_path):
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        _cell_pairs,
+        build_cluster_index,
+        build_semantic_index,
+        extend_clusters,
+        extend_semantic_index,
+        semantic_increment,
+    )
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    thr = 0.2  # synthetic embeddings are near-orthogonal
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    inc_emb = emb.filter(F.col("vec_id") % 3 == 0)
+
+    store = TableStore(
+        spark, tmp_path, write_partitions=2,
+        partitioned={"ivf_assignments": ["cell_id"]},
+    )
+    build_semantic_index(store, corpus, n_cells=8, threshold=thr)
+    # materialize: the result is reused AFTER extend_semantic_index
+    # rewrites the assignment table it lazily scans (the documented
+    # extend-contract: callers checkpoint or collect first)
+    inc = semantic_increment(store, inc_emb, threshold=thr).localCheckpoint(
+        eager=True
+    )
+
+    # oracle: one-pass assignment of EVERYTHING under the stored frozen
+    # codebook, then within-cell pairs — must equal index ∪ increment
+    cent = store.read("ivf_codebook")
+    full_assign = assign_cells(
+        emb.select("vec_id", "embedding", quantized_expr("embedding").alias("q")),
+        cent,
+        keep=("embedding",),
+    )
+    full = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in _cell_pairs(full_assign, None, thr).collect()
+    }
+    assert full  # the threshold must actually produce pairs
+    got = {(r.vec_a, r.vec_b, r.cosine_sim) for r in inc.collect()} | {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in store.read("sd_pairs").collect()
+    }
+    assert got == full
+
+    # absorb, then maintain cluster labels incrementally: corpus labels +
+    # increment pairs == re-clustering the full pair graph
+    corpus_pairs = store.read("sd_pairs").select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    build_cluster_index(store, corpus_pairs)
+    extend_semantic_index(store, inc_emb, inc)
+    extend_clusters(
+        store, inc.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    want_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            spark.createDataFrame(
+                [(a, b) for a, b, _ in full], "src long, dst long"
+            )
+        ).collect()
+    }
+    got_labels = {
+        (r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()
+    }
+    assert got_labels == want_labels
+
+    # replay of the absorbed batch converges (pairs identical, labels stable)
+    replay = semantic_increment(store, inc_emb, threshold=thr)
+    assert {(r.vec_a, r.vec_b, r.cosine_sim) for r in replay.collect()} == {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in inc.collect()
+    }
