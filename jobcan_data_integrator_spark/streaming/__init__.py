@@ -311,3 +311,76 @@ def sessionize_events_stream(
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def index_embeddings_stream(
+    emb: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    maintain_clusters: bool = True,
+):
+    """Ingest-time semantic indexing: each micro-batch of embeddings
+    (vec_id, embedding) is scored for near-dups against the persisted
+    SemDeDup index and absorbed into it — the streaming face of the
+    sd_pairs family (operators/incremental.py), mirroring
+    ``dedup_documents_stream`` for the embedding modality.
+
+    The FIRST batch trains the frozen k-means codebook and seeds the
+    index (the standard IVF stance: the coarse quantizer is trained
+    once, on a representative sample — here the first batch — and
+    retrained offline when drift accumulates, never per batch).  Every
+    later batch is assigned under the stored codebook, scored against
+    only its own cells, and upserted; with ``maintain_clusters`` the
+    batch's pairs also fold into the stored keep/drop labels via the
+    label-graph CC (``extend_clusters``) — so after the stream drains,
+    ``sd_pairs``/``cc_labels`` equal a one-shot run over everything
+    under that codebook (tests pin the equivalence).  Replays after a
+    crash converge: the increment path is replay-safe and the merges
+    are keyed upserts.
+    """
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_cluster_index,
+        build_semantic_index,
+        extend_clusters,
+        extend_semantic_index,
+        semantic_increment,
+    )
+
+    def _index(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+        if not store.exists("ivf_codebook"):
+            build_semantic_index(
+                store, b, n_cells=n_cells, iters=iters, threshold=threshold
+            )
+            if maintain_clusters:
+                build_cluster_index(
+                    store,
+                    store.read("sd_pairs").select(
+                        F.col("vec_a").alias("doc_a"),
+                        F.col("vec_b").alias("doc_b"),
+                    ),
+                )
+        else:
+            pairs = semantic_increment(store, b, threshold).localCheckpoint(
+                eager=True
+            )
+            extend_semantic_index(store, b, pairs)
+            if maintain_clusters:
+                extend_clusters(
+                    store,
+                    pairs.select(
+                        F.col("vec_a").alias("doc_a"),
+                        F.col("vec_b").alias("doc_b"),
+                    ),
+                )
+
+    return (
+        emb.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

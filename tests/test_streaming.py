@@ -375,3 +375,71 @@ def test_streaming_ingest_dedup_equals_full_corpus(spark, sf_dir, tmp_path):
         for r in dd_lsh_verified_pairs(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_embedding_index_equals_one_shot(spark, sf_dir, tmp_path):
+    """index_embeddings_stream: embeddings arriving in micro-batches
+    build the SAME sd_pairs and cluster labels a one-shot run under the
+    first batch's frozen codebook produces."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import _cell_pairs
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    thr = 0.2
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "emb_stream"
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    store = TableStore(spark, tmp_path / "index", write_partitions=2)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.index_embeddings_stream(
+        stream, store, str(tmp_path / "ckpt_emb"), n_cells=8, threshold=thr
+    ).start()
+    q.awaitTermination()
+
+    # one-shot oracle under the codebook the stream froze on batch 1
+    full_assign = assign_cells(
+        emb.select("vec_id", "embedding", quantized_expr("embedding").alias("q")),
+        store.read("ivf_codebook"),
+        keep=("embedding",),
+    )
+    full_pairs = _cell_pairs(full_assign, None, thr).localCheckpoint(eager=True)
+    want = {
+        (r.vec_a, r.vec_b, r.cosine_sim) for r in full_pairs.collect()
+    }
+    assert want  # the threshold must produce pairs to prove anything
+    got = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in store.read("sd_pairs").collect()
+    }
+    assert got == want
+
+    want_labels = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            full_pairs.select(
+                F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+            )
+        ).collect()
+    }
+    got_labels = {
+        (r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()
+    }
+    assert got_labels == want_labels
