@@ -1060,29 +1060,46 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_corpus_filter",
     oracle=f"""
     WITH scored AS ({_LANG_SCORED_SQL}
+    ), bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' '
+                         || string_split(text, ' ')[i + 1])) AS bg
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+    ), rep AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id
     ), labeled AS (
-      SELECT doc_id, n_toks, {_LANG_CASE_SQL} AS predicted_lang,
+      SELECT s.doc_id, n_toks, {_LANG_CASE_SQL} AS predicted_lang,
              0.4 * least(CAST(n_toks AS DOUBLE) / 100, 1.0)
                + 0.3 * (CAST(s_en AS DOUBLE) / n_toks)
                + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
-      FROM scored
+             (coalesce(rep.top_bigram_frac, 0.0) > 0.2
+              OR CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / n_toks < 0.5) AS repetitious,
+             min(s.doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
+      FROM scored s LEFT JOIN rep ON s.doc_id = rep.doc_id
     )
     SELECT doc_id, predicted_lang, n_toks AS n_tokens,
            (doc_id <> keep_doc) AS is_dup_extra,
            (predicted_lang = 'en') AS lang_ok,
            (quality_score >= 0.5) AS quality_ok,
            (n_toks >= 10) AS len_ok,
+           (NOT repetitious) AS repetition_ok,
            (predicted_lang = 'en' AND quality_score >= 0.5 AND n_toks >= 10
-            AND doc_id = keep_doc) AS keep
+            AND NOT repetitious AND doc_id = keep_doc) AS keep
     FROM labeled
     """,
     doc="Corpus-filter endpoint: the composed keep/drop decision a training "
     "pipeline applies per document — language gate, quality-score floor, "
-    "length floor, and exact-dup canonicalization (only the minimum doc_id "
-    "of each identical-text group survives). Every flag is emitted so drop "
-    "reasons are auditable. One window shuffle on the content hash; "
-    "everything else is narrow.",
+    "length floor, Gopher-style repetition gate (top-bigram fraction / "
+    "distinct-token ratio, computed with the same in-row sorted "
+    "run-length fold as tx_quality_score), and exact-dup canonicalization "
+    "(only the minimum doc_id of each identical-text group survives). "
+    "Every flag is emitted so drop reasons are auditable. One window "
+    "shuffle on the content hash; everything else is narrow.",
 )
 def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_lang(_docs(spark, sf_dir))
@@ -1092,18 +1109,38 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * (F.col("s_en").cast("double") / n_toks)
         + F.lit(0.3) * F.least(F.length("text").cast("double") / 500, F.lit(1.0))
     )
+    bigrams = (
+        "filter(zip_with(toks, slice(toks, 2, size(toks)),"
+        " (a, b) -> concat(a, ' ', b)), x -> x is not null)"
+    )
+    mode_count = (
+        f"aggregate(array_sort({bigrams}),"
+        " struct(cast(null as string) as prev, 0L as run, 0L as best),"
+        " (a, x) -> if(x <=> a.prev,"
+        "  struct(x as prev, a.run + 1L as run, greatest(a.best, a.run + 1L) as best),"
+        "  struct(x as prev, 1L as run, greatest(a.best, 1L) as best)),"
+        " a -> a.best)"
+    )
+    top_frac = F.expr(
+        f"if(size({bigrams}) = 0, 0.0D,"
+        f" cast({mode_count} as double) / cast(size({bigrams}) as double))"
+    )
+    distinct_ratio = F.expr("size(array_distinct(toks))").cast("double") / n_toks
+    repetitious = (top_frac > 0.2) | (distinct_ratio < 0.5)
     w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
     labeled = docs.select(
         "doc_id",
         "predicted_lang",
         n_toks.cast("bigint").alias("n_tokens"),
         quality.alias("quality_score"),
+        repetitious.alias("repetitious"),
         F.min("doc_id").over(w).alias("keep_doc"),
     )
     lang_ok = F.col("predicted_lang") == "en"
     quality_ok = F.col("quality_score") >= 0.5
     len_ok = F.col("n_tokens") >= 10
     not_dup = F.col("doc_id") == F.col("keep_doc")
+    rep_ok = ~F.col("repetitious")
     return labeled.select(
         "doc_id",
         "predicted_lang",
@@ -1112,7 +1149,8 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_ok.alias("lang_ok"),
         quality_ok.alias("quality_ok"),
         len_ok.alias("len_ok"),
-        (lang_ok & quality_ok & len_ok & not_dup).alias("keep"),
+        rep_ok.alias("repetition_ok"),
+        (lang_ok & quality_ok & len_ok & rep_ok & not_dup).alias("keep"),
     )
 
 

@@ -247,3 +247,29 @@ def test_mix_rejects_bad_weights(spark):
         mix_corpora([(src, 0.0)])
     with pytest.raises(ValueError):
         mix_corpora([])
+
+
+def test_chunking_randomized_against_replica(spark):
+    """200 random-length docs x 4 window geometries, one Spark call per
+    geometry — the deterministic replica must agree everywhere."""
+    import random
+
+    from jobcan_data_integrator_spark.operators.packing import chunk_documents
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(5)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_tokens, overlap in [(5, 0), (5, 2), (16, 7), (2, 1)]:
+        got = {
+            (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+            for r in chunk_documents(df, max_tokens, overlap).collect()
+        }
+        want = {
+            (doc_id, i): chunk
+            for doc_id, text in rows
+            for i, chunk in enumerate(_chunk_py(text, max_tokens, overlap))
+        }
+        assert got == want, f"max={max_tokens} overlap={overlap}"
