@@ -40,19 +40,85 @@ from jobcan_data_integrator_spark.session import load_table
 
 @gate(
     "dd_exact_dedup",
+    # Doc-level exact dedup (md5 group facts, now per-doc so the former
+    # per-group gate rows are strictly derivable) + span-level
+    # ExactSubstr dedup: every 8-token window hashed, hashes occurring
+    # >1x corpus-wide are duplicates, every occurrence but the global
+    # first ((doc_id, pos) minimum, packed as doc_id*2^20+pos) is
+    # removed; overlapping/adjacent removals merge gaps-and-islands
+    # style so coverage never double-counts a token.
     oracle="""
-    SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS dup_count
-    FROM documents GROUP BY md5(text)
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, md5(text) AS text_md5,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
+             count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+             len(toks) AS n_toks
+      FROM t
+    ), sp AS (
+      SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS pos, toks
+      FROM t WHERE len(toks) >= 8
+    ), occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(toks, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS h
+      FROM sp
+    ), per_hash AS (
+      SELECT h, count(*) AS n_occ, min(doc_id * 1048576 + pos) AS min_key
+      FROM occ GROUP BY h
+    ), flagged AS (
+      SELECT DISTINCT o.doc_id, o.pos
+      FROM occ o JOIN per_hash a USING (h)
+      WHERE a.n_occ > 1 AND o.doc_id * 1048576 + o.pos <> a.min_key
+    ), nspans AS (
+      SELECT o.doc_id, count(*) AS n_dup_spans
+      FROM occ o JOIN per_hash a USING (h)
+      WHERE a.n_occ > 1 AND o.doc_id * 1048576 + o.pos <> a.min_key
+      GROUP BY o.doc_id
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= coalesce(max(pos + 7) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM flagged
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ), iv AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), rem AS (
+      SELECT doc_id, sum(e - s + 1) AS n_removed FROM iv GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.text_md5, b.keep_doc_id,
+           CAST(b.dup_count AS BIGINT) AS dup_count,
+           CAST(coalesce(n.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+           CAST(b.n_toks - coalesce(r.n_removed, 0) AS BIGINT) AS n_kept_tokens
+    FROM base b
+    LEFT JOIN nspans n ON n.doc_id = b.doc_id
+    LEFT JOIN rem r ON r.doc_id = b.doc_id
     """,
-    doc="Exact dedup: hash-groupBy on content hash, keep the minimum doc_id "
-    "per group. At scale this is one shuffle on a 128-bit key.",
+    doc="Exact dedup at BOTH granularities in one per-document summary "
+    "(operators/dedup.span_dedup_summary): doc-level md5 group facts "
+    "(keep_doc_id = group minimum, dup_count = group size — the former "
+    "per-group gate rows are derivable by grouping these) plus the "
+    "span-level ExactSubstr pass (Lee et al. 2021): 8-token windows "
+    "hashed in-row (no shuffle), corpus-wide occurrence counts via one "
+    "map-side-combined groupBy on the 60-bit span hash, every non-first "
+    "occurrence marked, marked windows merged into maximal intervals "
+    "(gaps-and-islands) so n_removed_tokens never double-counts. The "
+    "hash-keyed join-back is against the aggregated (distinct-by-hash) "
+    "side, so a span shared by millions of documents is ONE build row — "
+    "no fan-out, linear in corpus tokens at any scale.",
 )
 def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("dup_count"))
-    )
+    from jobcan_data_integrator_spark.operators.dedup import span_dedup_summary
+
+    return span_dedup_summary(_docs(spark, sf_dir), span=8)
 
 
 #: universal-hash family (see operators/minhash.py — the ONE
@@ -691,30 +757,107 @@ def _brute_topk(emb: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 
 @gate(
     "dd_embedding_cosine_pairs",
+    # Two candidate-generation strategies for the same near-dup problem,
+    # method-tagged in one result: 'lsh_bucket' = random-hyperplane
+    # buckets (the _BUCKET_CTE replica); 'semdedup_cell' = SemDeDup
+    # (Abbas et al. 2023) — pairs scoped to trained k-means cells.  The
+    # k-prefixed CTEs unroll the SAME 2-iteration integer Lloyd training
+    # as the sim_ivf_train_kmeans oracle, then ka3 assigns every vector
+    # to the FINAL codebook (what train_ivf_centroids returns).
     oracle=f"""
     WITH {_BUCKET_CTE},
     v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    pairs AS (
+    ke AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ), kc0 AS (
+      SELECT vec_id AS cell_id, q AS cq FROM ke WHERE vec_id < 16
+    ), kd1 AS (
+      SELECT ke.vec_id, c.cell_id,
+             list_sum(list_transform(list_zip(ke.q, c.cq), p -> p[1] * p[2])) AS dot
+      FROM ke, kc0 c
+    ), ka1 AS (
+      SELECT vec_id, cell_id FROM kd1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ), km1 AS (
+      SELECT a.cell_id, generate_subscripts(ke.q, 1) - 1 AS d, unnest(ke.q) AS c
+      FROM ka1 a JOIN ke ON ke.vec_id = a.vec_id
+    ), kc1 AS (
+      SELECT cell_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY d) AS cq
+      FROM (SELECT cell_id, d, sum(c) AS s, count(*) AS n
+            FROM km1 GROUP BY cell_id, d) t1
+      GROUP BY cell_id
+    ), kd2 AS (
+      SELECT ke.vec_id, c.cell_id,
+             list_sum(list_transform(list_zip(ke.q, c.cq), p -> p[1] * p[2])) AS dot
+      FROM ke, kc1 c
+    ), ka2 AS (
+      SELECT vec_id, cell_id FROM kd2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ), km2 AS (
+      SELECT a.cell_id, generate_subscripts(ke.q, 1) - 1 AS d, unnest(ke.q) AS c
+      FROM ka2 a JOIN ke ON ke.vec_id = a.vec_id
+    ), kc2 AS (
+      SELECT cell_id, list(CAST(floor(s / n) AS BIGINT) ORDER BY d) AS cq
+      FROM (SELECT cell_id, d, sum(c) AS s, count(*) AS n
+            FROM km2 GROUP BY cell_id, d) t2
+      GROUP BY cell_id
+    ), kd3 AS (
+      SELECT ke.vec_id, c.cell_id,
+             list_sum(list_transform(list_zip(ke.q, c.cq), p -> p[1] * p[2])) AS dot
+      FROM ke, kc2 c
+    ), ka3 AS (
+      SELECT vec_id, cell_id FROM kd3
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell_id) = 1
+    ),
+    lsh_pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              {_COSINE_DUCK.format(a="va.emb", b="vb.emb")} AS cosine_sim
       FROM buckets a
       JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    sem_pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_COSINE_DUCK.format(a="va.emb", b="vb.emb")} AS cosine_sim
+      FROM ka3 a
+      JOIN ka3 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
     )
-    SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.3
+    SELECT 'lsh_bucket' AS method, vec_a, vec_b, cosine_sim
+    FROM lsh_pairs WHERE cosine_sim >= 0.3
+    UNION ALL
+    SELECT 'semdedup_cell' AS method, vec_a, vec_b, cosine_sim
+    FROM sem_pairs WHERE cosine_sim >= 0.3
     """,
-    doc="Embedding-cosine near-dup: LSH-bucket candidate pre-filter + exact "
-    "cosine threshold. Synthetic embeddings are near-orthogonal, so the "
-    "gate cut is 0.3 (real corpora use ~0.95); the plan shape is identical.",
+    doc="Embedding-cosine near-dup, BOTH candidate-generation strategies "
+    "method-tagged in one gate: 'lsh_bucket' = random-hyperplane bucket "
+    "pre-filter (operators/similarity.embedding_near_dup_pairs), "
+    "'semdedup_cell' = SemDeDup-style trained-k-means-cell scoping "
+    "(semantic_near_dup_pairs; Abbas et al. 2023) over the SAME "
+    "2-iteration integer-Lloyd codebook the sim_ivf_train_kmeans gate "
+    "proves. Both shapes turn O(n^2) cosine into a partition-scoped "
+    "equi-self-join; exact cosine then gates at the threshold. Synthetic "
+    "embeddings are near-orthogonal, so the gate cut is 0.3 (real "
+    "corpora use ~0.95); the plan shapes are identical.",
 )
 def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.similarity import (
         embedding_near_dup_pairs,
+        semantic_near_dup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return embedding_near_dup_pairs(emb, threshold=0.3)
+    lsh = embedding_near_dup_pairs(emb, threshold=0.3).withColumn(
+        "method", F.lit("lsh_bucket")
+    )
+    sem = semantic_near_dup_pairs(
+        emb, n_cells=16, iters=2, threshold=0.3
+    ).withColumn("method", F.lit("semdedup_cell"))
+    return lsh.unionByName(sem).select("method", "vec_a", "vec_b", "cosine_sim")
 
 
 @gate(
@@ -1024,35 +1167,84 @@ def _with_lang(docs: DataFrame) -> DataFrame:
 
 @gate(
     "tx_stratified_sample",
+    # Mixture replica: sources are grouped into three weight classes
+    # (src0-6 weight 2.25 = multi-epoch upsample, src7-13 weight 1.0,
+    # src14-19 weight 0.4 = downsample); n_copies = floor(w) + 1 more
+    # for the md5('mix|group|id') basis-point bucket below frac(w)*1e4 —
+    # the same preimage mix_corpora builds.  Language + sample bucket
+    # are per-document, so they join onto the copies by doc_id.
     oracle=f"""
     WITH scored AS ({_LANG_SCORED_SQL}
-    ), labeled AS (
+    ), lang AS (
       SELECT doc_id, {_LANG_CASE_SQL} AS predicted_lang,
              ('0x' || substr(md5('smpl|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000 AS sample_bucket
       FROM scored
+    ), src AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 7 THEN 0
+                  WHEN CAST(substr(source, 4) AS INT) < 14 THEN 1
+                  ELSE 2 END AS source_id
+      FROM documents
+    ), wt AS (
+      SELECT doc_id, source_id,
+             CASE source_id WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END
+               + CASE WHEN ('0x' || substr(md5('mix|' || CAST(source_id AS VARCHAR)
+                            || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 10000
+                           < CASE source_id WHEN 0 THEN 2500
+                                            WHEN 1 THEN 0 ELSE 4000 END
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM src
+    ), copies AS (
+      SELECT doc_id, source_id,
+             unnest(generate_series(0, n_copies - 1)) AS copy
+      FROM wt WHERE n_copies > 0
     )
-    SELECT doc_id, predicted_lang, sample_bucket
-    FROM labeled
-    WHERE sample_bucket < CASE WHEN predicted_lang = 'en' THEN 2500 ELSE 10000 END
+    SELECT c.doc_id, CAST(c.source_id AS INT) AS source_id,
+           CAST(c.copy AS INT) AS copy, l.predicted_lang, l.sample_bucket
+    FROM copies c JOIN lang l USING (doc_id)
+    WHERE l.sample_bucket < CASE WHEN l.predicted_lang = 'en'
+                                 THEN 2500 ELSE 10000 END
     """,
-    doc="Deterministic stratified sampling: rebalance the corpus by "
-    "downsampling the dominant language (en keeps 25%, the rest 100%) via "
-    "an md5 hash bucket of the doc id — no RNG state, so the sample is "
-    "reproducible on any engine, any partitioning, any run. Narrow "
-    "projection + filter, no shuffle: the standard corpus-rebalance step "
-    "before training-data packing.",
+    doc="Deterministic source-weighted corpus mixture + stratified "
+    "sampling (operators/packing.py mix_corpora): three source weight "
+    "classes (2.25 = two full epochs + a 25% md5-selected third copy, "
+    "1.0 = identity, 0.4 = keep a 40% md5 bucket), then the mixture is "
+    "rebalanced by downsampling the dominant language (en keeps 25%, "
+    "the rest 100%) via an md5 hash bucket of the doc id — no RNG state "
+    "anywhere, so mixture AND sample are reproducible on any engine, "
+    "any partitioning, any run; the copy column is the 0-based epoch "
+    "index that pack_shards' shuffle_salt then spreads across shards. "
+    "Narrow projections + a bounded explode + a union, no shuffle: the "
+    "standard mixture-weights + corpus-rebalance step before packing.",
 )
 def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_lang(_docs(spark, sf_dir))
+    from jobcan_data_integrator_spark.operators.packing import mix_corpora
+
+    docs = _docs(spark, sf_dir)
+    sn = F.expr("cast(substring(source, 4) as int)")
+    base = docs.withColumn("_sn", sn)
+    groups = [
+        (base.filter(F.col("_sn") < 7).drop("_sn"), 2.25),
+        (base.filter((F.col("_sn") >= 7) & (F.col("_sn") < 14)).drop("_sn"), 1.0),
+        (base.filter(F.col("_sn") >= 14).drop("_sn"), 0.4),
+    ]
+    mixed = _with_lang(mix_corpora(groups, id_col="doc_id", salt="mix"))
     bucket = F.expr(
         "pmod(" + _H.format(x="concat('smpl|', cast(doc_id as string))") + ", 10000)"
     )
     thr = F.when(F.col("predicted_lang") == "en", 2500).otherwise(10000)
     return (
-        docs.withColumn("sample_bucket", bucket)
+        mixed.withColumn("sample_bucket", bucket)
         .filter(F.col("sample_bucket") < thr)
-        .select("doc_id", "predicted_lang", "sample_bucket")
+        .select(
+            "doc_id",
+            F.col("source_id").cast("int").alias("source_id"),
+            F.col("copy").cast("int").alias("copy"),
+            "predicted_lang",
+            "sample_bucket",
+        )
     )
 
 
@@ -1156,34 +1348,71 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "tx_shard_packing",
+    # Chunking replica: window starts 0, stride, 2*stride, ... up to
+    # size-1-overlap (generate_series is inclusive like Spark's
+    # sequence); chunk tokens = list_slice of up to max_tokens; the
+    # packing order key is the md5-derived 60-bit shuffle key over the
+    # composite chunk id (same 'pk|id' preimage as pack_shards'
+    # shuffle_salt mode).  The oracle is the semantic definition of the
+    # prefix sum: ONE global running sum over (ord, chunk_id).
     oracle="""
     WITH t AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(0, len(toks) - 1 - 8), 24)) AS s
+      FROM t
+    ), ch AS (
+      SELECT doc_id * 64 + (s // 24) AS chunk_id,
+             CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('pk|' || CAST(doc_id * 64 + (s // 24) AS VARCHAR)),
+                             1, 15))::BIGINT AS ord
+      FROM st
     )
-    SELECT doc_id, n_tokens,
-           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    SELECT chunk_id // 64 AS doc_id, chunk_id % 64 AS chunk_idx, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, chunk_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              AS cum_before,
-           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, chunk_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              // 4096 AS shard_id
-    FROM t
+    FROM ch
     """,
-    doc="Token-budget shard packing (operators/packing.py): documents in "
-    "doc_id order, shard = prefix-token-sum div 4096. Computed as the "
-    "two-pass distributed prefix sum (bucket partials -> driver-side "
-    "offsets -> per-bucket windows), NOT a single-partition global window "
-    "— the plan contains no Exchange SinglePartition (pinned in "
-    "test_plans.py). The oracle is the semantic definition: one global "
-    "running sum.",
+    doc="Context-length chunking + token-budget shard packing "
+    "(operators/packing.py): documents are chunked into sliding "
+    "32-token windows (overlap 8, no trailing window fully contained in "
+    "the previous chunk), then the chunks are packed into 4096-token "
+    "shards in DETERMINISTIC SHUFFLED order (md5('pk'|chunk_id) — the "
+    "per-epoch reshufflable permutation, so one shard never concentrates "
+    "one document/source). shard = prefix-token-sum div 4096, computed "
+    "as the two-pass distributed prefix sum (bucket partials -> "
+    "driver-side offsets -> per-bucket windows), NOT a single-partition "
+    "global window — the plan contains no Exchange SinglePartition "
+    "(pinned in test_plans.py). This one gate value-proves "
+    "chunk_documents AND pack_shards' shuffled mode end-to-end.",
 )
 def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.packing import pack_shards
-
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    from jobcan_data_integrator_spark.operators.packing import (
+        chunk_documents,
+        pack_shards,
     )
-    return pack_shards(docs, budget=4096)
+
+    chunks = chunk_documents(_docs(spark, sf_dir), max_tokens=32, overlap=8)
+    # composite bigint id: docs never exceed 64 chunks (99-token max at
+    # 24-token stride), so the packing id stays collision-free and the
+    # doc/chunk split is recoverable arithmetically (no re-join).
+    chunks = chunks.select(
+        (F.col("doc_id") * 64 + F.col("chunk_idx")).cast("bigint").alias("chunk_id"),
+        "n_tokens",
+    )
+    packed = pack_shards(chunks, budget=4096, id_col="chunk_id", shuffle_salt="pk")
+    return packed.select(
+        F.expr("chunk_id div 64").alias("doc_id"),
+        F.expr("chunk_id % 64").alias("chunk_idx"),
+        "n_tokens",
+        "cum_before",
+        "shard_id",
+    )
 
 
 @gate(

@@ -305,3 +305,216 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return cc.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact-substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr pass).
+# The paper builds a corpus-wide suffix array; the Spark-first shape is
+# fixed-length token-span hashing: every length-``span`` token window is
+# hashed (narrow in-row slices, NO shuffle), windows whose hash occurs
+# more than once corpus-wide are duplicates, and every occurrence except
+# the global first (minimum (doc_id, pos)) is marked for removal.
+# Overlapping/adjacent marked windows merge into maximal intervals per
+# document (gaps-and-islands), so removal never double-counts a token.
+#
+# Scale shape: one groupBy on the span hash (map-side partial agg), one
+# hash-keyed join back (the aggregated side is distinct-by-hash so the
+# join never fans out — a span shared by millions of documents is ONE
+# row on the build side), and doc_id-keyed windows for the interval
+# merge.  Linear in corpus token count at any scale; no all-pairs
+# anywhere.
+# ---------------------------------------------------------------------------
+
+#: position packing for the global-first-occurrence key: supports
+#: documents up to 2^20 (~1M) tokens.  Beyond that the composite key
+#: would collide across documents — raise the shift with the corpus.
+_SPAN_POS_BITS = 20
+
+
+def _span_occurrences(
+    docs: DataFrame, span: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, h): the 60-bit hash of every length-``span`` token
+    window — in-row slices over the split text, zero shuffle."""
+    from jobcan_data_integrator_spark.operators.minhash import H60
+
+    slices = (
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {span}),"
+        f" s -> array_join(slice(split({text_col}, ' '), s + 1, {span}), ' '))"
+    )
+    return (
+        docs.filter(F.expr(f"size(split({text_col}, ' ')) >= {span}"))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(slices)).alias("pos", "_spantext"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(H60.format(x="_spantext")).alias("h"),
+        )
+    )
+
+
+def duplicate_span_intervals(
+    docs: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start_tok, end_tok): maximal merged token intervals covered
+    by duplicated spans, EXCLUDING each span's global first occurrence
+    (minimum (doc_id, pos)) — the set of token ranges the ExactSubstr
+    pass removes.  ``start_tok``/``end_tok`` are 0-based inclusive."""
+    occ = _span_occurrences(docs, span, id_col, text_col)
+    key = (F.col(id_col).cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos")
+    occ = occ.withColumn("_key", key)
+    per_hash = occ.groupBy("h").agg(
+        F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
+    )
+    flagged = (
+        occ.join(per_hash, "h")
+        .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
+        .select(id_col, "pos")
+        # the same position can host several duplicated hashes only if
+        # span hashes collide (60-bit — negligible), but two DIFFERENT
+        # duplicated spans can start at the same pos after upstream
+        # edits; distinct keeps the island scan clean either way
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = (
+        F.when(
+            F.col("pos")
+            <= F.coalesce(F.max(F.col("pos") + span - 1).over(w_prev), F.lit(-2)) + 1,
+            0,
+        )
+        .otherwise(1)
+    )
+    return (
+        flagged.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(w_run))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + span - 1).alias("end_tok"),
+        )
+        .select(id_col, "start_tok", "end_tok")
+    )
+
+
+def span_dedup_summary(
+    docs: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document dedup summary combining DOC-level exact dedup with
+    SPAN-level exact-substring dedup: (id, text_md5, keep_doc_id,
+    dup_count, n_dup_spans, n_removed_tokens, n_kept_tokens).
+
+    ``keep_doc_id``/``dup_count`` are the exact-dedup facts (minimum id
+    of the identical-text group / group size); ``n_dup_spans`` counts
+    this document's non-first duplicated span occurrences;
+    ``n_removed_tokens`` is the MERGED interval coverage (overlaps never
+    double-count); ``n_kept_tokens`` is what survives removal."""
+    from pyspark.sql.window import Window
+
+    w_md5 = Window.partitionBy("_md5")
+    base = docs.select(
+        id_col,
+        F.md5(F.col(text_col).cast("binary")).alias("_md5"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("_n_toks"),
+    ).select(
+        id_col,
+        F.col("_md5").alias("text_md5"),
+        F.min(id_col).over(w_md5).alias("keep_doc_id"),
+        F.count("*").over(w_md5).alias("dup_count"),
+        "_n_toks",
+    )
+    occ = _span_occurrences(docs, span, id_col, text_col)
+    key = (F.col(id_col).cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos")
+    per_hash = occ.withColumn("_key", key).groupBy("h").agg(
+        F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
+    )
+    flagged_counts = (
+        occ.withColumn("_key", key)
+        .join(per_hash, "h")
+        .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    removed = (
+        duplicate_span_intervals(docs, span, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("end_tok") - F.col("start_tok") + 1).alias("n_removed_tokens")
+        )
+    )
+    return (
+        base.join(flagged_counts, id_col, "left")
+        .join(removed, id_col, "left")
+        .select(
+            id_col,
+            "text_md5",
+            "keep_doc_id",
+            "dup_count",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_removed_tokens"),
+            (F.col("_n_toks") - F.coalesce("n_removed_tokens", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` with ``deduped_text``: the text with every duplicated
+    span occurrence (except each span's global first) removed — the
+    materialized form of ``duplicate_span_intervals``.  Documents with
+    no duplicated spans pass through unchanged.
+
+    The interval list per document is tiny (merged islands), so it
+    gathers via collect_list and filters tokens in-row — one doc-keyed
+    shuffle, then narrow."""
+    ivs = (
+        duplicate_span_intervals(docs, span, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("start_tok", "end_tok"))
+            ).alias("_ivs")
+        )
+    )
+    kept = (
+        "array_join(filter(transform(split({text}, ' '),"
+        " (t, i) -> if(exists(_ivs, iv -> i >= iv.start_tok and i <= iv.end_tok),"
+        " null, t)), t -> t is not null), ' ')"
+    ).format(text=text_col)
+    return (
+        docs.join(ivs, id_col, "left")
+        .withColumn(
+            "deduped_text",
+            F.when(F.col("_ivs").isNull(), F.col(text_col)).otherwise(F.expr(kept)),
+        )
+        .drop("_ivs")
+    )

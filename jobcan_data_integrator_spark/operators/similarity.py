@@ -533,6 +533,56 @@ def ivf_codebook_stats(emb: DataFrame, n_cells: int = 16, iters: int = 2) -> Dat
     )
 
 
+def _cell_pairs(assign: DataFrame, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim): within-cell cosine pairs at or above
+    ``threshold`` over an assignment frame carrying (vec_id, cell_id,
+    embedding) — the cell-scoped self-join both SemDeDup entry points
+    share.  Quadratic only WITHIN a cell; ``n_cells`` bounds cell size."""
+    a = assign.alias("a")
+    b = assign.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_near_dup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    n_cells: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_sim): the SemDeDup candidate-pair set —
+    k-means-cell-scoped exact cosine at or above ``threshold`` (Abbas et
+    al. 2023).  The pair-generation half of ``semantic_dedup``, exposed
+    so pipelines (and the driver gate) can compare it side-by-side with
+    the hyperplane-bucket path (``embedding_near_dup_pairs``): both turn
+    the O(n^2) cosine problem into a partition-scoped self-join, one via
+    random-hyperplane buckets, one via trained k-means cells.
+
+    Scale shape: codebook training is the bounded (cell, dim) shuffle of
+    ``train_ivf_centroids``; assignment is a zero-shuffle broadcast-
+    codebook map; the self-join is keyed by cell_id."""
+    if centroids is None:
+        centroids, _ = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+    assign = assign_cells(
+        emb.select("vec_id", "embedding", quantized_expr("embedding").alias("q")),
+        centroids,
+        keep=("embedding",),
+    )
+    return _cell_pairs(assign, threshold)
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame | None = None,
@@ -573,20 +623,10 @@ def semantic_dedup(
         centroids,
         keep=("embedding",),
     ).cache()
-    a = assign.alias("a")
-    b = assign.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("doc_a"),
-            F.col("b.vec_id").alias("doc_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    pairs = _cell_pairs(assign, threshold).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine_sim",
     )
     try:
         # dup_clusters is EAGER and fully materializes its labels off the
