@@ -1031,6 +1031,13 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "tx_quality_score",
+    # The g/w CTE rounds unroll operators/classifier.py's 2-step
+    # integer-quantized gradient descent: step 1's link value is exactly
+    # 0.5 (zero weights), per-row gradients quantize to floor(g*1e9)
+    # BIGINTs (exact sums under any partitioning), the weight update and
+    # the fast-sigmoid link are fixed-operand-order double arithmetic
+    # (no exp — its last ulp differs per libm), so DuckDB replays the
+    # training bit-for-bit.
     oracle=f"""
     WITH t AS (
       SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
@@ -1044,7 +1051,7 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), top AS (
       SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac
       FROM cnt GROUP BY doc_id
-    )
+    ), feat AS (
     SELECT t.doc_id,
            len(toks) AS n_tokens,
            length(text) AS n_chars_actual,
@@ -1062,8 +1069,71 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.3 * (CAST(len(list_filter(toks,
                           tok -> list_contains([{_sql_list(_STOPWORDS["en"])}], tok))) AS DOUBLE)
                           / len(toks))
-                 + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score
+                 + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS quality_score,
+           1.0 AS x0,
+           least(CAST(len(toks) AS DOUBLE) / 100, 1.0) AS x1,
+           CAST(len(list_filter(toks,
+                tok -> list_contains([{_sql_list(_STOPWORDS["en"])}], tok))) AS DOUBLE)
+                / len(toks) AS x2,
+           least(CAST(length(text) AS DOUBLE) / 500, 1.0) AS x3,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x4,
+           CASE WHEN NOT (coalesce(top.top_bigram_frac, 0.0) > 0.2
+                          OR CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.5)
+                     AND (0.4 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+                          + 0.3 * (CAST(len(list_filter(toks,
+                              tok -> list_contains([{_sql_list(_STOPWORDS["en"])}], tok))) AS DOUBLE)
+                              / len(toks))
+                          + 0.3 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)) >= 0.5
+                THEN 1.0 ELSE 0.0 END AS y
     FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+    ), g1 AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(((0.5 - y) * x0) * 1000000000.0) AS BIGINT)) AS s0,
+             sum(CAST(floor(((0.5 - y) * x1) * 1000000000.0) AS BIGINT)) AS s1,
+             sum(CAST(floor(((0.5 - y) * x2) * 1000000000.0) AS BIGINT)) AS s2,
+             sum(CAST(floor(((0.5 - y) * x3) * 1000000000.0) AS BIGINT)) AS s3,
+             sum(CAST(floor(((0.5 - y) * x4) * 1000000000.0) AS BIGINT)) AS s4
+      FROM feat
+    ), w1 AS (
+      SELECT 0.0 - (0.05 * (CAST(s0 AS DOUBLE) / (n * 1000000000.0))) AS w0,
+             0.0 - (0.05 * (CAST(s1 AS DOUBLE) / (n * 1000000000.0))) AS w1,
+             0.0 - (0.05 * (CAST(s2 AS DOUBLE) / (n * 1000000000.0))) AS w2,
+             0.0 - (0.05 * (CAST(s3 AS DOUBLE) / (n * 1000000000.0))) AS w3,
+             0.0 - (0.05 * (CAST(s4 AS DOUBLE) / (n * 1000000000.0))) AS w4
+      FROM g1
+    ), p2 AS (
+      SELECT f.*,
+             0.5 + (((((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2))
+                       + (w.w3 * f.x3)) + (w.w4 * f.x4)))
+                    / (2.0 * (1.0 + abs((((((w.w0 * f.x0) + (w.w1 * f.x1))
+                       + (w.w2 * f.x2)) + (w.w3 * f.x3)) + (w.w4 * f.x4)))))) AS p
+      FROM feat f, w1 w
+    ), g2 AS (
+      SELECT count(*) AS n,
+             sum(CAST(floor(((p - y) * x0) * 1000000000.0) AS BIGINT)) AS s0,
+             sum(CAST(floor(((p - y) * x1) * 1000000000.0) AS BIGINT)) AS s1,
+             sum(CAST(floor(((p - y) * x2) * 1000000000.0) AS BIGINT)) AS s2,
+             sum(CAST(floor(((p - y) * x3) * 1000000000.0) AS BIGINT)) AS s3,
+             sum(CAST(floor(((p - y) * x4) * 1000000000.0) AS BIGINT)) AS s4
+      FROM p2
+    ), w2 AS (
+      SELECT w1.w0 - (0.05 * (CAST(g2.s0 AS DOUBLE) / (g2.n * 1000000000.0))) AS w0,
+             w1.w1 - (0.05 * (CAST(g2.s1 AS DOUBLE) / (g2.n * 1000000000.0))) AS w1,
+             w1.w2 - (0.05 * (CAST(g2.s2 AS DOUBLE) / (g2.n * 1000000000.0))) AS w2,
+             w1.w3 - (0.05 * (CAST(g2.s3 AS DOUBLE) / (g2.n * 1000000000.0))) AS w3,
+             w1.w4 - (0.05 * (CAST(g2.s4 AS DOUBLE) / (g2.n * 1000000000.0))) AS w4
+      FROM w1, g2
+    ), fin AS (
+      SELECT f.*,
+             (((((w.w0 * f.x0) + (w.w1 * f.x1)) + (w.w2 * f.x2))
+               + (w.w3 * f.x3)) + (w.w4 * f.x4)) AS z
+      FROM feat f, w2 w
+    )
+    SELECT doc_id, n_tokens, n_chars_actual, avg_token_len, stopword_ratio,
+           distinct_token_ratio, top_bigram_frac, repetition_flag,
+           quality_score, y AS classifier_label,
+           0.5 + (z / (2.0 * (1.0 + abs(z)))) AS classifier_score
+    FROM fin
     """,
     doc="Quality scoring: length/stopword-ratio composite plus the "
     "Gopher-style REPETITION signals (Rae et al. 2021 §A1.1: repetitious "
@@ -1071,11 +1141,18 @@ def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-bigram fraction (most frequent 2-gram's share of all 2-grams), "
     "with a composite repetition_flag at the published-style thresholds "
     "(top-2-gram > 0.2, distinct ratio < 0.5). The bigram mode count is an "
-    "IN-ROW sorted run-length fold — the whole gate stays one narrow "
+    "IN-ROW sorted run-length fold — the signal pass stays one narrow "
     "zero-shuffle projection; the DuckDB oracle replays it as "
-    "unnest+group-by, same values. Deterministic double math, identical "
-    "operand order on both engines (no rounding: Spark rounds HALF_UP, "
-    "DuckDB half-even, so rounding would DIVERGE at exact boundaries).",
+    "unnest+group-by, same values. PLUS the learned quality classifier "
+    "(operators/classifier.py, the GPT-3/DCLM-style stage): the "
+    "heuristic keep decision becomes the weak label, two full-batch "
+    "gradient steps fit a 5-feature logistic scorer — each step ONE "
+    "map-side-combined aggregation of integer-quantized gradients, so "
+    "training is bit-stable under any partitioning and the oracle "
+    "unrolls it into CTE rounds. Deterministic double math, identical "
+    "operand order on both engines; fast-sigmoid link, no exp, no "
+    "rounding (Spark rounds HALF_UP, DuckDB half-even, so rounding "
+    "would DIVERGE at exact boundaries).",
 )
 def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumn("toks", F.split(F.col("text"), " "))
@@ -1114,7 +1191,7 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"if(size({bigrams}) = 0, 0.0D,"
         f" cast({mode_count} as double) / cast(size({bigrams}) as double))"
     )
-    return docs.select(
+    base = docs.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
         n_chars.cast("bigint").alias("n_chars_actual"),
@@ -1124,6 +1201,43 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         ((top_frac > 0.2) | (distinct_ratio < 0.5)).alias("repetition_flag"),
         quality.alias("quality_score"),
+    )
+    # learned quality classifier: the heuristic keep decision is the
+    # weak label; 2 integer-quantized gradient steps (each one Spark
+    # agg), then a narrow scoring projection.  The expensive bigram fold
+    # feeds 2 training aggs + the final score, so materialize it once.
+    from jobcan_data_integrator_spark.operators.classifier import (
+        score_logreg,
+        train_logreg,
+    )
+
+    feat = base.select(
+        "*",
+        F.lit(1.0).alias("x0"),
+        F.least(F.col("n_tokens").cast("double") / 100, F.lit(1.0)).alias("x1"),
+        F.col("stopword_ratio").alias("x2"),
+        F.least(F.col("n_chars_actual").cast("double") / 500, F.lit(1.0)).alias("x3"),
+        F.col("distinct_token_ratio").alias("x4"),
+        F.when(
+            (~F.col("repetition_flag")) & (F.col("quality_score") >= 0.5), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    ).cache()
+    xs = ["x0", "x1", "x2", "x3", "x4"]
+    w = train_logreg(feat, xs, label_col="y", lr=0.05, iters=2)
+    return score_logreg(feat, xs, w).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_actual",
+        "avg_token_len",
+        "stopword_ratio",
+        "distinct_token_ratio",
+        "top_bigram_frac",
+        "repetition_flag",
+        "quality_score",
+        F.col("y").alias("classifier_label"),
+        "classifier_score",
     )
 
 

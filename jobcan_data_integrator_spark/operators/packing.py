@@ -213,3 +213,30 @@ def mix_corpora(
         )
         mixed = part if mixed is None else mixed.unionByName(part)
     return mixed
+
+
+def temperature_weights(
+    sizes: dict[str, int] | dict[int, int], alpha: float = 0.7
+) -> dict:
+    """Temperature-scaled mixture weights from per-source corpus sizes —
+    the standard multilingual/multi-source rebalance (sample source i
+    with probability proportional to ``n_i^alpha``; alpha=1 keeps the
+    natural distribution, alpha->0 approaches uniform; mT5/XLM-R use
+    ~0.3-0.7).
+
+    Returns per-source weight MULTIPLIERS for ``mix_corpora``: source i
+    should contribute ``N * p_i`` documents where ``p_i = n_i^alpha /
+    sum_j n_j^alpha`` and ``N = sum_j n_j`` is the total corpus size, so
+    ``w_i = N * p_i / n_i``.  Small sources get w > 1 (upsampled, which
+    ``mix_corpora`` expresses as extra epochs), large sources w < 1.
+    Driver-side pure arithmetic on the (tiny) per-source count dict —
+    derive the counts with one groupBy.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if not sizes or any(n <= 0 for n in sizes.values()):
+        raise ValueError("sizes must be a non-empty dict of positive counts")
+    total = sum(sizes.values())
+    scaled = {k: float(n) ** alpha for k, n in sizes.items()}
+    denom = sum(scaled.values())
+    return {k: (total * (scaled[k] / denom)) / sizes[k] for k in sizes}

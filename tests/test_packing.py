@@ -273,3 +273,28 @@ def test_chunking_randomized_against_replica(spark):
             for i, chunk in enumerate(_chunk_py(text, max_tokens, overlap))
         }
         assert got == want, f"max={max_tokens} overlap={overlap}"
+
+
+def test_temperature_weights_rebalance_toward_uniform():
+    from jobcan_data_integrator_spark.operators.packing import temperature_weights
+
+    sizes = {"big": 9_000, "mid": 900, "small": 100}
+    w = temperature_weights(sizes, alpha=0.5)
+    # expected document counts preserve the corpus total
+    total = sum(sizes[k] * w[k] for k in sizes)
+    assert abs(total - 10_000) < 1e-6
+    # small sources upsample, big sources downsample
+    assert w["small"] > 1.0 > w["big"]
+    # alpha=1 is the natural distribution (identity weights)
+    w1 = temperature_weights(sizes, alpha=1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+    # lower alpha pushes harder toward uniform
+    w_flat = temperature_weights(sizes, alpha=0.1)
+    assert w_flat["small"] > w["small"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights(sizes, alpha=0.0)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0}, alpha=0.5)
