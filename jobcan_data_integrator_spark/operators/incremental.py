@@ -1,6 +1,7 @@
 """Incremental (new-vs-corpus) deduplication and ANN indexing over
-persisted index tables — five families: exact-dedup hashes, MinHash
-bands, SimHash blocks, embedding LSH buckets, and IVF cell assignments.
+persisted index tables — seven families: exact-dedup hashes, MinHash
+bands, SimHash blocks, embedding LSH buckets, IVF cell assignments,
+SemDeDup pairs, and ExactSubstr span hashes.
 
 A 100 TB training pipeline cannot re-dedup the whole corpus for every
 ingest batch — the full-corpus LSH pipeline (gate/llm.py
@@ -867,4 +868,126 @@ def extend_semantic_index(
     store.begin_commit("sd-index-extend", list(SEMANTIC_TABLES))
     store.merge_insert_missing("ivf_assignments", inc, ["vec_id"])
     store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# Span-hash index (incremental ExactSubstr dedup — the 7th family)
+# ---------------------------------------------------------------------------
+
+#: span-dedup index tables: the occurrence table is the canonical
+#: per-(doc, pos) record — bucketed by span hash so an increment's
+#: affected-hash read is pruned; the hash table carries the global
+#: occurrence count + first-occurrence key (the probe target); the flag
+#: table accumulates removal decisions.  Flags are MONOTONE: ``n_occ``
+#: only grows and ``min_key`` only shrinks, so an occurrence once
+#: flagged stays flagged and absorption is an insert-missing, never a
+#: retraction.
+SPAN_TABLES = ("sp_occs", "sp_hashes", "sp_flags")
+
+
+def span_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    return {
+        "sp_occs": ("h", n),
+        "sp_hashes": ("h", n),
+        "sp_flags": ("doc_id", n),
+    }
+
+
+def _span_occ_rows(docs: DataFrame, span: int) -> DataFrame:
+    """(doc_id, pos, h, _key): span occurrences + the packed global
+    first-occurrence ordering key (doc_id * 2^20 + pos)."""
+    from jobcan_data_integrator_spark.operators.dedup import (
+        _SPAN_POS_BITS,
+        _span_occurrences,
+    )
+
+    occ = _span_occurrences(docs, span, "doc_id", "text")
+    return occ.withColumn(
+        "_key",
+        (F.col("doc_id").cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos"),
+    )
+
+
+def _span_hash_groups(occ: DataFrame) -> DataFrame:
+    return occ.groupBy("h").agg(
+        F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
+    )
+
+
+def _span_flags(occ: DataFrame, groups: DataFrame) -> DataFrame:
+    """(doc_id, pos): the non-first occurrences of duplicated hashes —
+    what the ExactSubstr pass removes."""
+    return (
+        occ.join(groups, "h")
+        .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+
+
+def build_span_index(store: TableStore, docs: DataFrame, span: int = 8) -> None:
+    """Persist the span-dedup index for an initial (doc_id, text) corpus:
+    occurrences, per-hash occurrence stats, and the flagged (removable)
+    occurrence set."""
+    occ = _span_occ_rows(docs, span).cache()
+    try:
+        groups = _span_hash_groups(occ)
+        store.begin_commit("sp-index-build", list(SPAN_TABLES))
+        store.overwrite("sp_occs", occ)
+        store.overwrite("sp_hashes", groups)
+        store.overwrite("sp_flags", _span_flags(occ, groups))
+        store.end_commit()
+    finally:
+        occ.unpersist()
+
+
+def span_increment(
+    store: TableStore, new_docs: DataFrame, span: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(merged_hashes, flags) for every span hash the increment touches.
+
+    ``merged_hashes`` is the up-to-date (h, n_occ, min_key) for affected
+    hashes; ``flags`` is (doc_id, pos) — every occurrence of an affected
+    hash that is now removable, which covers BOTH the increment's
+    non-first occurrences AND any corpus occurrence retroactively
+    demoted because the increment introduced an earlier key (replays and
+    out-of-order ids need no special case: the result is a pure function
+    of (stored ∪ increment) occurrences deduped by (doc_id, pos)).
+
+    Scale shape: the corpus side is touched via ONE bucket-pruned read
+    of ``sp_occs`` for the increment's hash set (``span_index_buckets``
+    buckets it by ``h``), then an equi-semi-join; cost is linear in the
+    increment times its hash fan-out, never in the corpus."""
+    inc = _span_occ_rows(new_docs, span).cache()
+    stored = store.read_for_keys("sp_occs", inc.select("h"))
+    affected = stored.join(
+        F.broadcast(inc.select("h").distinct()), "h", "leftsemi"
+    )
+    union = affected.unionByName(inc).dropDuplicates(["doc_id", "pos"])
+    groups = _span_hash_groups(union)
+    return groups, _span_flags(union, groups)
+
+
+def extend_span_index(
+    store: TableStore,
+    new_docs: DataFrame,
+    merged_hashes: DataFrame,
+    flags: DataFrame,
+    span: int = 8,
+) -> None:
+    """Absorb an increment: insert its occurrences (keyed by
+    (doc_id, pos), so a replay inserts nothing), upsert the recomputed
+    affected hash stats, and insert the new flags (monotone — flags are
+    never retracted, so insert-missing converges under replay).  Both
+    inputs are materialized first: they scan the tables being
+    rewritten."""
+    merged_hashes = merged_hashes.localCheckpoint(eager=True)
+    flags = flags.localCheckpoint(eager=True)
+    store.begin_commit("sp-index-extend", list(SPAN_TABLES))
+    store.merge_insert_missing(
+        "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
+    )
+    store.merge_upsert("sp_hashes", merged_hashes, ["h"])
+    store.merge_insert_missing("sp_flags", flags, ["doc_id", "pos"])
     store.end_commit()

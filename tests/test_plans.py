@@ -134,6 +134,10 @@ _INTENTIONAL_BNLJ = {
     "sim_ann_ivf_topk",
     "sim_ann_recall",
     "sim_ivf_train_kmeans",
+    # the SemDeDup half scores cells via assign_cells' one-row broadcast
+    # codebook crossJoin (same shape as the IVF gates); the pair join
+    # itself is a cell-keyed equi-join
+    "dd_embedding_cosine_pairs",
 }
 
 
