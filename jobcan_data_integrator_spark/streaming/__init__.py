@@ -384,3 +384,47 @@ def index_embeddings_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def index_spans_stream(
+    docs: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    span: int = 8,
+):
+    """Ingest-time ExactSubstr dedup: each micro-batch of documents
+    (doc_id, text) is span-hashed against the persisted span index and
+    absorbed into it — the streaming face of the 7th incremental family
+    (operators/incremental.py sp_* tables).
+
+    Per batch: hash the batch's token windows (batch-linear, no
+    shuffle), probe only the affected hashes via the bucket-pruned
+    ``sp_occs`` read, flag removable occurrences (including retroactive
+    demotions of previously-first corpus occurrences), and absorb.
+    After the stream drains, ``store.read("sp_flags")`` holds EXACTLY
+    the flag set a full-corpus run would produce (tests pin the
+    equivalence).  Replays converge: the probe is a pure recompute over
+    (stored ∪ increment) occurrences and every merge is keyed —
+    flags are monotone, so nothing is ever retracted.
+    """
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_span_index,
+        extend_span_index,
+        span_increment,
+    )
+
+    def _index(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select("doc_id", "text")
+        if not store.exists("sp_occs"):
+            build_span_index(store, batch, span)
+        else:
+            groups, flags = span_increment(store, batch, span)
+            extend_span_index(store, batch, groups, flags, span)
+
+    return (
+        docs.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -443,3 +443,41 @@ def test_streaming_embedding_index_equals_one_shot(spark, sf_dir, tmp_path):
         (r.doc_id, r.cluster_id) for r in store.read("cc_labels").collect()
     }
     assert got_labels == want_labels
+
+
+def test_streaming_span_index_equals_full_corpus(spark, sf_dir, tmp_path):
+    """index_spans_stream: documents arriving in micro-batches build the
+    SAME ExactSubstr flag set a full-corpus build produces — including
+    retro-demotions when a later batch holds an earlier (doc_id, pos)."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_span_index,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "span_stream"
+    # ODD ids arrive FIRST so the even batch retro-demotes some spans
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    store = TableStore(spark, tmp_path / "index", write_partitions=2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.index_spans_stream(stream, store, str(tmp_path / "ckpt_sp")).start()
+    q.awaitTermination()
+
+    fresh = TableStore(spark, tmp_path / "oneshot", write_partitions=2)
+    build_span_index(fresh, docs)
+    got = {(r.doc_id, r.pos) for r in store.read("sp_flags").collect()}
+    want = {(r.doc_id, r.pos) for r in fresh.read("sp_flags").collect()}
+    assert want  # corpus must actually contain duplicated spans
+    assert got == want
