@@ -357,32 +357,10 @@ def _span_occurrences(
     )
 
 
-def duplicate_span_intervals(
-    docs: DataFrame,
-    span: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(id, start_tok, end_tok): maximal merged token intervals covered
-    by duplicated spans, EXCLUDING each span's global first occurrence
-    (minimum (doc_id, pos)) — the set of token ranges the ExactSubstr
-    pass removes.  ``start_tok``/``end_tok`` are 0-based inclusive."""
-    occ = _span_occurrences(docs, span, id_col, text_col)
-    key = (F.col(id_col).cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos")
-    occ = occ.withColumn("_key", key)
-    per_hash = occ.groupBy("h").agg(
-        F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
-    )
-    flagged = (
-        occ.join(per_hash, "h")
-        .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
-        .select(id_col, "pos")
-        # the same position can host several duplicated hashes only if
-        # span hashes collide (60-bit — negligible), but two DIFFERENT
-        # duplicated spans can start at the same pos after upstream
-        # edits; distinct keeps the island scan clean either way
-        .distinct()
-    )
+def _merge_islands(flagged: DataFrame, span: int, id_col: str) -> DataFrame:
+    """(id, start_tok, end_tok): gaps-and-islands merge of flagged span
+    starts into maximal token intervals (overlap-or-adjacent coalesce).
+    ``flagged`` is (id, pos) with distinct rows."""
     from pyspark.sql.window import Window
 
     w_prev = (
@@ -415,6 +393,35 @@ def duplicate_span_intervals(
     )
 
 
+def duplicate_span_intervals(
+    docs: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start_tok, end_tok): maximal merged token intervals covered
+    by duplicated spans, EXCLUDING each span's global first occurrence
+    (minimum (doc_id, pos)) — the set of token ranges the ExactSubstr
+    pass removes.  ``start_tok``/``end_tok`` are 0-based inclusive."""
+    occ = _span_occurrences(docs, span, id_col, text_col)
+    key = (F.col(id_col).cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos")
+    occ = occ.withColumn("_key", key)
+    per_hash = occ.groupBy("h").agg(
+        F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
+    )
+    flagged = (
+        occ.join(per_hash, "h")
+        .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
+        .select(id_col, "pos")
+        # the same position can host several duplicated hashes only if
+        # span hashes collide (60-bit — negligible), but two DIFFERENT
+        # duplicated spans can start at the same pos after upstream
+        # edits; distinct keeps the island scan clean either way
+        .distinct()
+    )
+    return _merge_islands(flagged, span, id_col)
+
+
 def span_dedup_summary(
     docs: DataFrame,
     span: int = 8,
@@ -444,20 +451,25 @@ def span_dedup_summary(
         F.count("*").over(w_md5).alias("dup_count"),
         "_n_toks",
     )
+    # the span explode + per-hash stats feed BOTH the occurrence counts
+    # and the interval merge — share one flagged frame instead of
+    # re-exploding the corpus per consumer (localCheckpoint: 3 longs per
+    # flagged occurrence, GC-reclaimed)
     occ = _span_occurrences(docs, span, id_col, text_col)
     key = (F.col(id_col).cast("bigint") * (1 << _SPAN_POS_BITS)) + F.col("pos")
-    per_hash = occ.withColumn("_key", key).groupBy("h").agg(
+    occ = occ.withColumn("_key", key)
+    per_hash = occ.groupBy("h").agg(
         F.count("*").alias("n_occ"), F.min("_key").alias("min_key")
     )
-    flagged_counts = (
-        occ.withColumn("_key", key)
-        .join(per_hash, "h")
+    flagged = (
+        occ.join(per_hash, "h")
         .filter((F.col("n_occ") > 1) & (F.col("_key") != F.col("min_key")))
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_dup_spans"))
+        .select(id_col, "pos")
+        .localCheckpoint(eager=False)
     )
+    flagged_counts = flagged.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
     removed = (
-        duplicate_span_intervals(docs, span, id_col, text_col)
+        _merge_islands(flagged.distinct(), span, id_col)
         .groupBy(id_col)
         .agg(
             F.sum(F.col("end_tok") - F.col("start_tok") + 1).alias("n_removed_tokens")

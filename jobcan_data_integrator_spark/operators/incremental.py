@@ -780,28 +780,38 @@ def _cell_pairs(a: DataFrame, b: DataFrame | None, threshold: float) -> DataFram
     within-set (vec_a < vec_b).  Two frames: cross pairs normalized to
     (least, greatest) — the split composition matches the full corpus's
     pair set exactly because cell assignment is per-row deterministic."""
-    from jobcan_data_integrator_spark.operators.similarity import cosine_expr
+    from jobcan_data_integrator_spark.operators.similarity import (
+        cosine_from_parts,
+        norm_sq_expr,
+    )
 
-    fa = a.alias("a")
+    # squared norms computed below the join (once per input row, not
+    # once per candidate pair); cosine_from_parts is bit-identical to
+    # cosine_expr, so persisted sd_pairs values are unchanged
+    sided_a = a.withColumn("_nsq", norm_sq_expr("embedding"))
+    fa = sided_a.alias("a")
+    cos = cosine_from_parts(
+        "a.embedding", "b.embedding", "a._nsq", "b._nsq"
+    ).alias("cosine_sim")
     if b is None:
-        fb = a.alias("b")
+        fb = sided_a.alias("b")
         cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
             F.col("a.vec_id") < F.col("b.vec_id")
         )
         sel = [
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+            cos,
         ]
     else:
-        fb = b.alias("b")
+        fb = b.withColumn("_nsq", norm_sq_expr("embedding")).alias("b")
         cond = (F.col("a.cell_id") == F.col("b.cell_id")) & (
             F.col("a.vec_id") != F.col("b.vec_id")
         )
         sel = [
             F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_a"),
             F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+            cos,
         ]
     return (
         fa.join(fb, cond)

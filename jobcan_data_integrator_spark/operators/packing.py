@@ -71,7 +71,14 @@ def pack_shards(
             f"'{shuffle_salt}', '|', cast({id_col} as string))), 1, 15), 16, 10)"
             " as bigint)"
         )
-    b = docs.select(id_col, tokens_col).withColumn("_ord", order_col)
+    # three consumers (range agg, per-bucket totals, the final window)
+    # would each re-evaluate the upstream plan + the md5 order key;
+    # checkpoint the narrow 3-column projection once (GC-reclaimed)
+    b = (
+        docs.select(id_col, tokens_col)
+        .withColumn("_ord", order_col)
+        .localCheckpoint(eager=False)
+    )
     if bucket_size is None:
         lo, hi = b.agg(F.min("_ord"), F.max("_ord")).collect()[0]
         span = (hi - lo + 1) if hi is not None else 1

@@ -98,6 +98,32 @@ def cosine_expr(a: str, b: str, dp: int = 6) -> Column:
     )
 
 
+def norm_sq_expr(e: str = "embedding") -> Column:
+    """Sum of squared components (double math, index-ordered fold) — the
+    SAME fold ``cosine_expr`` runs under its sqrt, exposed so pair joins
+    can precompute it per VECTOR instead of per PAIR."""
+    return F.expr(
+        f"aggregate(transform({e}, x -> cast(x as double) * cast(x as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_from_parts(a: str, b: str, nsq_a: str, nsq_b: str, dp: int = 6) -> Column:
+    """``cosine_expr`` with the norm folds hoisted: identical operation
+    tree (dot / (sqrt(ssq_a) * sqrt(ssq_b)), then round), so the result
+    is BIT-IDENTICAL to ``cosine_expr`` — but each vector's squared norm
+    is computed once per row instead of once per candidate pair, which
+    is ~3x on the pair-scoring stage (the norms are 2 of the 3 in-row
+    array folds)."""
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    return F.round(
+        F.expr(dot) / (F.sqrt(F.col(nsq_a)) * F.sqrt(F.col(nsq_b))), dp
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,
@@ -295,7 +321,14 @@ def embedding_near_dup_pairs(
     # columns are persisted at ingest (operators/incremental.py's
     # embedding index does exactly that); cache() is the same
     # compute-once decision for the ad-hoc path.
-    b = bucket_rows(emb, n_planes, dim, n_bands).cache()
+    # _nsq rides the cached bucket table: each vector's squared norm is
+    # computed once at materialization, so the per-pair cosine pays only
+    # the dot fold (cosine_from_parts — bit-identical to cosine_expr)
+    b = (
+        bucket_rows(emb, n_planes, dim, n_bands)
+        .withColumn("_nsq", norm_sq_expr("embedding"))
+        .cache()
+    )
     a = b.alias("a")
     c = b.alias("b")
     collide = (
@@ -318,7 +351,7 @@ def embedding_near_dup_pairs(
             )
             .dropDuplicates(["vec_a", "vec_b"])
         )
-        vecs = b.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+        vecs = b.select("vec_id", "embedding", "_nsq").dropDuplicates(["vec_id"])
         pairs = (
             cand_ids.join(vecs.alias("va"), F.col("vec_a") == F.col("va.vec_id"))
             .join(vecs.alias("vb"), F.col("vec_b") == F.col("vb.vec_id"))
@@ -327,6 +360,8 @@ def embedding_near_dup_pairs(
                 "vec_b",
                 F.col("va.embedding").alias("emb_a"),
                 F.col("vb.embedding").alias("emb_b"),
+                F.col("va._nsq").alias("nsq_a"),
+                F.col("vb._nsq").alias("nsq_b"),
             )
         )
     else:
@@ -337,12 +372,16 @@ def embedding_near_dup_pairs(
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.embedding").alias("emb_a"),
             F.col("b.embedding").alias("emb_b"),
+            F.col("a._nsq").alias("nsq_a"),
+            F.col("b._nsq").alias("nsq_b"),
         )
     return (
         pairs.select(
             "vec_a",
             "vec_b",
-            cosine_expr("emb_a", "emb_b").alias("cosine_sim"),
+            cosine_from_parts("emb_a", "emb_b", "nsq_a", "nsq_b").alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -542,8 +581,9 @@ def _cell_pairs(assign: DataFrame, threshold: float) -> DataFrame:
     that additionally scores increment-vs-corpus CROSS pairs and dedups
     replay-duplicated rows — this one stays shuffle-minimal for the
     one-shot path.)"""
-    a = assign.alias("a")
-    b = assign.alias("b")
+    sided = assign.withColumn("_nsq", norm_sq_expr("embedding"))
+    a = sided.alias("a")
+    b = sided.alias("b")
     return (
         a.join(
             b,
@@ -553,7 +593,9 @@ def _cell_pairs(assign: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_expr("a.embedding", "b.embedding").alias("cosine_sim"),
+            cosine_from_parts(
+                "a.embedding", "b.embedding", "a._nsq", "b._nsq"
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -579,6 +621,11 @@ def semantic_near_dup_pairs(
     codebook map; the self-join is keyed by cell_id."""
     if centroids is None:
         centroids, _ = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+        # both sides of the cell self-join reference the assignment;
+        # without this the WHOLE training DAG (2 Lloyd shuffles) would
+        # execute once per side.  The codebook is n_cells rows —
+        # materializing it costs nothing and is GC-reclaimed.
+        centroids = centroids.localCheckpoint(eager=True)
     assign = assign_cells(
         emb.select("vec_id", "embedding", quantized_expr("embedding").alias("q")),
         centroids,
