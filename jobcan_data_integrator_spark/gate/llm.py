@@ -854,8 +854,18 @@ def dd_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = embedding_near_dup_pairs(emb, threshold=0.3).withColumn(
         "method", F.lit("lsh_bucket")
     )
+    # target_cell_size/train_cap are the paper's cells-grow-with-corpus
+    # stance: at the oracle SF (500 vectors) they resolve to exactly
+    # n_cells=16 trained on every vector — the unrolled CTE rounds —
+    # while a 10x corpus gets 10x the cells (constant cell population,
+    # linear pair join) and a capped training sample
     sem = semantic_near_dup_pairs(
-        emb, n_cells=16, iters=2, threshold=0.3
+        emb,
+        n_cells=16,
+        iters=2,
+        threshold=0.3,
+        target_cell_size=312,
+        train_cap=2048,
     ).withColumn("method", F.lit("semdedup_cell"))
     return lsh.unionByName(sem).select("method", "vec_a", "vec_b", "cosine_sim")
 

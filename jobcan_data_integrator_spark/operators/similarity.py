@@ -607,6 +607,8 @@ def semantic_near_dup_pairs(
     n_cells: int = 16,
     iters: int = 2,
     threshold: float = 0.95,
+    target_cell_size: int | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine_sim): the SemDeDup candidate-pair set —
     k-means-cell-scoped exact cosine at or above ``threshold`` (Abbas et
@@ -616,11 +618,47 @@ def semantic_near_dup_pairs(
     the O(n^2) cosine problem into a partition-scoped self-join, one via
     random-hyperplane buckets, one via trained k-means cells.
 
-    Scale shape: codebook training is the bounded (cell, dim) shuffle of
-    ``train_ivf_centroids``; assignment is a zero-shuffle broadcast-
-    codebook map; the self-join is keyed by cell_id."""
+    THE SCALE KNOBS (the 10x smoke flagged the fixed-16-cell version at
+    a quadratic 10.2x for 10x data — cells MUST grow with the corpus,
+    which is the paper's own stance: ~11k clusters at web scale):
+
+    - ``target_cell_size``: derive ``n_cells = max(n_cells, n_vec //
+      target_cell_size)`` from one count() job, holding expected cell
+      population (hence per-vector join fan-out) CONSTANT as the corpus
+      grows — the pair join becomes linear in n;
+    - ``train_cap``: fit the codebook on a deterministic md5-bucket
+      sample of at most ~this many vectors (Lloyd iterations over a
+      bounded frame instead of the corpus), then assign everything —
+      standard k-means-on-a-sample.  Corpora at or below the cap train
+      on every vector, so small-corpus results (and the driver oracle)
+      are bit-identical to unsampled training.
+
+    Remaining scale shape: codebook training is the bounded (cell, dim)
+    shuffle of ``train_ivf_centroids``; assignment is a zero-shuffle
+    broadcast-codebook map (in-row argmax — its cost is n x n_cells,
+    the term to watch if cells grow very large); the self-join is keyed
+    by cell_id."""
     if centroids is None:
-        centroids, _ = train_ivf_centroids(emb, n_cells=n_cells, iters=iters)
+        train_src = emb
+        if target_cell_size is not None or train_cap is not None:
+            n_vec = emb.count()
+            if target_cell_size is not None:
+                n_cells = max(n_cells, n_vec // target_cell_size)
+            if train_cap is not None and n_vec > train_cap:
+                frac_bp = min(10_000, round(10_000 * train_cap / n_vec))
+                bucket = F.expr(
+                    "pmod(cast(conv(substr(md5(concat('kmsmp|',"
+                    " cast(vec_id as string))), 1, 15), 16, 10) as bigint),"
+                    " 10000)"
+                )
+                # the seed vectors (vec_id < n_cells) MUST survive the
+                # sample — train_ivf_centroids initializes from them, and
+                # a sample that drops most of them would collapse the
+                # codebook to a handful of live cells
+                train_src = emb.filter(
+                    (bucket < F.lit(frac_bp)) | (F.col("vec_id") < n_cells)
+                )
+        centroids, _ = train_ivf_centroids(train_src, n_cells=n_cells, iters=iters)
         # both sides of the cell self-join reference the assignment;
         # without this the WHOLE training DAG (2 Lloyd shuffles) would
         # execute once per side.  The codebook is n_cells rows —
