@@ -1,0 +1,101 @@
+"""End-to-end curation pipeline (operators/curate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.curate import curate_corpus
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_full_pipeline_on_crafted_corpus(spark):
+    run_ = "a b c d e f g h"  # 8 tokens, shared by docs 1 and 2
+    filler = " ".join(f"w{i}" for i in range(12))
+    docs = _mk(
+        spark,
+        [
+            (0, filler + " " + run_),                 # clean, first span owner
+            (1, run_ + " " + " ".join(f"x{i}" for i in range(12))),  # span dup
+            (2, filler + " " + run_),                 # exact dup of 0
+            (3, "contact me mail@example.com now "
+                + " ".join(f"y{i}" for i in range(12))),              # pii
+            (4, "t1 t2 t3"),                          # too short after floor
+        ],
+    )
+    res = curate_corpus(docs, span=8, min_tokens=10, chunk_tokens=8, chunk_overlap=2)
+    audit = res.audit()
+    assert audit["input"] == 5
+    assert audit["pii_scrubbed"] == 5  # scrub redacts, doesn't drop by default
+    assert audit["exact_deduped"] == 4  # doc 2 dropped (dup of 0)
+    assert audit["span_deduped"] == 3  # doc 4 below the floor
+    # doc 3's email was redacted
+    t3 = {r["doc_id"]: r["text"] for r in res.deduped.collect()}[3]
+    assert "<EMAIL>" in t3 and "mail@example.com" not in t3
+    # doc 1 lost its copied run but kept its own tail
+    assert not t3 or "a b c" not in {r["doc_id"]: r["text"] for r in res.deduped.collect()}[1]
+    # packing invariants: chunk ids unique, shard ids contiguous from 0
+    packed = res.packed.collect()
+    assert len({r["chunk_id"] for r in packed}) == len(packed)
+    shard_ids = {r["shard_id"] for r in packed}
+    assert min(shard_ids) == 0
+    # conservation: every surviving token lands in exactly one chunk set
+    total_chunk_tokens = sum(r["n_tokens"] for r in res.chunks.collect())
+    assert total_chunk_tokens >= sum(
+        len(r["text"].split()) for r in res.deduped.collect()
+    )  # >= because overlap duplicates context tokens
+
+
+def test_pii_hit_cap_drops_documents(spark):
+    docs = _mk(
+        spark,
+        [
+            (0, "a@b.co c@d.co e@f.co " + " ".join(f"w{i}" for i in range(10))),
+            (1, " ".join(f"v{i}" for i in range(12))),
+        ],
+    )
+    res = curate_corpus(docs, max_pii_hits=2, min_tokens=5, chunk_tokens=8, chunk_overlap=2)
+    assert res.audit()["pii_scrubbed"] == 1
+
+
+def test_classifier_floor_requires_scorer(spark):
+    docs = _mk(spark, [(0, " ".join(f"w{i}" for i in range(12)))])
+    with pytest.raises(ValueError):
+        curate_corpus(docs, classifier_floor=0.5)
+
+
+def test_classifier_floor_filters(spark):
+    from jobcan_data_integrator_spark.operators.classifier import score_logreg
+
+    docs = _mk(
+        spark,
+        [
+            (0, " ".join(f"w{i}" for i in range(30))),
+            (1, " ".join(f"v{i}" for i in range(11))),
+        ],
+    )
+    base = curate_corpus(docs, min_tokens=5, chunk_tokens=8, chunk_overlap=2)
+    assert base.audit()["quality_kept"] == 2
+
+    def scorer(df):
+        # features built on the POST-dedup text, then the fitted model
+        # (hand weights here: bias 0, strongly positive on tokens/100)
+        feat = df.withColumn("x0", F.lit(1.0)).withColumn(
+            "x1", F.size(F.split("text", " ")).cast("double") / 100
+        )
+        return score_logreg(feat, ["x0", "x1"], [-2.0, 10.0])
+
+    res = curate_corpus(
+        docs,
+        min_tokens=5,
+        chunk_tokens=8,
+        chunk_overlap=2,
+        quality_scorer=scorer,
+        classifier_floor=0.5,
+    )
+    # z = -2 + 10*tokens/100: doc 0 (30 tok) -> +1 -> 0.75; doc 1
+    # (11 tok) -> -0.9 -> 0.26 — only doc 0 clears the 0.5 floor
+    assert res.audit()["quality_kept"] == 1
