@@ -1472,28 +1472,83 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate(
     "tx_shard_packing",
-    # Chunking replica: window starts 0, stride, 2*stride, ... up to
-    # size-1-overlap (generate_series is inclusive like Spark's
-    # sequence); chunk tokens = list_slice of up to max_tokens; the
-    # packing order key is the md5-derived 60-bit shuffle key over the
-    # composite chunk id (same 'pk|id' preimage as pack_shards'
-    # shuffle_salt mode).  The oracle is the semantic definition of the
-    # prefix sum: ONE global running sum over (ord, chunk_id).
+    # The END-TO-END curation pipeline (operators/curate.curate_corpus):
+    # PII scrub -> doc-level exact dedup (min-id survivor per md5 group)
+    # -> span-level ExactSubstr removal (same CTE chain as
+    # dd_exact_dedup's summary, here MATERIALIZED: surviving tokens are
+    # the ones outside every merged interval) -> 10-token length floor
+    # -> 32/8 sliding-window chunking -> 4096-token shard packing in
+    # deterministic shuffled order (md5('pk|'||chunk_id) 60-bit key).
+    # The PII stage has NO SQL mirror here: the phone pattern needs a
+    # lookahead DuckDB's RE2 can't run, and the gate corpus is proven
+    # letters-only (zero matches for all three classes, asserted in
+    # test_curate.py/test_pii.py) — so the scrub runs on the Spark side
+    # as a value no-op and PII itself is evidenced by crafted-fixture
+    # pytest oracles (operators/pii.py docstring).  The packing oracle
+    # is the semantic definition of the prefix sum: ONE global running
+    # sum over (ord, chunk_id).
     oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    WITH base AS (
+      SELECT doc_id, text,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM base WHERE doc_id = keep_doc
+    ), sp AS (
+      SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS pos, toks
+      FROM kept WHERE len(toks) >= 8
+    ), occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(
+                 list_slice(toks, pos + 1, pos + 8), ' ')), 1, 15))::BIGINT AS h
+      FROM sp
+    ), per_hash AS (
+      SELECT h, count(*) AS n_occ, min(doc_id * 1048576 + pos) AS min_key
+      FROM occ GROUP BY h
+    ), flagged AS (
+      SELECT DISTINCT o.doc_id, o.pos
+      FROM occ o JOIN per_hash a USING (h)
+      WHERE a.n_occ > 1 AND o.doc_id * 1048576 + o.pos <> a.min_key
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= coalesce(max(pos + 7) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM flagged
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ), iv AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), tk AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM kept
+    ), ded AS (
+      SELECT t.doc_id, list(t.tok ORDER BY t.pos) AS toks
+      FROM tk t
+      WHERE NOT EXISTS (SELECT 1 FROM iv v
+                        WHERE v.doc_id = t.doc_id
+                          AND t.pos BETWEEN v.s AND v.e)
+      GROUP BY t.doc_id
+      HAVING count(*) >= 10
     ), st AS (
       SELECT doc_id, toks,
              unnest(generate_series(0, greatest(0, len(toks) - 1 - 8), 24)) AS s
-      FROM t
+      FROM ded
     ), ch AS (
-      SELECT doc_id * 64 + (s // 24) AS chunk_id,
+      SELECT doc_id * 1048576 + (s // 24) AS chunk_id,
              CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_tokens,
-             ('0x' || substr(md5('pk|' || CAST(doc_id * 64 + (s // 24) AS VARCHAR)),
-                             1, 15))::BIGINT AS ord
+             ('0x' || substr(md5('pk|' || CAST(doc_id * 1048576 + (s // 24)
+                                               AS VARCHAR)), 1, 15))::BIGINT AS ord
       FROM st
     )
-    SELECT chunk_id // 64 AS doc_id, chunk_id % 64 AS chunk_idx, n_tokens,
+    SELECT chunk_id // 1048576 AS doc_id, chunk_id % 1048576 AS chunk_idx,
+           n_tokens,
            CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, chunk_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              AS cum_before,
@@ -1502,37 +1557,40 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              // 4096 AS shard_id
     FROM ch
     """,
-    doc="Context-length chunking + token-budget shard packing "
-    "(operators/packing.py): documents are chunked into sliding "
-    "32-token windows (overlap 8, no trailing window fully contained in "
-    "the previous chunk), then the chunks are packed into 4096-token "
-    "shards in DETERMINISTIC SHUFFLED order (md5('pk'|chunk_id) — the "
-    "per-epoch reshufflable permutation, so one shard never concentrates "
-    "one document/source). shard = prefix-token-sum div 4096, computed "
-    "as the two-pass distributed prefix sum (bucket partials -> "
-    "driver-side offsets -> per-bucket windows), NOT a single-partition "
-    "global window — the plan contains no Exchange SinglePartition "
-    "(pinned in test_plans.py). This one gate value-proves "
-    "chunk_documents AND pack_shards' shuffled mode end-to-end.",
+    doc="The END-TO-END corpus curation pipeline (operators/curate.py, "
+    "curate_corpus): PII scrub (value no-op on the proven letters-only "
+    "gate corpus; evidenced by its own crafted-fixture oracles) -> "
+    "doc-level exact dedup (min-id survivor per content hash) -> "
+    "span-level ExactSubstr removal materialized into the surviving "
+    "text (Lee et al. 2021) -> 10-token post-removal floor -> sliding "
+    "32/8-token chunking -> 4096-token shard packing in DETERMINISTIC "
+    "SHUFFLED order (md5('pk'|chunk_id) — the per-epoch reshufflable "
+    "permutation, so one shard never concentrates one document/source). "
+    "shard = prefix-token-sum div 4096, computed as the two-pass "
+    "distributed prefix sum (bucket partials -> driver-side offsets -> "
+    "per-bucket windows), NOT a single-partition global window — no "
+    "Exchange SinglePartition (pinned in test_plans.py). One gate "
+    "value-proves the full composition a training team runs between "
+    "raw documents and packed shards.",
 )
 def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jobcan_data_integrator_spark.operators.packing import (
-        chunk_documents,
-        pack_shards,
-    )
+    from jobcan_data_integrator_spark.operators.curate import curate_corpus
 
-    chunks = chunk_documents(_docs(spark, sf_dir), max_tokens=32, overlap=8)
-    # composite bigint id: docs never exceed 64 chunks (99-token max at
-    # 24-token stride), so the packing id stays collision-free and the
-    # doc/chunk split is recoverable arithmetically (no re-join).
-    chunks = chunks.select(
-        (F.col("doc_id") * 64 + F.col("chunk_idx")).cast("bigint").alias("chunk_id"),
-        "n_tokens",
+    res = curate_corpus(
+        _docs(spark, sf_dir),
+        span=8,
+        min_tokens=10,
+        chunk_tokens=32,
+        chunk_overlap=8,
+        budget=4096,
+        shuffle_salt="pk",
     )
-    packed = pack_shards(chunks, budget=4096, id_col="chunk_id", shuffle_salt="pk")
-    return packed.select(
-        F.expr("chunk_id div 64").alias("doc_id"),
-        F.expr("chunk_id % 64").alias("chunk_idx"),
+    # composite bigint id: doc_id * 2^20 + chunk_idx (curate_corpus's
+    # packing id) — collision-free below 2^20 chunks/doc, and the
+    # doc/chunk split is recoverable arithmetically (no re-join).
+    return res.packed.select(
+        F.expr("chunk_id div 1048576").alias("doc_id"),
+        F.expr("chunk_id % 1048576").alias("chunk_idx"),
         "n_tokens",
         "cum_before",
         "shard_id",

@@ -68,6 +68,7 @@ class TableStore:
         bucketed: dict[str, tuple[str, int]] | None = None,
         sorted_by: dict[str, list[str]] | None = None,
         snapshot_isolation: bool = False,
+        max_snapshot_layers: int = 8,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -101,16 +102,28 @@ class TableStore:
 
         ``snapshot_isolation`` switches the store to
         versioned writes published through a single manifest pointer:
-        every ``overwrite`` lands in a fresh ``<table>.v-*`` directory and
+        every write lands in a fresh ``<table>.v-*`` directory and
         becomes reader-visible only when ``end_commit`` atomically swaps
         ``_snapshot.json`` — so a reader that pins one snapshot (see
         ``current_snapshot``/``read_at``) observes a CONSISTENT set of
         tables even while a multi-table batch is mid-write.  This is the
         manifest-pointer mechanism Delta/Iceberg provide natively; plain
         in-place mode (the default) keeps the reference's
-        converged-by-replay contract instead.  Incompatible with
-        ``partitioned``/``bucketed`` tables (their dynamic partition
-        overwrite rewrites in place)."""
+        converged-by-replay contract instead.
+
+        For ``partitioned``/``bucketed`` tables, snapshot mode keeps the
+        partition-scoped merge economics through LAYERS: each commit's
+        merge writes only its touched partitions into a fresh layer dir,
+        the manifest records every layer's partition set, and readers
+        resolve newest-layer-wins per partition (one hive read per layer,
+        unioned) — so a 100 TB index table absorbs a few-bucket increment
+        as a few-bucket layer while concurrent readers keep probing the
+        pinned snapshot.  ``end_commit`` folds the layer stack back into
+        one base layer once it exceeds ``max_snapshot_layers`` (the
+        OPTIMIZE/compaction analog, amortized across batches).
+        ``delete_scope`` stays unsupported for managed tables (same
+        reason as plain mode: a layer cannot express an emptied
+        partition; use ``sync_children``)."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -119,16 +132,13 @@ class TableStore:
         self.bucketed = dict(bucketed or {})
         self.sorted_by = dict(sorted_by or {})
         self.snapshot_isolation = snapshot_isolation
-        if snapshot_isolation and (self.partitioned or self.bucketed):
-            raise ValueError(
-                "snapshot_isolation does not compose with partitioned/"
-                "bucketed tables (dynamic partition overwrite is in-place);"
-                " use a table format with native snapshots for those"
-            )
+        self.max_snapshot_layers = max_snapshot_layers
         #: snapshot mode: versioned dirs written this batch, not yet
-        #: published ({table: dirname}) — read() prefers these so a batch
-        #: reads its own writes
-        self._pending_versions: dict[str, str] = {}
+        #: published — {table: dirname} for unmanaged tables,
+        #: {table: {"reset": bool, "layers": [{"dir", "parts"}...]}} for
+        #: managed ones; read() prefers these so a batch reads its own
+        #: writes
+        self._pending_versions: dict[str, str | dict] = {}
         #: instance-scoped swap-name token: _recover may always reclaim
         #: THIS instance's leftover tmp dirs, but foreign ones only when
         #: stale (they may be another live writer's in-flight swap)
@@ -197,19 +207,159 @@ class TableStore:
             return self.root / self._pending_versions[table]
         snap_tables = self.current_snapshot()["tables"]
         if table in snap_tables:
-            return self.root / snap_tables[table]
+            entry = snap_tables[table]
+            if not isinstance(entry, str):
+                raise ValueError(
+                    f"table {table!r} has a layered snapshot entry but is "
+                    "not declared partitioned/bucketed in this store — "
+                    "changing a table's layout under one snapshot root is "
+                    "unsupported"
+                )
+            return self.root / entry
         if self.path(table).exists():
             return self.path(table)
         return None
 
+    # -- snapshot layers (managed tables) -------------------------------------
+
+    def _is_managed(self, table: str) -> bool:
+        return bool(self._managed_pcols(table))
+
+    def _layer_parts(self, vdir: str, n_pcols: int) -> list[str]:
+        """Relative hive partition paths (``col=val[/col2=val2…]``) present
+        in a written layer dir — read back from disk, so value escaping
+        is whatever the writer produced (never re-derived from values)."""
+        base = self.root / vdir
+        pat = "/".join(["*=*"] * n_pcols)
+        return sorted(
+            str(p.relative_to(base)) for p in base.glob(pat) if p.is_dir()
+        )
+
+    def _materialize_layer(self, table: str, df: DataFrame) -> dict:
+        """Write ``df`` (already carrying the partition columns) into a
+        fresh versioned dir in the table's hive layout; return the layer
+        record ``{"dir", "parts"}``."""
+        pcols = self._managed_pcols(table)
+        if self.write_partitions is not None:
+            df = df.coalesce(self.write_partitions)
+        vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
+        out = str(self.root / vdir)
+        self._sorted(table, df).write.mode("overwrite").partitionBy(*pcols).parquet(out)
+        parts = self._layer_parts(vdir, len(pcols))
+        if not parts:
+            # empty frame: a partitioned write of zero rows leaves no
+            # data files at all — rewrite flat so the dir still carries
+            # the schema (incl. the partition columns, which stay in the
+            # frame when not partitioned away)
+            df.write.mode("overwrite").parquet(out)
+        return {"dir": vdir, "parts": parts}
+
+    def _write_layer(self, table: str, df: DataFrame, *, reset: bool) -> None:
+        """Record ``df`` as a new pending layer.  ``reset=True`` (a full
+        ``overwrite``) discards every earlier layer at publish;
+        ``reset=False`` (a merge) stacks on top — readers resolve
+        newest-layer-wins per partition."""
+        layer = self._materialize_layer(table, df)
+        pend = self._pending_versions.get(table)
+        if reset or not isinstance(pend, dict):
+            pend = {"reset": reset, "layers": []}
+        pend["layers"].append(layer)
+        self._pending_versions[table] = pend
+
+    def _published_layers(self, table: str) -> list[dict] | None:
+        """The published manifest's layer list for a managed table, or
+        None when the manifest has no (layered) entry.  A legacy live
+        hive dir (written by a plain-mode managed store) is adopted as an
+        implicit base layer so mode switches need no rewrite."""
+        entry = self.current_snapshot()["tables"].get(table)
+        if isinstance(entry, dict):
+            return entry["layers"]
+        if isinstance(entry, str):
+            raise ValueError(
+                f"table {table!r} has an unmanaged snapshot entry but is "
+                "declared partitioned/bucketed — changing a table's "
+                "layout under one snapshot root is unsupported"
+            )
+        if self.path(table).exists():
+            parts = self._layer_parts(table, len(self._managed_pcols(table)))
+            if not parts:
+                raise ValueError(
+                    f"table {table!r} exists as a legacy FLAT dir; migrate "
+                    "it with a plain-mode store (one read_raw touch) before "
+                    "switching to snapshot_isolation"
+                )
+            return [{"dir": table, "parts": parts}]
+        return None
+
+    def _effective_layers(self, table: str) -> list[dict] | None:
+        """Published + this batch's pending layers (read-your-own-writes);
+        a pending ``reset`` hides everything published."""
+        pend = self._pending_versions.get(table)
+        if isinstance(pend, dict):
+            if pend["reset"]:
+                return list(pend["layers"])
+            base = self._published_layers(table) or []
+            return base + pend["layers"]
+        return self._published_layers(table)
+
+    def _read_layers(
+        self,
+        layers: list[dict],
+        last_segment_filter: set[str] | None = None,
+    ) -> DataFrame:
+        """Union the layer stack, newest layer winning per partition.
+
+        ``last_segment_filter``: restrict to partitions whose LAST hive
+        path segment (the bucket segment on bucketed tables) is in the
+        set — static partition pruning for key-scoped reads, applied
+        before any file listing happens.
+        """
+        seen: set[str] = set()
+        dfs = []
+        for layer in reversed(layers):
+            live = [p for p in layer["parts"] if p not in seen]
+            seen.update(layer["parts"])
+            if last_segment_filter is not None:
+                live = [
+                    p for p in live if p.rsplit("/", 1)[-1] in last_segment_filter
+                ]
+            if live:
+                base = self.root / layer["dir"]
+                dfs.append(
+                    self.spark.read.option("basePath", str(base)).parquet(
+                        *[str(base / p) for p in live]
+                    )
+                )
+        if not dfs:
+            # every layer empty (or filtered away): recover the schema
+            # from the newest layer's flat empty write
+            base = self.root / layers[-1]["dir"]
+            return self.spark.read.parquet(str(base)).limit(0)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def exists(self, table: str) -> bool:
         if self.snapshot_isolation:
+            if self._is_managed(table):
+                return self._effective_layers(table) is not None
             return self._resolve(table) is not None
         self._recover(table)
         return self.path(table).exists()
 
     def read(self, table: str) -> DataFrame:
         if self.snapshot_isolation:
+            if self._is_managed(table):
+                layers = self._effective_layers(table)
+                if layers is None:
+                    raise FileNotFoundError(
+                        f"no snapshot layers or live dir for table {table!r}"
+                    )
+                df = self._read_layers(layers)
+                if table in self.bucketed and BUCKET_COL in df.columns:
+                    df = df.drop(BUCKET_COL)
+                return df
             p = self._resolve(table)
             if p is None:
                 raise FileNotFoundError(f"no snapshot or live dir for table {table!r}")
@@ -273,28 +423,48 @@ class TableStore:
             .limit(self.MAX_PUSHED_KEYS + 1)
             .collect()
         )
-        df = self._read_raw(table)
         if len(pairs) <= self.MAX_PUSHED_KEYS:
             # the full distinct key set fits: push values AND buckets
             buckets = sorted({r["b"] for r in pairs})
-            if len(buckets) < n:
-                df = df.filter(F.col(BUCKET_COL).isin(buckets))
-            df = df.filter(F.col(src).isin([r["k"] for r in pairs]))
+            key_vals = [r["k"] for r in pairs]
         else:
             # too many keys to push by value — bucket-level pruning only
             # (the limit above truncated the pair list, so re-derive the
             # complete bucket set)
-            buckets = [
+            buckets = sorted(
                 r[0]
                 for r in keys.select(
                     F.pmod(F.xxhash64(F.col(kc)), F.lit(n)).alias("b")
                 )
                 .distinct()
                 .collect()
-            ]
-            if len(buckets) < n:
-                df = df.filter(F.col(BUCKET_COL).isin(buckets))
+            )
+            key_vals = None
+        df = self._bucket_scoped_raw(table, buckets, n)
+        if key_vals is not None:
+            df = df.filter(F.col(src).isin(key_vals))
         return df.drop(BUCKET_COL)
+
+    def _bucket_scoped_raw(self, table: str, buckets: list[int], n: int) -> DataFrame:
+        """Raw (bucket-column-carrying) read pruned to ``buckets``.
+
+        Snapshot mode prunes STATICALLY: only the matching bucket
+        segments of each live layer are ever listed.  Plain mode pushes
+        an ``isin`` on the partition column (hive partition pruning)."""
+        if self.snapshot_isolation and self._is_managed(table):
+            layers = self._effective_layers(table)
+            if layers is None:
+                raise FileNotFoundError(
+                    f"no snapshot layers or live dir for table {table!r}"
+                )
+            seg = (
+                {f"{BUCKET_COL}={b}" for b in buckets} if len(buckets) < n else None
+            )
+            return self._read_layers(layers, last_segment_filter=seg)
+        df = self._read_raw(table)
+        if len(buckets) < n:
+            df = df.filter(F.col(BUCKET_COL).isin(list(buckets)))
+        return df
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Atomic full replace: write to a tmp dir, swap, drop the old.
@@ -314,6 +484,9 @@ class TableStore:
         pointer — no swap, no in-flight bookkeeping needed.
         """
         if self.snapshot_isolation:
+            if self._is_managed(table):
+                self._write_layer(table, self._prep(table, df), reset=True)
+                return
             df_out = df
             if self.write_partitions is not None:
                 df_out = df_out.coalesce(self.write_partitions)
@@ -376,11 +549,13 @@ class TableStore:
     SNAPSHOT = "_snapshot.json"
 
     def current_snapshot(self) -> dict:
-        """The published snapshot: ``{"version": N, "tables": {name ->
-        versioned dirname}}``.  Pin the returned dict and resolve every
-        table of a multi-table read through it (``read_at``) to observe
-        one consistent batch; calling ``read`` per table re-reads the
-        pointer and can straddle a concurrent publish."""
+        """The published snapshot: ``{"version": N, "tables": {...}}``
+        where each table entry is a versioned dirname (unmanaged tables)
+        or ``{"layers": [{"dir", "parts"}, ...]}`` (partitioned/bucketed
+        tables, newest layer last).  Pin the returned dict and resolve
+        every table of a multi-table read through it (``read_at``) to
+        observe one consistent batch; calling ``read`` per table re-reads
+        the pointer and can straddle a concurrent publish."""
         import json as _json
 
         p = self.root / self.SNAPSHOT
@@ -390,8 +565,14 @@ class TableStore:
 
     def read_at(self, table: str, snapshot: dict) -> DataFrame:
         """Read ``table`` as of a pinned ``current_snapshot()`` result."""
-        if table in snapshot["tables"]:
-            return self.spark.read.parquet(str(self.root / snapshot["tables"][table]))
+        entry = snapshot["tables"].get(table)
+        if isinstance(entry, dict):
+            df = self._read_layers(entry["layers"])
+            if table in self.bucketed and BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+            return df
+        if entry is not None:
+            return self.spark.read.parquet(str(self.root / entry))
         return self.read(table)
 
     def end_commit(self) -> None:
@@ -417,17 +598,47 @@ class TableStore:
         if self.snapshot_isolation and self._pending_versions:
             snap = self.current_snapshot()
             new_tables = dict(snap["tables"])
-            new_tables.update(self._pending_versions)
+            for table, pend in self._pending_versions.items():
+                if isinstance(pend, dict):  # managed: merge the layer stack
+                    if pend["reset"]:
+                        layers = list(pend["layers"])
+                    else:
+                        layers = (self._published_layers(table) or []) + pend[
+                            "layers"
+                        ]
+                    if len(layers) > self.max_snapshot_layers:
+                        layers = [self._compact_layers(table, layers)]
+                    new_tables[table] = {"layers": layers}
+                else:
+                    new_tables[table] = pend
             payload = {"version": snap["version"] + 1, "tables": new_tables}
             tmp = self.root / f"{self.SNAPSHOT}.tmp"
             tmp.write_text(_json.dumps(payload))
             os.replace(tmp, self.root / self.SNAPSHOT)
             self._pending_versions = {}
-            keep = set(new_tables.values()) | set(snap["tables"].values())
+            keep = self._entry_dirs(new_tables) | self._entry_dirs(snap["tables"])
             for p in self.root.glob("*.v-*"):
                 if p.name not in keep:
                     shutil.rmtree(p, ignore_errors=True)
         (self.root / self.MANIFEST).unlink(missing_ok=True)
+
+    @staticmethod
+    def _entry_dirs(tables: dict) -> set[str]:
+        """Every versioned dirname a manifest's table entries reference."""
+        dirs: set[str] = set()
+        for entry in tables.values():
+            if isinstance(entry, str):
+                dirs.add(entry)
+            else:
+                dirs.update(layer["dir"] for layer in entry["layers"])
+        return dirs
+
+    def _compact_layers(self, table: str, layers: list[dict]) -> dict:
+        """Fold a layer stack into one fresh base layer (full rewrite —
+        the OPTIMIZE analog, amortized to one per ``max_snapshot_layers``
+        batches).  The pre-compaction layer dirs stay on disk for the
+        one-publish grace cycle like every superseded version."""
+        return self._materialize_layer(table, self._read_layers(layers))
 
     def pending_commit(self) -> dict | None:
         """The interrupted batch's manifest, if a previous process died
@@ -493,6 +704,13 @@ class TableStore:
         every merge is partition-scoped.  Without this, the managed
         merge paths would join on a column the legacy files don't have.
         """
+        if self.snapshot_isolation and self._is_managed(table):
+            layers = self._effective_layers(table)
+            if layers is None:
+                raise FileNotFoundError(
+                    f"no snapshot layers or live dir for table {table!r}"
+                )
+            return self._read_layers(layers)
         self._recover(table)
         df = self.spark.read.parquet(str(self.path(table)))
         if table in self.bucketed and BUCKET_COL not in df.columns:
@@ -523,7 +741,14 @@ class TableStore:
                 _INFLIGHT.discard(str(self.path(table)))
 
     def _write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
-        """Overwrite only the hive partitions present in ``df``."""
+        """Overwrite only the hive partitions present in ``df``.
+
+        Snapshot mode: the touched partitions become a new LAYER instead
+        of an in-place dynamic overwrite — published atomically with the
+        rest of the batch at ``end_commit``."""
+        if self.snapshot_isolation:
+            self._write_layer(table, df, reset=False)
+            return
         pcols = self._managed_pcols(table)
         if self.write_partitions is not None:
             df = df.coalesce(self.write_partitions)
@@ -545,7 +770,18 @@ class TableStore:
 
         pcols = self._managed_pcols(table)
         parts = updates.select(*pcols).dropDuplicates(pcols)
-        return self._read_raw(table).join(broadcast(parts), pcols, "leftsemi")
+        if self.snapshot_isolation and table in self.bucketed:
+            # static layer pruning: only the increment's bucket segments
+            # of each live layer are listed at all (the semi join below
+            # still does the exact partition filtering)
+            _, n = self.bucketed[table]
+            buckets = sorted(
+                r[0] for r in updates.select(BUCKET_COL).distinct().collect()
+            )
+            cur = self._bucket_scoped_raw(table, buckets, n)
+        else:
+            cur = self._read_raw(table)
+        return cur.join(broadcast(parts), pcols, "leftsemi")
 
     def merge_upsert(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Full-row upsert: rows matching on ``keys`` are replaced, new rows

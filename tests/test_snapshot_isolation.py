@@ -113,11 +113,150 @@ def test_crash_before_publish_leaves_old_snapshot(spark, tmp_path):
     assert leftovers == {pre_replay_dir, published_dir}
 
 
-def test_snapshot_mode_rejects_partitioned_tables(spark, tmp_path):
-    with pytest.raises(ValueError, match="snapshot_isolation"):
-        TableStore(
-            spark,
-            tmp_path,
-            snapshot_isolation=True,
-            bucketed={"t": ("k", 4)},
-        )
+# ---------------------------------------------------------------------------
+# layered snapshot mode: partitioned/bucketed tables
+# ---------------------------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _bucketed_store(spark, root, *, snapshot: bool, layers: int = 8) -> TableStore:
+    return TableStore(
+        spark,
+        root,
+        write_partitions=1,
+        bucketed={"t": ("k", 4)},
+        sorted_by={"t": ["k"]},
+        snapshot_isolation=snapshot,
+        max_snapshot_layers=layers,
+    )
+
+
+def _rows(store, table="t"):
+    return sorted((r.k, r.v) for r in store.read(table).collect())
+
+
+def test_bucketed_snapshot_merges_match_plain_mode(spark, tmp_path):
+    """Every merge primitive produces identical table contents in layered
+    snapshot mode and in-place plain mode."""
+    plain = _bucketed_store(spark, tmp_path / "plain", snapshot=False)
+    snap = _bucketed_store(spark, tmp_path / "snap", snapshot=True)
+    batches = [
+        ("merge_upsert", [(1, "a"), (2, "b"), (5, "c")]),
+        ("merge_upsert", [(2, "B"), (9, "d")]),
+        ("merge_insert_missing", [(2, "ZZZ"), (13, "e")]),
+        ("sync_children", [(1, "a2"), (17, "f")]),
+        ("merge_upsert", [(5, "C"), (21, "g")]),
+    ]
+    for i, (op, rows) in enumerate(batches):
+        for st in (plain, snap):
+            df = _kv(spark, rows)
+            if op == "sync_children":
+                getattr(st, op)("t", df, ["k"])
+            else:
+                getattr(st, op)("t", df, ["k"])
+        snap.end_commit()
+        assert _rows(plain) == _rows(snap), f"diverged after batch {i} ({op})"
+    # the snapshot store actually layered (several commits, no compaction)
+    entry = snap.current_snapshot()["tables"]["t"]
+    assert len(entry["layers"]) == len(batches)
+    # read_for_keys agrees and prunes to the probed buckets
+    probe = spark.createDataFrame([(2,), (5,)], "k long")
+    got = sorted(
+        (r.k, r.v) for r in snap.read_for_keys("t", probe).collect() if r.k in (2, 5)
+    )
+    want = sorted((r.k, r.v) for r in plain.read_for_keys("t", probe).collect() if r.k in (2, 5))
+    assert got == want
+
+
+def test_mid_batch_reader_sees_pre_batch_bucketed_index(spark, tmp_path):
+    """The 100 TB story: a reader keeps probing a consistent index while
+    the increment batch lands; the single pointer swap publishes it."""
+    w = _bucketed_store(spark, tmp_path, snapshot=True)
+    w.merge_upsert("t", _kv(spark, [(1, "a"), (2, "b")]), ["k"])
+    w.end_commit()
+
+    r = _bucketed_store(spark, tmp_path, snapshot=True)
+    w.begin_commit("b1", ["t"])
+    w.merge_upsert("t", _kv(spark, [(2, "B"), (3, "c")]), ["k"])
+    snap = r.current_snapshot()
+    pinned = sorted((x.k, x.v) for x in r.read_at("t", snap).collect())
+    assert pinned == [(1, "a"), (2, "b")]  # pre-batch, not the pending layer
+    # the writer reads its own pending layer
+    assert sorted((x.k, x.v) for x in w.read("t").collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    w.end_commit()
+    snap2 = r.current_snapshot()
+    assert sorted((x.k, x.v) for x in r.read_at("t", snap2).collect()) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    # one-publish grace: the pre-batch pin still resolves
+    assert sorted((x.k, x.v) for x in r.read_at("t", snap).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+def test_layer_stack_compacts_past_budget(spark, tmp_path):
+    st = _bucketed_store(spark, tmp_path, snapshot=True, layers=3)
+    expected = {}
+    for i in range(5):
+        st.merge_upsert("t", _kv(spark, [(i, f"v{i}"), (100 + i, f"w{i}")]), ["k"])
+        st.end_commit()
+        expected[i] = f"v{i}"
+        expected[100 + i] = f"w{i}"
+        n_layers = len(st.current_snapshot()["tables"]["t"]["layers"])
+        assert n_layers <= 3 + 1  # stack never exceeds budget+1 pre-fold
+    assert _rows(st) == sorted((k, v) for k, v in expected.items())
+    # at least one compaction happened across 5 single-layer batches
+    assert len(st.current_snapshot()["tables"]["t"]["layers"]) < 5
+
+
+def test_snapshot_layer_prunes_probe_listing(spark, tmp_path):
+    """read_for_keys on a layered table must only LIST the probed bucket's
+    partition dirs (static pruning — no full-layer file listing)."""
+    st = _bucketed_store(spark, tmp_path, snapshot=True)
+    st.merge_upsert("t", _kv(spark, [(i, f"v{i}") for i in range(40)]), ["k"])
+    st.end_commit()
+    st.merge_upsert("t", _kv(spark, [(1, "X")]), ["k"])
+    st.end_commit()
+    probe = spark.createDataFrame([(1,)], "k long")
+    files = st.read_for_keys("t", probe).inputFiles()
+    # every scanned file sits in the probed key's bucket segment
+    from pyspark.sql import functions as F
+
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(4))
+    ).collect()[0][0]
+    assert files and all(f"_pbucket={bucket}" in f for f in files)
+
+
+def test_legacy_live_hive_dir_adopted_as_base_layer(spark, tmp_path):
+    """A plain-mode bucketed table becomes the implicit base layer when
+    the store switches to snapshot mode — no rewrite, merges stack on."""
+    plain = _bucketed_store(spark, tmp_path, snapshot=False)
+    plain.merge_upsert("t", _kv(spark, [(1, "a"), (2, "b")]), ["k"])
+
+    snap = _bucketed_store(spark, tmp_path, snapshot=True)
+    assert _rows(snap) == [(1, "a"), (2, "b")]  # adopted, pre-manifest
+    snap.merge_upsert("t", _kv(spark, [(2, "B"), (3, "c")]), ["k"])
+    snap.end_commit()
+    assert _rows(snap) == [(1, "a"), (2, "B"), (3, "c")]
+    layers = snap.current_snapshot()["tables"]["t"]["layers"]
+    assert layers[0]["dir"] == "t"  # the live dir IS layer zero
+
+
+def test_layout_change_under_snapshot_root_raises(spark, tmp_path):
+    un = TableStore(spark, tmp_path, write_partitions=1, snapshot_isolation=True)
+    un.overwrite("t", _kv(spark, [(1, "a")]))
+    un.end_commit()
+    st = _bucketed_store(spark, tmp_path, snapshot=True)
+    with pytest.raises(ValueError, match="layout"):
+        st.read("t")
