@@ -68,6 +68,45 @@ def test_two_increments_via_extend_index(spark, sf_dir, tmp_path):
     assert combined == full
 
 
+def test_minhash_index_over_layered_snapshot_store(spark, sf_dir, tmp_path):
+    """The 100 TB deployment shape end-to-end: the dedup index lives in a
+    BUCKETED, SNAPSHOT-ISOLATED store — increments land as layers behind
+    the manifest pointer, a reader pinned mid-extend keeps seeing the
+    pre-extend index, and the split invariant still holds exactly."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        index_layout,
+        minhash_index_buckets,
+    )
+
+    hashed = _hashed(spark, sf_dir).cache()
+    full = _pairs_set(dd_lsh_verified_pairs(spark, sf_dir))
+
+    kwargs = dict(
+        write_partitions=2,
+        snapshot_isolation=True,
+        **index_layout(minhash_index_buckets(8)),
+    )
+    store = TableStore(spark, tmp_path, **kwargs)
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 4 < 2))
+
+    reader = TableStore(spark, tmp_path, **kwargs)
+    snap = reader.current_snapshot()
+    pinned = _pairs_set(reader.read_at("mh_pairs", snap))
+
+    inc1_sh = hashed.filter(F.col("doc_id") % 4 == 2)
+    inc1 = dedup_increment(store, inc1_sh)
+    extend_index(store, inc1_sh, inc1)
+    # the pinned reader is unaffected by the published extension
+    assert _pairs_set(reader.read_at("mh_pairs", snap)) == pinned
+    # a fresh pin sees the extended index
+    snap2 = reader.current_snapshot()
+    assert snap2["version"] == snap["version"] + 1
+
+    inc2 = dedup_increment(store, hashed.filter(F.col("doc_id") % 4 == 3))
+    combined = _pairs_set(store.read("mh_pairs")) | _pairs_set(inc2)
+    assert combined == full
+
+
 def test_crash_mid_build_is_detected(spark, sf_dir, tmp_path):
     hashed = _hashed(spark, sf_dir).filter(F.col("doc_id") < 100)
     store = TableStore(spark, tmp_path, write_partitions=2)
