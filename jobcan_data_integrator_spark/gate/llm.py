@@ -1482,7 +1482,7 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The PII stage has NO SQL mirror here: the phone pattern needs a
     # lookahead DuckDB's RE2 can't run, and the gate corpus is proven
     # letters-only (zero matches for all three classes, asserted in
-    # test_curate.py/test_pii.py) — so the scrub runs on the Spark side
+    # test_pii.py::test_clean_text_unchanged) — so the scrub runs on the Spark side
     # as a value no-op and PII itself is evidenced by crafted-fixture
     # pytest oracles (operators/pii.py docstring).  The packing oracle
     # is the semantic definition of the prefix sum: ONE global running

@@ -65,12 +65,18 @@ def _positions(value: int, m_bits: int, k_hashes: int) -> list[int]:
 
 def build_bloom(values: list[int], m_bits: int, k_hashes: int) -> list[int]:
     """Fold integer elements into the packed bit array (little-endian
-    longs, m_bits/64 entries) — driver-side, one pass."""
+    longs, m_bits/64 entries) — driver-side, one pass.
+
+    Words are returned as SIGNED two's-complement int64 (bit 63 set ⇒
+    negative) because they ship as a Spark ``bigint`` array; the probe's
+    ``(word >> pos) & 1`` reads bit ``pos`` identically either way (the
+    arithmetic shift's sign-extension only touches bits above ``pos``).
+    """
     words = [0] * (m_bits // 64)
     for v in values:
         for pos in _positions(v, m_bits, k_hashes):
             words[pos // 64] |= 1 << (pos % 64)
-    return words
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 def _member_expr(col: str, words_col: str, m_bits: int, k_hashes: int) -> Column:
