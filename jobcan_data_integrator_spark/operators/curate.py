@@ -103,12 +103,18 @@ def curate_corpus(
     )
     stages.append(("pii_scrubbed", scrubbed))
 
-    # 2. doc-level exact dedup (min-id survivor)
+    # 2. doc-level exact dedup (min-id survivor).  localCheckpoint: the
+    # span stage consumes this frame TWICE (interval derivation + the
+    # interval join-back) and the packing prefix sum is two jobs — the
+    # checkpoint stops each downstream action from replaying the scrub +
+    # dedup window from the scan (checkpoint RDDs are GC-released with
+    # the result frames, unlike forgotten cache entries).
     w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
     deduped_docs = (
         scrubbed.withColumn("_keep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_keep"))
         .drop("_keep")
+        .localCheckpoint(eager=False)
     )
     stages.append(("exact_deduped", deduped_docs))
 
@@ -137,12 +143,15 @@ def curate_corpus(
         )
     stages.append(("quality_kept", kept))
 
-    # 5-6. chunk, then pack in shuffled order
-    chunks = chunk_documents(
-        kept, max_tokens=chunk_tokens, overlap=chunk_overlap
-    ).withColumn(
-        "chunk_id",
-        (F.col("doc_id") * 1_048_576 + F.col("chunk_idx")).cast("bigint"),
+    # 5-6. chunk, then pack in shuffled order (chunks checkpointed: the
+    # prefix sum's offset pass and the final shard pass both consume it)
+    chunks = (
+        chunk_documents(kept, max_tokens=chunk_tokens, overlap=chunk_overlap)
+        .withColumn(
+            "chunk_id",
+            (F.col("doc_id") * 1_048_576 + F.col("chunk_idx")).cast("bigint"),
+        )
+        .localCheckpoint(eager=False)
     )
     stages.append(("chunks", chunks))
     packed = pack_shards(

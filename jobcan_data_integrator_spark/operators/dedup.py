@@ -418,6 +418,11 @@ def duplicate_span_intervals(
         # duplicated spans can start at the same pos after upstream
         # edits; distinct keeps the island scan clean either way
         .distinct()
+        # tiny (flagged occurrences only) — the checkpoint stops the
+        # island windows and every downstream join-back from replaying
+        # the corpus-wide explode + hash aggregation (same pattern as
+        # span_dedup_summary's shared flagged frame)
+        .localCheckpoint(eager=False)
     )
     return _merge_islands(flagged, span, id_col)
 
@@ -523,6 +528,11 @@ def remove_duplicate_spans(
         " null, t)), t -> t is not null), ' ')"
     ).format(text=text_col)
     return (
+        # ivs holds only documents that HAVE duplicated spans (one short
+        # interval list each) — usually broadcastable, but NOT forced: a
+        # pathological corpus has one ivs row per document, so the choice
+        # belongs to AQE, which sees the checkpointed flagged frame's
+        # real size at runtime and picks broadcast when it is small
         docs.join(ivs, id_col, "left")
         .withColumn(
             "deduped_text",
