@@ -83,16 +83,37 @@ def simhash_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
     return {"sh_blocks": ("block_val", n), "sh_signatures": ("doc_id", n)}
 
 
-def index_layout(buckets: dict[str, tuple[str, int]]) -> dict:
+def minhash_pair_bands(width: int = 1 << 20) -> dict[str, tuple[str, int]]:
+    """Range-band layout for the pair table: ``mh_pairs`` partitioned by
+    ``doc_b div width`` (TableStore.range_partitioned).  Pairs always
+    carry the NEWER document as ``doc_b`` (doc_a < doc_b), so an
+    increment's pair upsert rewrites only the newest few bands while the
+    corpus's historical bands stay untouched — hash buckets cannot give
+    this locality (new ids hash into every bucket).  Width is a scale
+    knob: size it so one band's pairs are a few GB."""
+    return {"mh_pairs": ("doc_b", width)}
+
+
+def index_layout(
+    buckets: dict[str, tuple[str, int]],
+    ranges: dict[str, tuple[str, int]] | None = None,
+) -> dict:
     """TableStore kwargs for a fully probe-optimized index layout:
-    ``TableStore(spark, root, **index_layout(minhash_index_buckets(n)))``
-    — the bucket map plus a within-file sort on each table's bucket
-    source column, so ``read_for_keys``'s pushed key values also skip
-    row groups via tight min/max statistics (see TableStore.sorted_by)."""
-    return {
+    ``TableStore(spark, root, **index_layout(minhash_index_buckets(n),
+    minhash_pair_bands(w)))`` — the bucket map plus a within-file sort on
+    each table's bucket source column, so ``read_for_keys``'s pushed key
+    values also skip row groups via tight min/max statistics
+    (see TableStore.sorted_by); optional range bands for the
+    append-mostly tables keyed by a growing id."""
+    layout: dict = {
         "bucketed": buckets,
         "sorted_by": {t: [src] for t, (src, _) in buckets.items()},
     }
+    if ranges:
+        layout["range_partitioned"] = dict(ranges)
+        for t, (src, _) in ranges.items():
+            layout["sorted_by"].setdefault(t, [src])
+    return layout
 
 
 def build_minhash_index(

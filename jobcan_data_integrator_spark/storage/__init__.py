@@ -38,6 +38,10 @@ from pyspark.sql import functions as F
 #: derived partition column for ``bucketed`` tables (dropped on read)
 BUCKET_COL = "_pbucket"
 
+#: derived partition column for ``range_partitioned`` tables (dropped on
+#: read) — the Iceberg ``truncate(width)`` transform analog
+RANGE_COL = "_prange"
+
 #: absolute table paths with an ``overwrite`` swap in flight in THIS
 #: process — _recover must neither restore nor clean such a table while
 #: another thread (e.g. a streaming foreachBatch merge sharing the store
@@ -66,6 +70,7 @@ class TableStore:
         write_partitions: int | None = None,
         partitioned: dict[str, list[str]] | None = None,
         bucketed: dict[str, tuple[str, int]] | None = None,
+        range_partitioned: dict[str, tuple[str, int]] | None = None,
         sorted_by: dict[str, list[str]] | None = None,
         snapshot_isolation: bool = False,
         max_snapshot_layers: int = 8,
@@ -90,6 +95,19 @@ class TableStore:
         and reads drop it, so merges rewrite only the 1/n of the table
         the update batch's keys hash into.  The same key always lands in
         the same bucket, so scoped syncs stay correct by construction.
+
+        ``range_partitioned`` maps table name -> (source column, width)
+        for tables whose merge locality follows a MONOTONE integer key —
+        writes add a derived partition column ``_prange = src div width``
+        and reads drop it (the Iceberg ``truncate(width)`` partition
+        transform).  Where hash buckets spread a new-id increment across
+        EVERY bucket, range bands keep it in the few bands its ids fall
+        into — the right layout for append-mostly tables keyed by a
+        growing id (e.g. a dedup-pair table banded by the newer
+        document's id: an increment's pairs all carry new doc_b values,
+        so the merge rewrites only the newest band while the corpus's
+        historical bands stay untouched).  Pick the width so a band is
+        a few GB at target scale (1M ids x ~1KB rows ~ 1 GB).
 
         ``sorted_by`` maps table name -> columns to sort WITHIN each
         written file (``sortWithinPartitions`` before every write — no
@@ -130,6 +148,7 @@ class TableStore:
         self.write_partitions = write_partitions
         self.partitioned = dict(partitioned or {})
         self.bucketed = dict(bucketed or {})
+        self.range_partitioned = dict(range_partitioned or {})
         self.sorted_by = dict(sorted_by or {})
         self.snapshot_isolation = snapshot_isolation
         self.max_snapshot_layers = max_snapshot_layers
@@ -340,6 +359,13 @@ class TableStore:
             out = out.unionByName(d)
         return out
 
+    def _drop_derived(self, table: str, df: DataFrame) -> DataFrame:
+        """Strip the store-derived partition columns from a read."""
+        for col in (BUCKET_COL, RANGE_COL):
+            if col in df.columns:
+                df = df.drop(col)
+        return df
+
     def exists(self, table: str) -> bool:
         if self.snapshot_isolation:
             if self._is_managed(table):
@@ -356,19 +382,14 @@ class TableStore:
                     raise FileNotFoundError(
                         f"no snapshot layers or live dir for table {table!r}"
                     )
-                df = self._read_layers(layers)
-                if table in self.bucketed and BUCKET_COL in df.columns:
-                    df = df.drop(BUCKET_COL)
-                return df
+                return self._drop_derived(table, self._read_layers(layers))
             p = self._resolve(table)
             if p is None:
                 raise FileNotFoundError(f"no snapshot or live dir for table {table!r}")
             return self.spark.read.parquet(str(p))
         self._recover(table)
         df = self.spark.read.parquet(str(self.path(table)))
-        if table in self.bucketed and BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        return df
+        return self._drop_derived(table, df)
 
     def read_or_empty(self, table: str, like: DataFrame) -> DataFrame:
         if self.exists(table):
@@ -443,7 +464,7 @@ class TableStore:
         df = self._bucket_scoped_raw(table, buckets, n)
         if key_vals is not None:
             df = df.filter(F.col(src).isin(key_vals))
-        return df.drop(BUCKET_COL)
+        return self._drop_derived(table, df)
 
     def _bucket_scoped_raw(self, table: str, buckets: list[int], n: int) -> DataFrame:
         """Raw (bucket-column-carrying) read pruned to ``buckets``.
@@ -567,10 +588,7 @@ class TableStore:
         """Read ``table`` as of a pinned ``current_snapshot()`` result."""
         entry = snapshot["tables"].get(table)
         if isinstance(entry, dict):
-            df = self._read_layers(entry["layers"])
-            if table in self.bucketed and BUCKET_COL in df.columns:
-                df = df.drop(BUCKET_COL)
-            return df
+            return self._drop_derived(table, self._read_layers(entry["layers"]))
         if entry is not None:
             return self.spark.read.parquet(str(self.root / entry))
         return self.read(table)
@@ -662,17 +680,24 @@ class TableStore:
     def _managed_pcols(self, table: str) -> list[str] | None:
         """Partition columns for tables with partition-scoped merges.
 
-        A table may be hive-partitioned, key-bucketed, or BOTH — e.g.
-        the bronze archive partitions by api_type AND buckets by
-        brief_key, so an incremental merge touches one api's few
-        buckets, not the api's whole (unbounded) partition."""
+        A table may be hive-partitioned, key-bucketed, range-banded, or
+        a combination — e.g. the bronze archive partitions by api_type
+        AND buckets by brief_key, so an incremental merge touches one
+        api's few buckets, not the api's whole (unbounded) partition."""
         cols = list(self.partitioned.get(table, []))
+        if table in self.range_partitioned:
+            cols.append(RANGE_COL)
         if table in self.bucketed:
             cols.append(BUCKET_COL)
         return cols or None
 
     def _prep(self, table: str, df: DataFrame) -> DataFrame:
-        """Attach the derived bucket column for bucketed tables."""
+        """Attach the derived partition columns for managed tables."""
+        if table in self.range_partitioned and RANGE_COL not in df.columns:
+            src, width = self.range_partitioned[table]
+            df = df.withColumn(
+                RANGE_COL, F.expr(f"cast(`{src}` as bigint) div {int(width)}")
+            )
         if table in self.bucketed and BUCKET_COL not in df.columns:
             src, n = self.bucketed[table]
             df = df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(F.col(src)), F.lit(n)))

@@ -76,6 +76,7 @@ def test_minhash_index_over_layered_snapshot_store(spark, sf_dir, tmp_path):
     from jobcan_data_integrator_spark.operators.incremental import (
         index_layout,
         minhash_index_buckets,
+        minhash_pair_bands,
     )
 
     hashed = _hashed(spark, sf_dir).cache()
@@ -84,7 +85,7 @@ def test_minhash_index_over_layered_snapshot_store(spark, sf_dir, tmp_path):
     kwargs = dict(
         write_partitions=2,
         snapshot_isolation=True,
-        **index_layout(minhash_index_buckets(8)),
+        **index_layout(minhash_index_buckets(8), minhash_pair_bands(16)),
     )
     store = TableStore(spark, tmp_path, **kwargs)
     build_minhash_index(store, hashed.filter(F.col("doc_id") % 4 < 2))
@@ -94,13 +95,23 @@ def test_minhash_index_over_layered_snapshot_store(spark, sf_dir, tmp_path):
     pinned = _pairs_set(reader.read_at("mh_pairs", snap))
 
     inc1_sh = hashed.filter(F.col("doc_id") % 4 == 2)
-    inc1 = dedup_increment(store, inc1_sh)
+    inc1 = dedup_increment(store, inc1_sh).localCheckpoint(eager=True)
     extend_index(store, inc1_sh, inc1)
     # the pinned reader is unaffected by the published extension
     assert _pairs_set(reader.read_at("mh_pairs", snap)) == pinned
     # a fresh pin sees the extended index
     snap2 = reader.current_snapshot()
     assert snap2["version"] == snap["version"] + 1
+
+    # the pair table is RANGE-BANDED by doc_b (minhash_pair_bands): the
+    # extend commit's layer covers only the bands its pairs' doc_b ids
+    # fall into, so historical bands are never rewritten by an increment
+    ext_layer = snap2["tables"]["mh_pairs"]["layers"][-1]
+    inc1_bands = {
+        f"_prange={r[0]}"
+        for r in inc1.select(F.expr("doc_b div 16")).distinct().collect()
+    }
+    assert ext_layer["parts"] and set(ext_layer["parts"]) <= inc1_bands
 
     inc2 = dedup_increment(store, hashed.filter(F.col("doc_id") % 4 == 3))
     combined = _pairs_set(store.read("mh_pairs")) | _pairs_set(inc2)

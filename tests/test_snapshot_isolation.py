@@ -260,3 +260,63 @@ def test_layout_change_under_snapshot_root_raises(spark, tmp_path):
     st = _bucketed_store(spark, tmp_path, snapshot=True)
     with pytest.raises(ValueError, match="layout"):
         st.read("t")
+
+
+# ---------------------------------------------------------------------------
+# range-banded tables (TableStore.range_partitioned)
+# ---------------------------------------------------------------------------
+
+
+def _range_store(spark, root, *, snapshot: bool) -> TableStore:
+    return TableStore(
+        spark,
+        root,
+        write_partitions=1,
+        range_partitioned={"t": ("k", 10)},
+        snapshot_isolation=snapshot,
+    )
+
+
+def test_range_banded_merge_matches_plain_and_localizes(spark, tmp_path):
+    """Range bands: merges agree with plain mode, reads drop the derived
+    column, and a high-id increment's layer touches ONLY the top bands —
+    the append-mostly locality hash buckets cannot give."""
+    plain = TableStore(spark, tmp_path / "p", write_partitions=1)
+    snap = _range_store(spark, tmp_path / "s", snapshot=True)
+    base = [(i, f"v{i}") for i in range(25)]  # bands 0, 1, 2
+    inc = [(31, "new"), (33, "new2"), (4, "upd")]  # bands 3 and 0
+    for st in (plain, snap):
+        st.merge_upsert("t", _kv(spark, base), ["k"])
+        st.end_commit()
+        st.merge_upsert("t", _kv(spark, inc), ["k"])
+        st.end_commit()
+    assert _rows(plain) == _rows(snap)
+    assert snap.read("t").columns == ["k", "v"]  # _prange dropped
+    layers = snap.current_snapshot()["tables"]["t"]["layers"]
+    assert {p for p in layers[0]["parts"]} == {
+        "_prange=0",
+        "_prange=1",
+        "_prange=2",
+    }
+    # the increment layer covers exactly the increment's bands
+    assert {p for p in layers[1]["parts"]} == {"_prange=0", "_prange=3"}
+
+
+def test_range_banded_plain_mode_rewrites_only_touched_bands(spark, tmp_path):
+    st = _range_store(spark, tmp_path, snapshot=False)
+    st.merge_upsert("t", _kv(spark, [(i, f"v{i}") for i in range(25)]), ["k"])
+    import os
+    band1 = {
+        f: os.path.getmtime(os.path.join(tmp_path, "t", "_prange=1", f))
+        for f in os.listdir(tmp_path / "t" / "_prange=1")
+        if f.endswith(".parquet")
+    }
+    st.merge_upsert("t", _kv(spark, [(31, "new")]), ["k"])
+    after = {
+        f: os.path.getmtime(os.path.join(tmp_path, "t", "_prange=1", f))
+        for f in os.listdir(tmp_path / "t" / "_prange=1")
+        if f.endswith(".parquet")
+    }
+    assert band1 == after  # untouched band's files not rewritten
+    assert (tmp_path / "t" / "_prange=3").exists()
+    assert sorted(r.k for r in st.read("t").collect()) == list(range(25)) + [31]

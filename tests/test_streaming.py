@@ -377,6 +377,60 @@ def test_streaming_ingest_dedup_equals_full_corpus(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_ingest_publishes_layered_snapshots(spark, sf_dir, tmp_path):
+    """dedup_documents_stream over a BUCKETED, SNAPSHOT-ISOLATED store:
+    each micro-batch publishes atomically (one snapshot version per
+    non-empty batch), increments land as layers, and the drained index
+    still equals the full-corpus pair set — ingest-time dedup with
+    readers never seeing a half-absorbed batch."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.gate.llm import dd_lsh_verified_pairs
+    from jobcan_data_integrator_spark.operators.incremental import (
+        index_layout,
+        minhash_index_buckets,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "doc_stream"
+    for m in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    store = TableStore(
+        spark,
+        tmp_path / "index",
+        write_partitions=2,
+        snapshot_isolation=True,
+        **index_layout(minhash_index_buckets(8)),
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = S.dedup_documents_stream(stream, store, str(tmp_path / "ckpt_dd")).start()
+    q.awaitTermination()
+
+    snap = store.current_snapshot()
+    assert snap["version"] == 2  # one atomic publish per micro-batch
+    # batch 2's merge landed as a layer on batch 1's base (mh_bands is
+    # bucketed => layered entry; mh_pairs is unmanaged => plain dir)
+    assert len(snap["tables"]["mh_bands"]["layers"]) == 2
+    assert isinstance(snap["tables"]["mh_pairs"], str)
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in store.read("mh_pairs").collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in dd_lsh_verified_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_streaming_embedding_index_equals_one_shot(spark, sf_dir, tmp_path):
     """index_embeddings_stream: embeddings arriving in micro-batches
     build the SAME sd_pairs and cluster labels a one-shot run under the
