@@ -5,9 +5,10 @@ One call chains the engine's curation operators in the order real
 pipelines run them (C4/Gopher/Dolma-style):
 
     PII scrub -> doc-level exact dedup -> span-level ExactSubstr removal
-    -> quality gate (heuristics + optionally the learned classifier)
-    -> sliding-window chunking -> source-weighted mixing -> token-budget
-    shard packing (deterministic shuffled order)
+    -> optional near-dup canonicalization (any pair family -> connected
+    components -> min-id keeper) -> quality gate (heuristics +
+    optionally the learned classifier) -> sliding-window chunking ->
+    source-weighted mixing -> token-budget shard packing (deterministic shuffled order)
 
 Everything is built from the already-tested operators (pii, dedup,
 classifier, packing), stays deterministic end-to-end (md5 buckets, no
@@ -49,6 +50,7 @@ def curate_corpus(
     span: int = 8,
     min_tokens: int = 10,
     max_pii_hits: int | None = None,
+    near_dup_pairs=None,
     quality_scorer=None,
     classifier_floor: float | None = None,
     chunk_tokens: int = 32,
@@ -67,6 +69,15 @@ def curate_corpus(
     3. ``remove_duplicate_spans`` — ExactSubstr removal of non-first
        duplicated token spans; documents falling below ``min_tokens``
        after removal drop.
+    3.5. optional near-dup canonicalization — ``near_dup_pairs`` is a
+       callback receiving the span-deduped (doc_id, text) frame and
+       returning a (doc_a, doc_b) pair frame from ANY near-dup family
+       (LSH-verified Jaccard, SimHash Hamming, SemDeDup cosine — pick
+       the family and threshold per corpus); pairs feed connected
+       components and only each cluster's minimum-id member survives.
+       A callback for the same reason as ``quality_scorer``: the pair
+       generation must see the post-removal text, and the right family
+       is corpus-specific.
     4. quality gate — optional learned-classifier floor:
        ``quality_scorer`` is a callback receiving the deduped
        (doc_id, text) frame and returning it with a
@@ -126,6 +137,19 @@ def curate_corpus(
         F.size(F.split(F.col("text"), " ")) >= min_tokens
     )
     stages.append(("span_deduped", deduped))
+
+    # 3.5 optional near-dup canonicalization (cluster -> min-id keeper)
+    if near_dup_pairs is not None:
+        from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+
+        drop = (
+            dup_clusters(near_dup_pairs(deduped))
+            .filter(~F.col("keep"))
+            .select("doc_id")
+        )
+        # docs in no pair never enter the cluster frame and pass through
+        deduped = deduped.join(drop, "doc_id", "left_anti")
+    stages.append(("near_deduped", deduped))
 
     # 4. optional learned-quality floor
     kept = deduped

@@ -99,3 +99,37 @@ def test_classifier_floor_filters(spark):
     # z = -2 + 10*tokens/100: doc 0 (30 tok) -> +1 -> 0.75; doc 1
     # (11 tok) -> -0.9 -> 0.26 — only doc 0 clears the 0.5 floor
     assert res.audit()["quality_kept"] == 1
+
+
+def test_near_dup_stage_keeps_cluster_minimum(spark):
+    from jobcan_data_integrator_spark.operators.minhash import (
+        hashed_shingle_rows,
+    )
+    from jobcan_data_integrator_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    toks = [f"w{i}" for i in range(20)]
+    near = list(toks)
+    near[6], near[13] = "x6", "x13"  # longest shared run 6 < span=8
+    docs = _mk(
+        spark,
+        [
+            (0, " ".join(toks)),                        # canonical
+            (1, " ".join(near)),                        # near-dup of 0
+            (2, " ".join(f"z{i}" for i in range(15))),  # unrelated
+        ],
+    )
+
+    def pairs(deduped):
+        return ngram_jaccard_pairs(
+            hashed_shingle_rows(deduped), min_common=8
+        ).select("doc_a", "doc_b")
+
+    res = curate_corpus(
+        docs, min_tokens=5, chunk_tokens=8, chunk_overlap=2, near_dup_pairs=pairs
+    )
+    audit = res.audit()
+    assert audit["span_deduped"] == 3
+    assert audit["near_deduped"] == 2  # doc 1 collapsed into doc 0
+    assert {r.doc_id for r in res.deduped.collect()} == {0, 2}
