@@ -217,6 +217,53 @@ def incremental_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) ->
     return round(sorted(times)[1], 3)
 
 
+#: layered-store probe budget: dedup_increment over a 3-layer
+#: snapshot-isolated index should cost at most ~2x the single-dir
+#: plain-store probe (the layer union adds per-layer listing + a few
+#: small reads, not data volume)
+LAYER_BUDGET = 2.0
+
+
+def layered_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
+    """Median seconds for the SAME fixed increment probe as
+    ``incremental_experiment``, but against a snapshot-isolated LAYERED
+    index: base build (60% of the corpus) + two absorbed extends (the
+    remaining 8%-slices), leaving a 3-layer stack on every bucketed
+    table and a range-banded pair table — the deployment shape where
+    readers probe behind the manifest pointer while increments land."""
+    from jobcan_data_integrator_spark.gate._common import _H, _shingle_rows
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_minhash_index,
+        dedup_increment,
+        extend_index,
+        index_layout,
+        minhash_index_buckets,
+        minhash_pair_bands,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    hashed = _shingle_rows(spark, sf_dir).select(
+        "doc_id", F.expr(_H.format(x="shingle")).alias("shingle")
+    )
+    store = TableStore(
+        spark, workdir, write_partitions=1,
+        snapshot_isolation=True,
+        **index_layout(minhash_index_buckets(n_buckets), minhash_pair_bands(1 << 10)),
+    )
+    build_minhash_index(store, hashed.filter(F.col("doc_id") % 10 < 6))
+    for m in (6, 7):
+        sl = hashed.filter(F.col("doc_id") % 10 == m)
+        extend_index(store, sl, dedup_increment(store, sl))
+    inc = hashed.filter((F.col("doc_id") % 10 >= 8) & (F.col("doc_id") < 100))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dedup_increment(store, inc).write.mode("overwrite").format("noop").save()
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     queries = _gate.queries()
     out: dict[str, float] = {}
@@ -275,6 +322,12 @@ def main() -> None:
     )
     inc_ratio = round(inc1 / inc01, 2) if inc01 else None
 
+    # layered snapshot store: the same probe over a 3-layer stack
+    lay01 = layered_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_layidx01"
+    )
+    lay_ratio = round(lay01 / inc01, 2) if inc01 else None
+
     ratios = {
         n: round(scaled[n] / base[n], 2) if base[n] > 0 else None for n in HEADLINE
     }
@@ -283,6 +336,8 @@ def main() -> None:
         flagged[f"{SKEW_GATE}@skew"] = skew_ratio
     if inc_ratio and inc_ratio > INC_BUDGET:
         flagged["dedup_increment@10x"] = inc_ratio
+    if lay_ratio and lay_ratio > LAYER_BUDGET:
+        flagged["dedup_increment@layers"] = lay_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
@@ -298,7 +353,15 @@ def main() -> None:
                                       "note": "fixed ~20-doc increment vs "
                                       "bucket-pruned MinHash index; buckets "
                                       "64 -> 640 so bucket size stays "
-                                      "constant (median of 3)"}}))
+                                      "constant (median of 3)"},
+                      "layered": {"op": "dedup_increment@snapshot-layers",
+                                  "sf01_sec": lay01,
+                                  "plain_sf01_sec": inc01,
+                                  "ratio": lay_ratio, "budget": LAYER_BUDGET,
+                                  "note": "same probe over a snapshot-"
+                                  "isolated index with a 3-layer stack "
+                                  "(base + 2 absorbed extends) and a "
+                                  "range-banded pair table (median of 3)"}}))
     for n in HEADLINE:
         print(f"# {base[n]:8.2f} -> {scaled[n]:8.2f}  ({ratios[n]:6.2f}x)  {n}",
               file=sys.stderr)
