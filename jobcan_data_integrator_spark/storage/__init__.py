@@ -428,10 +428,15 @@ class TableStore:
            skip non-matching row groups inside the surviving buckets,
            which is what the ``sorted_by`` write layout makes sharp.
 
-        Falls back to a plain ``read`` when the table is not bucketed
-        (nothing to prune on) or when the keys cover every bucket.
+        Range-banded tables prune the same way on ``_prange = key div
+        width`` (always — the band space is unbounded, so any key set
+        names a proper subset).  Falls back to a plain ``read`` when the
+        table is neither bucketed nor range-banded (nothing to prune on)
+        or when the keys cover every bucket.
         """
         if table not in self.bucketed:
+            if table in self.range_partitioned:
+                return self._read_for_key_bands(table, keys, key_col)
             return self.read(table)
         src, n = self.bucketed[table]
         kc = key_col or src
@@ -462,6 +467,43 @@ class TableStore:
             )
             key_vals = None
         df = self._bucket_scoped_raw(table, buckets, n)
+        if key_vals is not None:
+            df = df.filter(F.col(src).isin(key_vals))
+        return self._drop_derived(table, df)
+
+    def _read_for_key_bands(
+        self, table: str, keys: DataFrame, key_col: str | None
+    ) -> DataFrame:
+        """read_for_keys for a range-banded table: prune to the bands the
+        key values fall into, plus the value ``In`` pushdown when the key
+        set is small."""
+        src, width = self.range_partitioned[table]
+        kc = key_col or src
+        band = F.expr(f"cast(`{kc}` as bigint) div {int(width)}")
+        pairs = (
+            keys.select(F.col(kc).alias("k"), band.alias("b"))
+            .distinct()
+            .limit(self.MAX_PUSHED_KEYS + 1)
+            .collect()
+        )
+        if len(pairs) <= self.MAX_PUSHED_KEYS:
+            bands = sorted({r["b"] for r in pairs})
+            key_vals = [r["k"] for r in pairs]
+        else:
+            bands = sorted(
+                r[0] for r in keys.select(band.alias("b")).distinct().collect()
+            )
+            key_vals = None
+        if self.snapshot_isolation and self._is_managed(table):
+            layers = self._effective_layers(table)
+            if layers is None:
+                raise FileNotFoundError(
+                    f"no snapshot layers or live dir for table {table!r}"
+                )
+            seg = {f"{RANGE_COL}={b}" for b in bands}
+            df = self._read_layers(layers, last_segment_filter=seg)
+        else:
+            df = self._read_raw(table).filter(F.col(RANGE_COL).isin(bands))
         if key_vals is not None:
             df = df.filter(F.col(src).isin(key_vals))
         return self._drop_derived(table, df)

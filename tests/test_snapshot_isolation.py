@@ -320,3 +320,25 @@ def test_range_banded_plain_mode_rewrites_only_touched_bands(spark, tmp_path):
     assert band1 == after  # untouched band's files not rewritten
     assert (tmp_path / "t" / "_prange=3").exists()
     assert sorted(r.k for r in st.read("t").collect()) == list(range(25)) + [31]
+
+
+def test_read_for_keys_range_banded_prunes(spark, tmp_path):
+    """read_for_keys on a range-banded table scans only the probed
+    key's band — in layered snapshot mode and in plain mode."""
+    rows = [(i, f"v{i}") for i in range(40)]  # bands 0-3 at width 10
+    probe = spark.createDataFrame([(31,)], "k long")
+
+    st = _range_store(spark, tmp_path / "s", snapshot=True)
+    st.merge_upsert("t", _kv(spark, rows), ["k"])
+    st.end_commit()
+    got = st.read_for_keys("t", probe)
+    files = got.inputFiles()
+    assert files and all("_prange=3" in f for f in files)
+    assert [(r.k, r.v) for r in got.collect()] == [(31, "v31")]
+
+    pl = _range_store(spark, tmp_path / "p", snapshot=False)
+    pl.merge_upsert("t", _kv(spark, rows), ["k"])
+    got2 = pl.read_for_keys("t", probe)
+    assert [(r.k, r.v) for r in got2.collect()] == [(31, "v31")]
+    plan = got2._jdf.queryExecution().executedPlan().toString()
+    assert "_prange" in plan  # band filter reached the scan
