@@ -1004,8 +1004,17 @@ def _sql_list(words: list[str]) -> str:
 
 @gate(
     "tx_lang_id",
+    # The CCNet pair (Wenzek et al. 2020): language-ID + the perplexity
+    # of a Stupid-Backoff trigram LM (Brants et al. 2007) trained on the
+    # even-doc_id half (the "trusted corpus") and scoring ALL documents.
+    # The q/sc CTEs replay operators/lm.py's integer micro-log contract:
+    # log10 is evaluated ONLY at positive-integer counts and quantized to
+    # round(log10(c)*10000) BIGINTs, backoff multipliers are the integer
+    # constant -3979 (= round(log10(0.4)*1e4)), per-doc sums are exact
+    # integer math — so DuckDB replays the score bit-for-bit (same "no
+    # float transcendentals on float data" stance as the classifier gate).
     oracle=f"""
-    WITH scored AS (
+    WITH ls AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_toks,
              len(list_filter(string_split(text, ' '),
@@ -1016,27 +1025,119 @@ def _sql_list(words: list[str]) -> str:
                  t -> list_contains([{_sql_list(_STOPWORDS["es"])}], t))) AS s_es,
              len(list_filter(string_split(text, ' '),
                  t -> list_contains([{_sql_list(_STOPWORDS["fr"])}], t))) AS s_fr
-      FROM documents)
-    SELECT doc_id,
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, pos, tok AS w1,
+             lead(tok, 1) OVER w AS w2, lead(tok, 2) OVER w AS w3
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), uni AS (
+      SELECT ('0x'||substr(md5(w1),1,15))::BIGINT AS h, count(*) AS c
+      FROM grams WHERE doc_id % 2 = 0 GROUP BY 1
+    ), bi AS (
+      SELECT ('0x'||substr(md5(w1||' '||w2),1,15))::BIGINT AS h, count(*) AS c
+      FROM grams WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1
+    ), tri AS (
+      SELECT ('0x'||substr(md5(w1||' '||w2||' '||w3),1,15))::BIGINT AS h,
+             count(*) AS c
+      FROM grams WHERE doc_id % 2 = 0 AND w3 IS NOT NULL GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_tokens,
+             count(DISTINCT ('0x'||substr(md5(w1),1,15))::BIGINT) AS n_vocab
+      FROM grams WHERE doc_id % 2 = 0
+    ), keyed AS (
+      SELECT doc_id,
+             ('0x'||substr(md5(w1||' '||w2||' '||w3),1,15))::BIGINT AS t_h,
+             ('0x'||substr(md5(w1||' '||w2),1,15))::BIGINT AS b12_h,
+             ('0x'||substr(md5(w2||' '||w3),1,15))::BIGINT AS b23_h,
+             ('0x'||substr(md5(w2),1,15))::BIGINT AS u2_h,
+             ('0x'||substr(md5(w3),1,15))::BIGINT AS u3_h
+      FROM grams WHERE w3 IS NOT NULL
+    ), pdt AS (
+      SELECT doc_id, t_h, b12_h, b23_h, u2_h, u3_h, count(*) AS n
+      FROM keyed GROUP BY ALL
+    ), sc AS (
+      SELECT d.t_h, d.b12_h, d.b23_h, d.u2_h, d.u3_h,
+             CASE
+               WHEN t.c IS NOT NULL THEN
+                 CAST(round(log10(CAST(t.c AS DOUBLE)) * 10000) AS BIGINT)
+                 - CAST(round(log10(CAST(b12.c AS DOUBLE)) * 10000) AS BIGINT)
+               WHEN b23.c IS NOT NULL THEN
+                 -3979
+                 + CAST(round(log10(CAST(b23.c AS DOUBLE)) * 10000) AS BIGINT)
+                 - CAST(round(log10(CAST(u2.c AS DOUBLE)) * 10000) AS BIGINT)
+               ELSE
+                 -7958
+                 + CAST(round(log10(CAST(coalesce(u3.c, 0) + 1 AS DOUBLE))
+                              * 10000) AS BIGINT)
+                 - CAST(round(log10(CAST(tot.n_tokens + tot.n_vocab AS DOUBLE))
+                              * 10000) AS BIGINT)
+             END AS q
+      FROM (SELECT DISTINCT t_h, b12_h, b23_h, u2_h, u3_h FROM pdt) d
+      LEFT JOIN tri t ON t.h = d.t_h
+      LEFT JOIN bi b12 ON b12.h = d.b12_h
+      LEFT JOIN bi b23 ON b23.h = d.b23_h
+      LEFT JOIN uni u2 ON u2.h = d.u2_h
+      LEFT JOIN uni u3 ON u3.h = d.u3_h
+      CROSS JOIN tot
+    ), agg AS (
+      SELECT p.doc_id, CAST(sum(p.n) AS BIGINT) AS n_scored,
+             sum(sc.q * p.n) AS sum_q
+      FROM pdt p
+      JOIN sc USING (t_h, b12_h, b23_h, u2_h, u3_h)
+      GROUP BY p.doc_id
+    )
+    SELECT ls.doc_id,
            CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                 WHEN s_es > s_en AND s_es > s_de AND s_es >= s_fr THEN 'es'
                 WHEN s_fr > s_en AND s_fr > s_de AND s_fr > s_es THEN 'fr'
                 ELSE 'en' END AS predicted_lang,
-           round(CAST(s_en AS DOUBLE) / n_toks, 6) AS en_stopword_ratio
-    FROM scored
+           round(CAST(s_en AS DOUBLE) / n_toks, 6) AS en_stopword_ratio,
+           CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+           CAST(floor(CAST(a.sum_q AS DOUBLE) * 100.0 / a.n_scored)
+                AS BIGINT) / 1000000.0 AS avg_logprob,
+           CASE
+             WHEN a.n_scored IS NULL THEN NULL
+             WHEN CAST(floor(CAST(a.sum_q AS DOUBLE) * 100.0 / a.n_scored)
+                  AS BIGINT) / 1000000.0 >= -1.0 THEN 'head'
+             WHEN CAST(floor(CAST(a.sum_q AS DOUBLE) * 100.0 / a.n_scored)
+                  AS BIGINT) / 1000000.0 >= -1.5 THEN 'middle'
+             ELSE 'tail'
+           END AS ppl_bucket
+    FROM ls LEFT JOIN agg a ON a.doc_id = ls.doc_id
     """,
-    doc="Language-ID heuristic: per-language stopword hit-rate, argmax with "
-    "a fixed priority tiebreak (en>de>es>fr). Narrow projection, no shuffle.",
+    doc="CCNet-style corpus-quality pair: language-ID (per-language "
+    "stopword hit-rate, argmax with fixed en>de>es>fr tiebreak — narrow, "
+    "no shuffle) + per-document perplexity under a distributed Stupid-"
+    "Backoff trigram LM (operators/lm.py) trained on the even-doc_id "
+    "half and scoring every document, with the head/middle/tail bucket "
+    "split. LM training is three map-side-combined groupBys on 60-bit "
+    "n-gram hashes; scoring scores each DISTINCT trigram once (joins "
+    "between aggregated count tables) and joins doc trigrams — "
+    "pre-aggregated to (doc, trigram, n) — on the 8-byte keys. Scores "
+    "are integer micro-log units (log10 only of integer counts, "
+    "quantized; backoff 0.4 is the constant -3979), so sums are exact "
+    "under any partitioning and DuckDB replays bit-for-bit.",
 )
 def tx_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_lang(_docs(spark, sf_dir))
-    return docs.select(
+    from jobcan_data_integrator_spark.operators.lm import (
+        perplexity,
+        train_ngram_lm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    lang = _with_lang(docs).select(
         "doc_id",
         "predicted_lang",
         F.round(F.col("s_en").cast("double") / F.size("toks"), 6).alias(
             "en_stopword_ratio"
         ),
     )
+    return lang.join(perplexity(docs, lm), "doc_id")
 
 
 @gate(

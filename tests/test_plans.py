@@ -138,6 +138,10 @@ _INTENTIONAL_BNLJ = {
     # codebook crossJoin (same shape as the IVF gates); the pair join
     # itself is a cell-keyed equi-join
     "dd_embedding_cosine_pairs",
+    # the LM perplexity side crossJoins the ONE-ROW (n_tokens, n_vocab)
+    # totals broadcast (operators/lm.score_trigrams); every count join
+    # is a hash-keyed equi-join
+    "tx_lang_id",
 }
 
 
