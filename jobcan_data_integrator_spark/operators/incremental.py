@@ -1,7 +1,8 @@
 """Incremental (new-vs-corpus) deduplication and ANN indexing over
-persisted index tables — seven families: exact-dedup hashes, MinHash
+persisted index tables — eight families: exact-dedup hashes, MinHash
 bands, SimHash blocks, embedding LSH buckets, IVF cell assignments,
-SemDeDup pairs, and ExactSubstr span hashes.
+SemDeDup pairs, ExactSubstr span hashes, and n-gram LM counts
+(perplexity scoring at ingest).
 
 A 100 TB training pipeline cannot re-dedup the whole corpus for every
 ingest batch — the full-corpus LSH pipeline (gate/llm.py
@@ -1021,4 +1022,188 @@ def extend_span_index(
     )
     store.merge_upsert("sp_hashes", merged_hashes, ["h"])
     store.merge_insert_missing("sp_flags", flags, ["doc_id", "pos"])
+    store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM count index (the 8th family: perplexity scoring at ingest)
+# ---------------------------------------------------------------------------
+
+#: LM index tables: the three count tables keyed by the 60-bit n-gram
+#: hash, the one-row totals, and the absorbed-batch ledger that makes
+#: the (inherently non-idempotent) additive count merge exactly-once.
+LM_TABLES = ("lm_uni", "lm_bi", "lm_tri", "lm_tot", "lm_batches")
+
+
+def lm_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    """Bucket the count tables by the n-gram hash so an increment's
+    probe (``perplexity_increment``) scans only the bucket dirs its
+    n-gram keys hash into."""
+    return {"lm_uni": ("h", n), "lm_bi": ("h", n), "lm_tri": ("h", n)}
+
+
+def build_lm_index(store: TableStore, docs: DataFrame) -> None:
+    """Persist a Stupid-Backoff trigram LM (operators/lm.train_ngram_lm)
+    trained on an initial trusted corpus of (doc_id, text)."""
+    from jobcan_data_integrator_spark.operators.lm import train_ngram_lm
+
+    lm = train_ngram_lm(docs)
+    store.begin_commit("lm-index-build", list(LM_TABLES))
+    store.overwrite("lm_uni", lm.uni)
+    store.overwrite("lm_bi", lm.bi)
+    store.overwrite("lm_tri", lm.tri)
+    store.overwrite("lm_tot", lm.totals)
+    store.overwrite(
+        "lm_batches",
+        docs.sparkSession.createDataFrame([("lm-index-build",)], "batch_id string"),
+    )
+    store.end_commit()
+
+
+def lm_from_store(store: TableStore):
+    """The persisted LM as an operators/lm.NgramLM over full-table reads
+    (use ``perplexity_increment`` for the bucket-pruned probe)."""
+    from jobcan_data_integrator_spark.operators.lm import NgramLM
+
+    return NgramLM(
+        tri=store.read("lm_tri"),
+        bi=store.read("lm_bi"),
+        uni=store.read("lm_uni"),
+        totals=store.read("lm_tot"),
+    )
+
+
+def perplexity_increment(
+    store: TableStore,
+    new_docs: DataFrame,
+    cuts: tuple[float, float] = (-1.0, -1.5),
+) -> DataFrame:
+    """Score an increment against the PERSISTED LM — the CCNet filter
+    applied at ingest time, without touching the training corpus.
+
+    On a store bucketed with ``lm_index_buckets`` each count table is
+    read bucket-pruned to the increment's own n-gram keys
+    (TableStore.read_for_keys), so probe cost is linear in the INCREMENT
+    times its key fan-out, never in the stored vocabulary.  The pruned
+    reads are supersets of the matching count rows, and the scoring
+    joins do the exact filtering — so the result is identical to scoring
+    against the full tables (pinned in tests)."""
+    from jobcan_data_integrator_spark.operators.lm import (
+        NgramLM,
+        _gram_rows,
+        _keyed,
+        perplexity,
+    )
+
+    keyed = (
+        _keyed(_gram_rows(new_docs).filter(F.col("w3").isNotNull()))
+        .localCheckpoint(eager=False)
+    )
+    lm = NgramLM(
+        tri=store.read_for_keys(
+            "lm_tri", keyed.select(F.col("t_h").alias("h")), "h"
+        ),
+        bi=store.read_for_keys(
+            "lm_bi",
+            keyed.select(
+                F.explode(F.array("b12_h", "b23_h")).alias("h")
+            ),
+            "h",
+        ),
+        uni=store.read_for_keys(
+            "lm_uni",
+            keyed.select(F.explode(F.array("u2_h", "u3_h")).alias("h")),
+            "h",
+        ),
+        totals=store.read("lm_tot"),
+    )
+    return perplexity(new_docs, lm, cuts=cuts)
+
+
+def extend_lm_index(
+    store: TableStore, new_docs: DataFrame, batch_id: str
+) -> None:
+    """Absorb a trusted increment into the persisted LM: counts merge by
+    key-SUM (n-gram counts are corpus-additive — pinned in test_lm), the
+    totals row adds the increment's tokens and its genuinely-new vocab.
+
+    An additive merge is NOT an idempotent write, so this family cannot
+    ride the plain-mode manifest contract (begin_commit's "re-running
+    the batch converges" assumes replays overwrite, not re-add).  Two
+    guards make it exactly-once anyway:
+
+    - the store MUST be in snapshot-isolation mode (raises otherwise):
+      a crash before ``end_commit`` publishes nothing, so the replay
+      recomputes from the untouched pre-batch tables;
+    - ``lm_batches`` records every absorbed ``batch_id`` inside the same
+      commit, so a batch REDELIVERED after a successful publish (e.g. a
+      streaming retry whose checkpoint lagged) is detected and skipped.
+
+    The merge itself touches the corpus tables via ONE bucket-pruned
+    read per level (the increment's keys), sums the affected rows with
+    the increment's counts, and upserts those keys only — linear in the
+    increment at any stored-vocabulary size."""
+    from jobcan_data_integrator_spark.operators.lm import train_ngram_lm
+
+    if not store.snapshot_isolation:
+        raise ValueError(
+            "extend_lm_index needs a snapshot-isolation TableStore: "
+            "additive count merges only replay safely when the whole "
+            "batch publishes atomically"
+        )
+    if (
+        store.exists("lm_batches")
+        and store.read("lm_batches")
+        .filter(F.col("batch_id") == batch_id)
+        .limit(1)
+        .count()
+        > 0
+    ):
+        return  # already absorbed — redelivery, not a new increment
+    inc = train_ngram_lm(new_docs)
+    # totals inputs FIRST: after lm_uni's upsert below, a same-batch
+    # read resolves the pending merged version (a batch reads its own
+    # writes) and the anti-join would see zero new vocabulary.
+    new_vocab = (
+        inc.uni.select("h")
+        .join(
+            store.read_for_keys("lm_uni", inc.uni.select("h")).select("h"),
+            "h",
+            "left_anti",
+        )
+        .count()
+    )
+    inc_tokens = inc.totals.first()["n_tokens"]
+    old = store.read("lm_tot").first()
+    store.begin_commit(batch_id, list(LM_TABLES))
+    for table, counts in (
+        ("lm_uni", inc.uni),
+        ("lm_bi", inc.bi),
+        ("lm_tri", inc.tri),
+    ):
+        counts = counts.localCheckpoint(eager=True)
+        stored = store.read_for_keys(table, counts.select("h")).join(
+            F.broadcast(counts.select("h").distinct()), "h", "leftsemi"
+        )
+        merged = (
+            stored.unionByName(counts)
+            .groupBy("h")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        store.merge_upsert(table, merged, ["h"])
+    store.overwrite(
+        "lm_tot",
+        new_docs.sparkSession.createDataFrame(
+            [(old["n_tokens"] + inc_tokens, old["n_vocab"] + new_vocab)],
+            "n_tokens bigint, n_vocab bigint",
+        ),
+    )
+    store.merge_insert_missing(
+        "lm_batches",
+        new_docs.sparkSession.createDataFrame(
+            [(batch_id,)], "batch_id string"
+        ),
+        ["batch_id"],
+    )
     store.end_commit()
