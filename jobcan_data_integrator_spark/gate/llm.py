@@ -1425,10 +1425,62 @@ def _with_lang(docs: DataFrame) -> DataFrame:
       SELECT doc_id, source_id,
              unnest(generate_series(0, n_copies - 1)) AS copy
       FROM wt WHERE n_copies > 0
+    ), dt AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), dgrams AS (
+      SELECT doc_id, unnest(toks) AS g FROM dt
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]),
+               x -> x IS NOT NULL)) AS g
+      FROM dt
+    ), dfeats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 15))::BIGINT % 10000 AS INT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS f
+      FROM dgrams GROUP BY 1, 2
+    ), dtgt AS (
+      SELECT bucket, sum(f) AS c
+      FROM dfeats JOIN dt USING (doc_id) WHERE dt.lang = 'en' GROUP BY 1
+    ), draw AS (
+      SELECT bucket, sum(f) AS c FROM dfeats GROUP BY 1
+    ), dtden AS (
+      SELECT CAST(round(log10(CAST(sum(c) + 10000 AS DOUBLE)) * 10000)
+                  AS BIGINT) AS dq FROM dtgt
+    ), drden AS (
+      SELECT CAST(round(log10(CAST(sum(c) + 10000 AS DOUBLE)) * 10000)
+                  AS BIGINT) AS dq FROM draw
+    ), dtq AS (
+      SELECT bucket,
+             CAST(round(log10(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT)
+               - dtden.dq AS q
+      FROM dtgt CROSS JOIN dtden
+    ), drq AS (
+      SELECT bucket,
+             CAST(round(log10(CAST(c + 1 AS DOUBLE)) * 10000) AS BIGINT)
+               - drden.dq AS q
+      FROM draw CROSS JOIN drden
+    ), dw AS (
+      SELECT f.doc_id,
+             CAST(sum(f.f * (coalesce(dtq.q, -dtden.dq)
+                             - coalesce(drq.q, -drden.dq))) AS BIGINT)
+               AS logratio_q
+      FROM dfeats f
+      LEFT JOIN dtq USING (bucket)
+      LEFT JOIN drq USING (bucket)
+      CROSS JOIN dtden CROSS JOIN drden
+      GROUP BY f.doc_id
+    ), dsel AS (
+      SELECT doc_id FROM dw ORDER BY logratio_q DESC, doc_id LIMIT 150
     )
     SELECT c.doc_id, CAST(c.source_id AS INT) AS source_id,
-           CAST(c.copy AS INT) AS copy, l.predicted_lang, l.sample_bucket
-    FROM copies c JOIN lang l USING (doc_id)
+           CAST(c.copy AS INT) AS copy, l.predicted_lang, l.sample_bucket,
+           dw.logratio_q AS dsir_logratio_q,
+           (c.doc_id IN (SELECT doc_id FROM dsel)) AS dsir_keep
+    FROM copies c JOIN lang l USING (doc_id) JOIN dw USING (doc_id)
     WHERE l.sample_bucket < CASE WHEN l.predicted_lang = 'en'
                                  THEN 2500 ELSE 10000 END
     """,
@@ -1442,10 +1494,24 @@ def _with_lang(docs: DataFrame) -> DataFrame:
     "any partitioning, any run; the copy column is the 0-based epoch "
     "index that pack_shards' shuffle_salt then spreads across shards. "
     "Narrow projections + a bounded explode + a union, no shuffle: the "
-    "standard mixture-weights + corpus-rebalance step before packing.",
+    "standard mixture-weights + corpus-rebalance step before packing. "
+    "PLUS DSIR importance weights (Xie et al. 2023, operators/"
+    "selection.py): hashed unigram+bigram bucket models fitted on the "
+    "lang='en' target vs the full raw corpus, per-doc log likelihood "
+    "ratio in exact integer micro-log10 units (add-one smoothing keeps "
+    "every log10 at integer points, so DuckDB replays bit-for-bit), "
+    "and the deterministic top-150 selection (TakeOrdered partial "
+    "top-k + broadcast semi-join, never a global sort shuffle). The "
+    "<=10k-row bucket models ride broadcast joins — the corpus is only "
+    "ever shuffled on its own doc key.",
 )
 def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.packing import mix_corpora
+    from jobcan_data_integrator_spark.operators.selection import (
+        dsir_select,
+        dsir_weights,
+        fit_dsir,
+    )
 
     docs = _docs(spark, sf_dir)
     sn = F.expr("cast(substring(source, 4) as int)")
@@ -1460,15 +1526,24 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmod(" + _H.format(x="concat('smpl|', cast(doc_id as string))") + ", 10000)"
     )
     thr = F.when(F.col("predicted_lang") == "en", 2500).otherwise(10000)
+    model = fit_dsir(docs, F.col("lang") == "en")
+    weights = dsir_weights(docs, model)
+    keep = F.broadcast(
+        dsir_select(weights, 150).withColumn("dsir_keep", F.lit(True))
+    )
     return (
         mixed.withColumn("sample_bucket", bucket)
         .filter(F.col("sample_bucket") < thr)
+        .join(weights.withColumnRenamed("logratio_q", "dsir_logratio_q"), "doc_id")
+        .join(keep, "doc_id", "left")
         .select(
             "doc_id",
             F.col("source_id").cast("int").alias("source_id"),
             F.col("copy").cast("int").alias("copy"),
             "predicted_lang",
             "sample_bucket",
+            "dsir_logratio_q",
+            F.coalesce(F.col("dsir_keep"), F.lit(False)).alias("dsir_keep"),
         )
     )
 

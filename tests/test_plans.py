@@ -142,6 +142,10 @@ _INTENTIONAL_BNLJ = {
     # totals broadcast (operators/lm.score_trigrams); every count join
     # is a hash-keyed equi-join
     "tx_lang_id",
+    # the DSIR scorer crossJoins the ONE-ROW floor_dq broadcast
+    # (operators/selection.dsir_weights); the delta-table join is a
+    # broadcast hash equi-join on the bucket key
+    "tx_stratified_sample",
 }
 
 
