@@ -1,0 +1,191 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — the
+vocabulary-learning step a training-data pipeline runs before token
+counting and shard packing.
+
+Spark-first shape: training never touches the corpus row-by-row.  The
+working set is the DISTINCT-WORD frequency table — ``(word, n, syms)``,
+vocabulary-sized, orders of magnitude smaller than the corpus (one
+map-side-combined groupBy builds it).  Each merge round is then:
+
+1. pair counts: one in-row ``zip_with`` building adjacent symbol pairs
+   + one explode + one map-side-combined groupBy weighted by word
+   frequency (output rows bounded by the live pair vocabulary);
+2. argmax: ``orderBy(count desc, pair asc).limit(1)`` — Spark's
+   TakeOrdered, a per-partition partial top-1, no global sort shuffle;
+3. merge application: an in-row left-to-right greedy fold
+   (``F.aggregate`` over the symbol array — a Catalyst higher-order
+   function, JVM-side, no Python) rewriting only the word table.
+
+The driver holds exactly one (a, b) pair per round plus the learned
+merge list — no corpus data.  Lineage is truncated with
+``localCheckpoint`` every few rounds (the connected-components
+pattern, operators/dedup.py) so K rounds cost K bounded jobs, not an
+exponentially deepening plan.
+
+Determinism: counts are exact integers and the argmax tiebreak is
+lexicographic on the pair, so the learned merge list is a pure
+function of the corpus — same on every engine, partitioning, and rerun
+(tests/test_bpe.py pins it against a pure-Python replica).
+
+``encode_bpe`` applies a learned merge list to documents with the same
+fold, batching a few merges per projection (expression-tree depth
+stays bounded) — narrow, zero-shuffle, increment-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(word: Column) -> Column:
+    """Split a word into single characters (Spark's split keeps the
+    trailing empty match of the ``(?!^)`` lookahead; drop it)."""
+    return F.filter(F.split(word, "(?!^)"), lambda s: s != F.lit(""))
+
+#: end-of-word marker symbol (kept out of the corpus alphabet by ' '
+#: tokenization — documents cannot contain a space-delimited '</w>').
+EOW = "</w>"
+
+#: merges applied per projection when encoding (bounds codegen depth)
+_ENCODE_BATCH = 8
+
+#: rounds between localCheckpoint lineage truncations while training
+_CHECKPOINT_EVERY = 4
+
+
+def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n, syms): the distinct-word working set of BPE training.
+
+    ``syms`` is the word split into single characters with the EOW
+    marker appended — the classic initial symbol sequence."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.concat(
+                _chars(F.col("word")), F.array(F.lit(EOW))
+            ).alias("syms"),
+        )
+    )
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right greedy merge of adjacent (a, b) into a+b — the
+    standard BPE application order ('aaa' under (a,a) -> ['aa','a']).
+    Pure Catalyst higher-order aggregate; literals ride F.lit (no SQL
+    string splicing, so symbols may contain any character)."""
+    def step(acc: Column, x: Column) -> Column:
+        hit = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-pair counts weighted by word frequency."""
+    pairs = F.expr(
+        "filter(zip_with(syms, slice(syms, 2, size(syms)),"
+        " (x, y) -> struct(x as a, y as b)), p -> p.b is not null)"
+    )
+    return (
+        words.select("n", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merge rules from a corpus.
+
+    Stops early when no adjacent pair reaches ``min_count``.  Returns
+    the ordered merge list — the whole trained artifact (the driver
+    never holds word or corpus data)."""
+    words = word_frequency_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].a, top[0].b
+        merges.append((a, b))
+        words = words.select(
+            "word", "n", _merge_fold(F.col("syms"), a, b).alias("syms")
+        )
+        # truncate lineage so round k's plan doesn't embed rounds 1..k-1
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def encode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list: adds ``out_col`` =
+    array<string> of BPE tokens (EOW markers folded into the final
+    token of each word, matching the training representation).
+
+    Narrow and zero-shuffle: each word is encoded in-row via the same
+    greedy fold, ``_ENCODE_BATCH`` merges per projection to bound the
+    expression tree.  Works identically on a full corpus or an
+    increment — encoding is stateless given the merge list."""
+    words = F.expr(
+        f"filter(split({text_col}, ' '), w -> w != '')"
+    )
+    encoded = docs.withColumn(
+        "_wsyms",
+        F.transform(
+            words,
+            lambda w: F.concat(_chars(w), F.array(F.lit(EOW))),
+        ),
+    )
+    def batch_applier(batch: list[tuple[str, str]]):
+        # single-arg closure: F.transform inspects arity, and a second
+        # (defaulted) parameter would be bound to the index column
+        def apply_batch(syms: Column) -> Column:
+            for a, b in batch:
+                syms = _merge_fold(syms, a, b)
+            return syms
+
+        return apply_batch
+
+    for i in range(0, len(merges), _ENCODE_BATCH):
+        encoded = encoded.withColumn(
+            "_wsyms",
+            F.transform(
+                F.col("_wsyms"), batch_applier(merges[i : i + _ENCODE_BATCH])
+            ),
+        )
+    return encoded.withColumn(
+        out_col, F.flatten(F.col("_wsyms"))
+    ).drop("_wsyms")

@@ -1,0 +1,178 @@
+"""Distributed BPE training/encoding (operators/bpe.py).
+
+The oracle is a pure-Python replica of Sennrich-style BPE with the
+same tiebreak (count desc, then lexicographic pair) and the same
+left-to-right greedy merge application — the learned merge list and
+the encoded token streams are compared exactly, so the determinism
+contract ("pure function of the corpus") is pinned, not assumed.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.bpe import (
+    EOW,
+    encode_bpe,
+    train_bpe,
+    word_frequency_table,
+)
+
+CORPUS = [
+    (0, "low low low low low"),
+    (1, "lower lower newest newest"),
+    (2, "newest newest newest newest"),
+    (3, "widest widest widest"),
+    (4, "low lower newest widest"),
+]
+
+
+def _replica_word_freq(corpus: list[tuple[int, str]]) -> dict[str, int]:
+    c: Counter = Counter()
+    for _, text in corpus:
+        c.update(w for w in text.split(" ") if w)
+    return dict(c)
+
+
+def _replica_train(
+    corpus: list[tuple[int, str]], n_merges: int, min_count: int = 2
+) -> list[tuple[str, str]]:
+    words = {
+        w: (list(w) + [EOW], n) for w, n in _replica_word_freq(corpus).items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[a, b] += n
+        live = {p: c for p, c in pairs.items() if c >= min_count}
+        if not live:
+            break
+        best = min(live.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        for w, (syms, n) in words.items():
+            words[w] = (_replica_merge(syms, *best), n)
+    return merges
+
+
+def _replica_merge(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _replica_encode(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    toks: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            syms = _replica_merge(syms, a, b)
+        toks.extend(syms)
+    return toks
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+
+def test_word_frequency_table(spark, docs):
+    got = {
+        r.word: (r.n, r.syms)
+        for r in word_frequency_table(docs).collect()
+    }
+    want = _replica_word_freq(CORPUS)
+    assert set(got) == set(want)
+    for w, n in want.items():
+        assert got[w] == (n, list(w) + [EOW])
+
+
+def test_train_matches_replica_exactly(spark, docs):
+    merges = train_bpe(docs, n_merges=12)
+    assert merges == _replica_train(CORPUS, 12)
+    # the classic example learns 'est</w>' and 'low' early
+    joined = ["".join(p) for p in merges]
+    assert "es" in joined or "st" in joined
+
+
+def test_train_early_stop_on_min_count(spark):
+    tiny = spark.createDataFrame(
+        [(0, "ab cd")], "doc_id bigint, text string"
+    )
+    # every pair occurs once -> below min_count=2 -> no merges at all
+    assert train_bpe(tiny, n_merges=5, min_count=2) == []
+
+
+def test_train_deterministic_across_partitionings(spark, docs):
+    m1 = train_bpe(docs, n_merges=8)
+    m2 = train_bpe(docs.repartition(7), n_merges=8)
+    assert m1 == m2
+
+
+def test_encode_matches_replica(spark, docs):
+    merges = train_bpe(docs, n_merges=10)
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in encode_bpe(docs, merges).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _replica_encode(text, merges), doc_id
+
+
+def test_encode_greedy_left_to_right(spark):
+    # 'aaa' under merge (a,a): greedy L2R gives ['aa','a</w>'] shape —
+    # i.e. the FIRST adjacent pair merges, the leftover 'a' stays
+    df = spark.createDataFrame([(0, "aaa")], "doc_id bigint, text string")
+    out = encode_bpe(df, [("a", "a")]).collect()[0].bpe_tokens
+    assert out == ["aa", "a", EOW]
+
+
+def test_encode_roundtrip_identity(spark, docs):
+    """Concatenating tokens and stripping EOW reconstructs the text."""
+    merges = train_bpe(docs, n_merges=10)
+    out = encode_bpe(docs, merges).withColumn(
+        "rt",
+        F.array_join(
+            F.transform(
+                F.col("bpe_tokens"),
+                lambda t: F.regexp_replace(t, "</w>$", " "),
+            ),
+            "",
+        ),
+    )
+    for r in out.collect():
+        assert r.rt.rstrip(" ").replace("  ", " ") == dict(CORPUS)[r.doc_id]
+
+
+def test_encode_plan_is_narrow_and_jvm_side(spark, docs):
+    merges = train_bpe(docs, n_merges=10)
+    plan = encode_bpe(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+
+
+def test_encode_on_documents_table(spark, sf_dir):
+    """Smoke over the real documents table: train on a sample, encode
+    the full table, tokens reconstruct every document."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id"), F.col("text"))
+        .limit(50)
+    )
+    merges = train_bpe(docs, n_merges=6)
+    assert merges  # real text has repeated pairs
+    n = encode_bpe(docs, merges).filter(F.size("bpe_tokens") > 0).count()
+    assert n == docs.count()
