@@ -1207,3 +1207,134 @@ def extend_lm_index(
         ["batch_id"],
     )
     store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line-stats index (incremental line-level cleaning — the
+# 9th family): persist per-line-hash document frequencies so each
+# ingest batch cleans ITSELF against the accumulated corpus stats and
+# then adds its own counts, without ever rescanning stored text.
+# ---------------------------------------------------------------------------
+
+LINE_TABLES = ("bl_stats", "bl_batches")
+
+
+def line_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    """Bucket the stats by line hash so an increment's probe scans only
+    the bucket dirs its own lines hash into."""
+    return {"bl_stats": ("line_hash", n)}
+
+
+def build_line_index(
+    store: TableStore,
+    docs: DataFrame,
+    min_line_chars: int | None = None,
+) -> None:
+    """Persist (line_hash, df) for an initial corpus of (doc_id, text)
+    — one map-side-combined aggregation (operators/lines.py)."""
+    from jobcan_data_integrator_spark.operators import lines as L
+
+    mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
+    store.begin_commit("bl-index-build", list(LINE_TABLES))
+    store.overwrite(
+        "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
+    )
+    store.overwrite(
+        "bl_batches",
+        docs.sparkSession.createDataFrame(
+            [("bl-index-build",)], "batch_id string"
+        ),
+    )
+    store.end_commit()
+
+
+def clean_increment(
+    store: TableStore,
+    new_docs: DataFrame,
+    max_doc_freq: int | None = None,
+    min_line_chars: int | None = None,
+    include_increment: bool = True,
+) -> DataFrame:
+    """Remove boilerplate lines from an increment using the PERSISTED
+    corpus stats (+ the increment's own contribution when
+    ``include_increment``): identical output to running
+    remove_boilerplate_lines over (stored corpus ∪ increment) restricted
+    to the increment's docs — pinned in tests/test_incremental_lines.py.
+
+    Only hashes PRESENT in the increment can remove any of its lines,
+    so the stored side contributes through one bucket-pruned
+    ``read_for_keys`` on the increment's line hashes — probe cost is
+    linear in the increment at any stored-corpus size, and the corpus
+    text itself is never touched (the stats table is the whole
+    interface)."""
+    from jobcan_data_integrator_spark.operators import lines as L
+
+    mdf = L.DEFAULT_MAX_DOC_FREQ if max_doc_freq is None else max_doc_freq
+    mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
+    inc = L.boilerplate_line_stats(new_docs, min_line_chars=mc).localCheckpoint(
+        eager=True
+    )
+    stored = store.read_for_keys(
+        "bl_stats", inc.select("line_hash"), "line_hash"
+    ).join(F.broadcast(inc.select("line_hash").distinct()), "line_hash", "leftsemi")
+    both = stored.unionByName(inc) if include_increment else stored
+    merged = both.groupBy("line_hash").agg(
+        F.sum("df").cast("bigint").alias("df")
+    )
+    return L.remove_boilerplate_lines(
+        new_docs,
+        max_doc_freq=mdf,
+        min_line_chars=mc,
+        stats=merged,
+    )
+
+
+def extend_line_index(
+    store: TableStore,
+    new_docs: DataFrame,
+    batch_id: str,
+    min_line_chars: int | None = None,
+) -> None:
+    """Absorb an increment's line counts: key-SUM merge of the affected
+    hashes only (document frequencies are corpus-additive).  Same
+    exactly-once contract as extend_lm_index — additive merges require
+    a snapshot-isolation store (a crash publishes nothing) and
+    ``bl_batches`` makes a redelivered batch a no-op."""
+    from jobcan_data_integrator_spark.operators import lines as L
+
+    if not store.snapshot_isolation:
+        raise ValueError(
+            "extend_line_index needs a snapshot-isolation TableStore: "
+            "additive count merges only replay safely when the whole "
+            "batch publishes atomically"
+        )
+    if (
+        store.exists("bl_batches")
+        and store.read("bl_batches")
+        .filter(F.col("batch_id") == batch_id)
+        .limit(1)
+        .count()
+        > 0
+    ):
+        return  # already absorbed — redelivery, not a new increment
+    mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
+    inc = L.boilerplate_line_stats(new_docs, min_line_chars=mc).localCheckpoint(
+        eager=True
+    )
+    stored = store.read_for_keys(
+        "bl_stats", inc.select("line_hash"), "line_hash"
+    ).join(F.broadcast(inc.select("line_hash").distinct()), "line_hash", "leftsemi")
+    merged = (
+        stored.unionByName(inc)
+        .groupBy("line_hash")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    store.begin_commit(batch_id, list(LINE_TABLES))
+    store.merge_upsert("bl_stats", merged, ["line_hash"])
+    store.merge_insert_missing(
+        "bl_batches",
+        new_docs.sparkSession.createDataFrame([(batch_id,)], "batch_id string"),
+        ["batch_id"],
+    )
+    store.end_commit()
