@@ -189,3 +189,41 @@ def encode_bpe(
     return encoded.withColumn(
         out_col, F.flatten(F.col("_wsyms"))
     ).drop("_wsyms")
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Per-document token count under a learned merge list — the
+    tokenizer-accurate input for pack_shards/chunk_documents (whitespace
+    counts undercount budget pressure from rare words).  Narrow and
+    zero-shuffle like encode_bpe."""
+    enc = encode_bpe(docs, merges, text_col, "_bpe_toks")
+    return enc.withColumn(out_col, F.size("_bpe_toks")).drop("_bpe_toks")
+
+
+def save_bpe(store, merges: list[tuple[str, str]]) -> None:
+    """Persist a learned merge list as the (rank, a, b) ``bpe_merges``
+    table — the whole trained artifact is vocabulary-sized (a few
+    thousand rows), so the table IS the tokenizer: every engine reading
+    the store tokenizes identically forever after."""
+    spark = store.spark
+    store.overwrite(
+        "bpe_merges",
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, a string, b string",
+        ),
+    )
+
+
+def load_bpe(store) -> list[tuple[str, str]]:
+    """Load a merge list saved by :func:`save_bpe`, in rank order (the
+    order IS the tokenizer — merges do not commute)."""
+    return [
+        (r.a, r.b)
+        for r in store.read("bpe_merges").orderBy("rank").collect()
+    ]

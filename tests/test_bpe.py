@@ -176,3 +176,37 @@ def test_encode_on_documents_table(spark, sf_dir):
     assert merges  # real text has repeated pairs
     n = encode_bpe(docs, merges).filter(F.size("bpe_tokens") > 0).count()
     assert n == docs.count()
+
+
+def test_save_load_roundtrip(spark, docs, tmp_path):
+    from jobcan_data_integrator_spark.operators.bpe import load_bpe, save_bpe
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    store = TableStore(spark, tmp_path, write_partitions=1)
+    merges = train_bpe(docs, n_merges=10)
+    save_bpe(store, merges)
+    assert load_bpe(store) == merges  # rank order IS the tokenizer
+
+
+def test_token_counts_feed_pack_shards(spark, docs):
+    """The tokenizer-accurate packing composition: train -> count ->
+    pack; every shard except possibly the last respects the budget."""
+    from jobcan_data_integrator_spark.operators.bpe import bpe_token_counts
+    from jobcan_data_integrator_spark.operators.packing import pack_shards
+
+    merges = train_bpe(docs, n_merges=10)
+    counted = bpe_token_counts(docs, merges)
+    got = {r.doc_id: r.n_bpe_tokens for r in counted.collect()}
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == len(_replica_encode(text, merges)), doc_id
+    packed = pack_shards(counted, budget=20, tokens_col="n_bpe_tokens")
+    shard_rows = packed.collect()
+    assert len({r.shard_id for r in shard_rows}) >= 2
+    # the packer's contract: shard = starting token offset / budget
+    assert all(r.shard_id == r.cum_before // 20 for r in shard_rows)
+    # exact invariant: cum_before is a true prefix sum over the pack order
+    rows = sorted(packed.collect(), key=lambda r: r.cum_before)
+    run = 0
+    for r in rows:
+        assert r.cum_before == run
+        run += r.n_bpe_tokens
