@@ -1229,21 +1229,24 @@ def build_line_index(
     store: TableStore,
     docs: DataFrame,
     min_line_chars: int | None = None,
+    batch_id: str = "bl-index-build",
 ) -> None:
     """Persist (line_hash, df) for an initial corpus of (doc_id, text)
-    — one map-side-combined aggregation (operators/lines.py)."""
+    — one map-side-combined aggregation (operators/lines.py).
+
+    ``batch_id`` is recorded in ``bl_batches`` so a caller replaying the
+    SAME initial batch (e.g. the first micro-batch of a stream) can
+    detect the build already absorbed it."""
     from jobcan_data_integrator_spark.operators import lines as L
 
     mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
-    store.begin_commit("bl-index-build", list(LINE_TABLES))
+    store.begin_commit(batch_id, list(LINE_TABLES))
     store.overwrite(
         "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
     )
     store.overwrite(
         "bl_batches",
-        docs.sparkSession.createDataFrame(
-            [("bl-index-build",)], "batch_id string"
-        ),
+        docs.sparkSession.createDataFrame([(batch_id,)], "batch_id string"),
     )
     store.end_commit()
 

@@ -428,3 +428,80 @@ def index_spans_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def clean_documents_stream(
+    docs: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    max_doc_freq: int | None = None,
+    min_line_chars: int | None = None,
+):
+    """Ingest-time boilerplate-line cleaning: each micro-batch of
+    (doc_id, text) documents is cleaned against the ACCUMULATED corpus
+    line frequencies (operators/incremental.py's bl_stats family), the
+    cleaned rows are upserted into ``bl_clean_docs``, and the batch's
+    own line counts are absorbed into the index — line cleaning
+    amortized over ingest, never a corpus re-scan.
+
+    Crash-replay exact: Structured Streaming redelivers only the LAST
+    uncommitted batch (offsets commit in order), and for that batch the
+    merged stats are identical whether its counts were absorbed or not
+    — unabsorbed folds them in via ``include_increment=True``, absorbed
+    reads them from the store — so the keyed upsert rewrites the same
+    rows and ``extend_line_index``'s batch ledger keeps the additive
+    merge exactly-once.  A FULL reprocess (fresh checkpoint over the
+    same source) is a monotone refinement: counts never double-add, and
+    every batch now cleans against the complete corpus stats, so
+    ``bl_clean_docs`` converges to exactly the one-shot full-corpus
+    clean (pinned in tests/test_incremental_lines.py).  Requires a
+    snapshot-isolation TableStore (as every additive family does)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_line_index,
+        clean_increment,
+        extend_line_index,
+    )
+
+    def _clean(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("doc_id", "text")
+        bid = f"line-stream-{batch_id}"
+        absorbed = (
+            store.exists("bl_batches")
+            and store.read("bl_batches")
+            .filter(F.col("batch_id") == bid)
+            .limit(1)
+            .count()
+            > 0
+        )
+        need_extend = False
+        if absorbed:
+            cleaned = clean_increment(
+                store, b, max_doc_freq, min_line_chars,
+                include_increment=False,
+            )
+        elif not store.exists("bl_stats"):
+            # first batch: the build IS the absorption (recorded under
+            # bid), so clean against the stored stats only
+            build_line_index(store, b, min_line_chars, batch_id=bid)
+            cleaned = clean_increment(
+                store, b, max_doc_freq, min_line_chars,
+                include_increment=False,
+            )
+        else:
+            cleaned = clean_increment(
+                store, b, max_doc_freq, min_line_chars,
+                include_increment=True,
+            )
+            need_extend = True
+        cleaned = cleaned.localCheckpoint(eager=True)
+        store.merge_upsert("bl_clean_docs", cleaned, ["doc_id"])
+        if need_extend:
+            extend_line_index(store, b, bid, min_line_chars)
+
+    return (
+        docs.writeStream.foreachBatch(_clean)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

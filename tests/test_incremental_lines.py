@@ -134,3 +134,73 @@ def test_probe_is_bucket_pruned(spark, snap_store):
     assert set(map(tuple, pruned.collect())) <= set(
         map(tuple, snap_store.read("bl_stats").collect())
     )
+
+
+def test_clean_documents_stream(spark, tmp_path):
+    """Ingest-time line cleaning: two micro-batches; the accumulated
+    stats equal one full-corpus pass, later batches are cleaned with
+    the accumulated counts, and a FULL REPROCESS (fresh checkpoint over
+    the same source) refines the cleaned table to exactly the one-shot
+    full-corpus clean without double-adding any counts."""
+    from jobcan_data_integrator_spark import streaming as S
+
+    src = tmp_path / "doc_stream"
+    _mk(spark, _CORPUS).coalesce(1).write.mode("append").parquet(str(src))
+    _mk(spark, _NEW).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run(ck):
+        store = TableStore(
+            spark,
+            tmp_path / "index",
+            write_partitions=2,
+            bucketed=line_index_buckets(4),
+            snapshot_isolation=True,
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = S.clean_documents_stream(
+            stream, store, str(tmp_path / ck), max_doc_freq=4
+        ).start()
+        q.awaitTermination()
+        return store
+
+    store = run("ck1")
+    # (a) accumulated stats == one full-corpus stats pass
+    assert _rows(store.read("bl_stats")) == _rows(
+        boilerplate_line_stats(_mk(spark, _CORPUS + _NEW))
+    )
+    # (b) the SECOND batch was cleaned against corpus+batch counts:
+    # banner df = 3 stored + 2 in-batch = 5 > 4 -> dropped
+    cleaned = {
+        r.doc_id: (r.text, r.n_boilerplate_dropped)
+        for r in store.read("bl_clean_docs").collect()
+    }
+    want_new = remove_boilerplate_lines(
+        _mk(spark, _CORPUS + _NEW), max_doc_freq=4
+    ).filter(F.col("doc_id").isin([d for d, _ in _NEW]))
+    for r in want_new.collect():
+        assert cleaned[r.doc_id] == (r.text, r.n_boilerplate_dropped)
+    # batch 1 saw only its own counts (banner df 3 <= 4 -> kept)
+    assert cleaned[0][1] == 0
+
+    # (c) FULL reprocess through a fresh checkpoint: counts must not
+    # double-add, and every batch now cleans against the complete
+    # stats — bl_clean_docs becomes exactly the one-shot corpus clean
+    store = run("ck2")
+    after = sorted(
+        (r.doc_id, r.text, r.n_boilerplate_dropped)
+        for r in store.read("bl_clean_docs").collect()
+    )
+    want_all = sorted(
+        (r.doc_id, r.text, r.n_boilerplate_dropped)
+        for r in remove_boilerplate_lines(
+            _mk(spark, _CORPUS + _NEW), max_doc_freq=4
+        ).collect()
+    )
+    assert after == want_all
+    assert _rows(store.read("bl_stats")) == _rows(
+        boilerplate_line_stats(_mk(spark, _CORPUS + _NEW))
+    )
