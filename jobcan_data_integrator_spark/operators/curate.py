@@ -49,6 +49,8 @@ def curate_corpus(
     docs: DataFrame,
     span: int = 8,
     min_tokens: int = 10,
+    line_clean: bool = False,
+    line_max_doc_freq: int | None = None,
     max_pii_hits: int | None = None,
     near_dup_pairs=None,
     quality_scorer=None,
@@ -102,6 +104,28 @@ def curate_corpus(
     from jobcan_data_integrator_spark.operators.pii import scrub_pii
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # 0. optional line-level cleaning (operators/lines.py), the stage
+    # web pipelines run FIRST: C4 line heuristics + within-doc line
+    # dedup, then cross-corpus boilerplate removal when a doc-frequency
+    # cap is given.  Off by default — API-sourced corpora (the
+    # reference's domain) have no nav-bar boilerplate to strip.
+    if line_clean:
+        from jobcan_data_integrator_spark.operators.lines import (
+            clean_lines,
+            dedup_lines_within_doc,
+            remove_boilerplate_lines,
+        )
+
+        docs = dedup_lines_within_doc(
+            clean_lines(docs, min_words=1)
+        )
+        if line_max_doc_freq is not None:
+            docs = remove_boilerplate_lines(
+                docs, max_doc_freq=line_max_doc_freq
+            ).drop("n_boilerplate_dropped")
+        docs = docs.drop("n_lines_dropped")
+        stages.append(("line_cleaned", docs))
 
     # 1. PII scrub — downstream stages operate on the redacted text
     scrubbed = scrub_pii(docs)

@@ -133,3 +133,37 @@ def test_near_dup_stage_keeps_cluster_minimum(spark):
     assert audit["span_deduped"] == 3
     assert audit["near_deduped"] == 2  # doc 1 collapsed into doc 0
     assert {r.doc_id for r in res.deduped.collect()} == {0, 2}
+
+
+def test_line_clean_stage(spark):
+    """line_clean=True runs the C4 line stage FIRST: block-substring
+    lines and corpus-frequent boilerplate vanish before PII/dedup, and
+    the stage is absent (and audit unchanged) by default."""
+    banner = "Identical cookie-free banner on every single doc."
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = _mk(
+        spark,
+        [
+            (0, f"{banner}\n{body} zero"),
+            (1, f"{banner}\n{body} one"),
+            (2, f"{banner}\n{body} two"),
+            (3, f"{{ json blob }}\n{body} three"),
+        ],
+    )
+    res = curate_corpus(
+        docs,
+        min_tokens=5,
+        line_clean=True,
+        line_max_doc_freq=2,
+        chunk_tokens=8,
+        chunk_overlap=2,
+    )
+    audit = res.audit()
+    assert audit["line_cleaned"] == 4
+    lc = dict(res.stages)["line_cleaned"]
+    texts = {r.doc_id: r.text for r in lc.select("doc_id", "text").collect()}
+    assert all(banner not in t for t in texts.values())  # df 3 > 2
+    assert "json blob" not in texts[3]  # brace line dropped in-row
+    assert texts[0].endswith("zero")
+    # default: no line stage in the audit
+    assert "line_cleaned" not in curate_corpus(docs, min_tokens=5).audit()
