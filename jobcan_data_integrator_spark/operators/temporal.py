@@ -1,0 +1,165 @@
+"""Temporal joins Spark lacks as built-ins — as-of join and
+interval/range join — expressed as compositions of existing DataFrame
+ops (the brief's preferred strategy for missing operators), never a
+theta-join.
+
+``asof_join`` uses the UNION + keyed-window formulation: tag both
+sides, union them, sort within each key by (time, side) and carry the
+most recent right-side payload forward with ``last(..., ignorenulls)``.
+Cost is ONE hash shuffle on the key + a per-key sort — identical shape
+to any windowed aggregation, with none of the range-condition
+fan-out/skew a join-on-inequality plan has (Spark would pick
+SortMergeJoin with a post-filter or, keyless, a nested loop: both
+quadratic in the worst case).  At 100 TB this is the difference
+between "one shuffle, linear merge" and "unbounded per-key cross
+product".
+
+``range_join`` (point-in-interval) uses interval BANDING: each
+interval explodes to the fixed-width time bands it overlaps, facts
+compute their band in-row, and the join is a plain (band [, key])
+equi-join with an exact containment post-filter.  Fan-out is
+ceil(interval_len / band_width) rows per interval — bounded and
+chosen, not data-driven — and each fact meets only intervals sharing
+its band, never the whole table.  The band width defaults to the
+average interval length (one tiny aggregate), the textbook balance
+between interval replication and per-band candidate count.
+
+Both are DuckDB-oracled in tests/test_temporal.py (DuckDB ships a
+native ASOF JOIN — the replica is the real thing) and plan-pinned:
+no BroadcastNestedLoopJoin, no CartesianProduct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    tolerance_ms: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the single right row with the largest
+    ``right_time`` <= ``left_time`` (direction='backward'; 'forward'
+    takes the smallest >=) within the same ``key`` — the standard
+    as-of/point-in-time join (trades, sensor snapshots, SCD lookups).
+
+    Right columns come back with their own names (the key and time
+    columns of the right side are ``right_<time>`` to keep the match
+    auditable); unmatched left rows keep NULLs.  ``tolerance_ms``
+    bounds the allowed staleness: matches older (newer, for forward)
+    than the tolerance are nulled out, exactly DuckDB/pandas
+    ``tolerance`` semantics.  Ties on equal timestamps match (<=/>=).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    payload_cols = [
+        c for c in right.columns if c not in (key, right_time)
+    ]
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_time).cast("timestamp").alias("_rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None)
+        .cast(r.schema["_payload"].dataType)
+        .alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    both = r.unionByName(l)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal time -> <= matches
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    matched = both.withColumn(
+        "_m", F.last(F.col("_payload"), ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        gap = F.abs(
+            F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_m._rt"))
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_ms), F.col("_m"))
+        )
+    out_cols = [
+        F.col(f"_l_{c}").alias(c) for c in left.columns
+    ] + [F.col("_m._rt").alias(f"right_{right_time}")] + [
+        F.col(f"_m.{c}").alias(c) for c in payload_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_time: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    key: str | None = None,
+    band_seconds: int | None = None,
+) -> DataFrame:
+    """Inner point-in-interval join: every (fact, interval) pair with
+    ``start <= fact_time < end`` (and equal ``key`` when given).
+
+    Banding keeps it an equi-join: intervals explode to the band ids
+    they overlap (``sequence`` — in-row, bounded by len/width), facts
+    compute one band id, and the exact half-open containment filter
+    runs after the hash join.  A fact lands in ONE band, and an
+    interval appears once per band it overlaps, so no dedup is needed.
+    ``band_seconds`` defaults to the mean interval length (one scalar
+    aggregate over the intervals — at 100 TB the intervals table is
+    the small side: sessions, campaigns, outage windows)."""
+    if band_seconds is None:
+        row = intervals.select(
+            F.avg(
+                F.unix_timestamp(end_col) - F.unix_timestamp(start_col)
+            ).alias("w")
+        ).first()
+        band_seconds = max(int(row["w"] or 1), 1)
+    band = F.lit(band_seconds)
+    iv = intervals.withColumn(
+        "_band",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / band).cast("bigint"),
+                (F.unix_timestamp(end_col) / band).cast("bigint"),
+            )
+        ),
+    )
+    fx = facts.withColumn(
+        "_band", (F.unix_timestamp(fact_time) / band).cast("bigint")
+    )
+    on = [fx["_band"] == iv["_band"]]
+    if key is not None:
+        on.append(fx[key] == iv[key])
+    joined = fx.join(iv, on, "inner").filter(
+        (fx[fact_time] >= iv[start_col]) & (fx[fact_time] < iv[end_col])
+    )
+    keep = [fx[c] for c in facts.columns] + [
+        iv[c] for c in intervals.columns if c != key
+    ]
+    return joined.select(*keep)

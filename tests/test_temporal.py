@@ -1,0 +1,226 @@
+"""As-of and range joins (operators/temporal.py) vs DuckDB.
+
+DuckDB ships a NATIVE ``ASOF JOIN`` — the oracle is the real operator,
+not a replica — and the range join is oracled against a plain
+inequality join.  Plans are pinned shuffle-shaped: no
+BroadcastNestedLoopJoin, no CartesianProduct.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+QUOTES = [  # (sym_id, ts, px)
+    (1, _ts(0), 10.0),
+    (1, _ts(5), 11.0),
+    (1, _ts(20), 12.0),
+    (2, _ts(3), 100.0),
+    (3, _ts(50), 7.0),  # only AFTER all of sym 3's trades
+]
+TRADES = [  # (trade_id, sym_id, ts, qty)
+    (0, 1, _ts(0), 5),    # tie: equal timestamps match
+    (1, 1, _ts(7), 2),
+    (2, 1, _ts(30), 9),
+    (3, 2, _ts(2), 1),    # before any quote -> no match
+    (4, 2, _ts(59), 4),
+    (5, 3, _ts(10), 8),   # backward: none; forward: the _ts(50) quote
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    quotes = spark.createDataFrame(
+        QUOTES, "sym_id bigint, ts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        TRADES, "trade_id bigint, sym_id bigint, ts timestamp, qty bigint"
+    )
+    return trades, quotes
+
+
+def _duck_asof(direction="backward", tolerance=None):
+    con = duckdb.connect()
+    con.execute(
+        "create table trades(trade_id bigint, sym_id bigint, ts timestamp, qty bigint)"
+    )
+    con.execute(
+        "create table quotes(sym_id bigint, ts timestamp, px double)"
+    )
+    con.executemany("insert into trades values (?,?,?,?)", TRADES)
+    con.executemany("insert into quotes values (?,?,?)", QUOTES)
+    op = ">=" if direction == "backward" else "<="
+    # DuckDB allows ONE asof inequality; tolerance is a post-filter
+    # nulling matches staler than the bound (same as our operator)
+    ok = "true"
+    if tolerance is not None:
+        ok = f"abs(epoch(t.ts) - epoch(q.ts)) <= {tolerance * 60}"
+    rows = con.execute(
+        f"""
+        select t.trade_id, t.sym_id, t.ts, t.qty,
+               case when {ok} then q.ts end,
+               case when {ok} then q.px end
+        from trades t asof left join quotes q
+          on t.sym_id = q.sym_id and t.ts {op} q.ts
+        order by t.trade_id
+        """
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _spark_rows(df):
+    return [
+        (r.trade_id, r.sym_id, r.ts, r.qty, r.right_ts, r.px)
+        for r in df.orderBy("trade_id").collect()
+    ]
+
+
+def test_asof_backward_matches_duckdb(spark, frames):
+    trades, quotes = frames
+    got = _spark_rows(asof_join(trades, quotes, key="sym_id"))
+    assert got == _duck_asof("backward")
+    # spot semantics: tie matched, pre-first-quote row unmatched
+    by_id = {g[0]: g for g in got}
+    assert by_id[0][5] == 10.0
+    assert by_id[3][5] is None
+    assert by_id[5][5] is None
+
+
+def test_asof_forward_matches_duckdb(spark, frames):
+    trades, quotes = frames
+    got = _spark_rows(
+        asof_join(trades, quotes, key="sym_id", direction="forward")
+    )
+    assert got == _duck_asof("forward")
+    assert {g[0]: g for g in got}[5][5] == 7.0  # sym 3 future quote
+
+
+def test_asof_tolerance(spark, frames):
+    trades, quotes = frames
+    got = _spark_rows(
+        asof_join(trades, quotes, key="sym_id", tolerance_ms=10 * 60 * 1000)
+    )
+    assert got == _duck_asof("backward", tolerance=10)
+    # trade 2 at minute 30: nearest quote minute 20 -> within 10 min,
+    # trade 4 at minute 59: nearest quote minute 3 -> nulled
+    by_id = {g[0]: g for g in got}
+    assert by_id[2][5] == 12.0
+    assert by_id[4][5] is None
+
+
+def test_asof_plan_single_shuffle_no_nlj(spark, frames):
+    trades, quotes = frames
+    plan = (
+        asof_join(trades, quotes, key="sym_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BroadcastNestedLoop", "CartesianProduct", "SortMergeJoin"):
+        assert bad not in plan, plan
+    # union + one keyed window: exchanges only hash-partition on _k
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+INTERVALS = [  # (campaign, sym_id, start, end)
+    ("a", 1, _ts(0), _ts(10)),
+    ("b", 1, _ts(6), _ts(31)),   # overlaps a
+    ("c", 2, _ts(0), _ts(5)),
+    ("d", 3, _ts(40), _ts(55)),
+]
+
+
+def test_range_join_matches_inequality_oracle(spark, frames):
+    trades, _ = frames
+    iv = spark.createDataFrame(
+        INTERVALS,
+        "campaign string, sym_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.trade_id, r.campaign)
+        for r in range_join(
+            trades, iv, fact_time="ts", key="sym_id", band_seconds=300
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create table trades(trade_id bigint, sym_id bigint, ts timestamp, qty bigint)"
+    )
+    con.execute(
+        "create table iv(campaign varchar, sym_id bigint, start_ts timestamp, end_ts timestamp)"
+    )
+    con.executemany("insert into trades values (?,?,?,?)", TRADES)
+    con.executemany("insert into iv values (?,?,?,?)", INTERVALS)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            select t.trade_id, i.campaign from trades t join iv i
+            on t.sym_id = i.sym_id
+               and t.ts >= i.start_ts and t.ts < i.end_ts
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) >= 4  # incl. the a/b overlap double-hit
+
+
+def test_range_join_default_band_width(spark, frames):
+    trades, _ = frames
+    iv = spark.createDataFrame(
+        INTERVALS,
+        "campaign string, sym_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    a = sorted(
+        (r.trade_id, r.campaign)
+        for r in range_join(trades, iv, key="sym_id").collect()
+    )
+    b = sorted(
+        (r.trade_id, r.campaign)
+        for r in range_join(trades, iv, key="sym_id", band_seconds=60).collect()
+    )
+    assert a == b  # band width never changes the result, only the plan
+
+
+def test_range_join_plan_is_equi(spark, frames):
+    trades, _ = frames
+    iv = spark.createDataFrame(
+        INTERVALS,
+        "campaign string, sym_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    plan = (
+        range_join(trades, iv, key="sym_id", band_seconds=300)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan, plan
+
+
+def test_asof_on_events_table(spark, sf_dir):
+    """Real-table smoke: each error event picks up the most recent
+    prior signup of the same user (self as-of)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    out = asof_join(errors, signups, key="user_id")
+    rows = out.collect()
+    assert len(rows) == errors.count()
+    matched = [r for r in rows if r.right_ts is not None]
+    assert matched and all(r.right_ts <= r.ts for r in matched)
