@@ -133,20 +133,48 @@ def range_join(
     ``band_seconds`` defaults to the mean interval length (one scalar
     aggregate over the intervals — at 100 TB the intervals table is
     the small side: sessions, campaigns, outage windows)."""
+    # facts' band range clamps interval expansion: bands no fact falls
+    # in can never produce a match, and without the clamp an OPEN-ENDED
+    # interval (SCD2's year-9999 valid_to) would explode to millions of
+    # band rows.  min/max over the fact time is one map-side-combined
+    # scalar aggregate (parquet column stats make it near-free).
+    fb = facts.select(
+        F.min(F.unix_timestamp(fact_time)).alias("lo"),
+        F.max(F.unix_timestamp(fact_time)).alias("hi"),
+    ).first()
+    if fb["lo"] is None:
+        empty_iv = intervals.limit(0)
+        keep0 = [facts[c] for c in facts.columns] + [
+            empty_iv[c] for c in intervals.columns if c != key
+        ]
+        return facts.limit(0).crossJoin(empty_iv).select(*keep0)
     if band_seconds is None:
+        # mean CLAMPED interval length (open-ended intervals would
+        # otherwise drag the mean - and the band width - to infinity)
         row = intervals.select(
             F.avg(
-                F.unix_timestamp(end_col) - F.unix_timestamp(start_col)
+                F.least(F.unix_timestamp(end_col), F.lit(fb["hi"] + 1))
+                - F.greatest(F.unix_timestamp(start_col), F.lit(fb["lo"]))
             ).alias("w")
         ).first()
         band_seconds = max(int(row["w"] or 1), 1)
     band = F.lit(band_seconds)
-    iv = intervals.withColumn(
+    lo_band, hi_band = fb["lo"] // band_seconds, fb["hi"] // band_seconds
+    iv = intervals.filter(
+        (F.unix_timestamp(end_col) >= F.lit(fb["lo"]))
+        & (F.unix_timestamp(start_col) <= F.lit(fb["hi"]))
+    ).withColumn(
         "_band",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(start_col) / band).cast("bigint"),
-                (F.unix_timestamp(end_col) / band).cast("bigint"),
+                F.greatest(
+                    (F.unix_timestamp(start_col) / band).cast("bigint"),
+                    F.lit(lo_band),
+                ),
+                F.least(
+                    (F.unix_timestamp(end_col) / band).cast("bigint"),
+                    F.lit(hi_band),
+                ),
             )
         ),
     )
@@ -163,3 +191,41 @@ def range_join(
         iv[c] for c in intervals.columns if c != key
     ]
     return joined.select(*keep)
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key: str,
+    change_time: str = "ts",
+    open_end: str = "9999-12-31 23:59:59",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change log: each
+    (key, attributes) change row becomes a validity interval
+    [valid_from, valid_to) closed by the key's NEXT change (``lead``
+    over one keyed window; the latest row stays open until
+    ``open_end``), plus an ``is_current`` flag.
+
+    The output is exactly what :func:`range_join`/:func:`asof_join`
+    consume as the dimension side — changelog -> SCD2 -> point-in-time
+    enrichment without ever materializing per-day snapshots.  One hash
+    shuffle on the key, same shape as any windowed dedup; late
+    replayed duplicates (same key+time) should be dropped upstream
+    (``dropDuplicates([key, change_time])``) to keep intervals
+    well-formed."""
+    w = Window.partitionBy(key).orderBy(F.col(change_time).asc())
+    return (
+        changes.withColumn(
+            "valid_from", F.col(change_time).cast("timestamp")
+        )
+        .withColumn(
+            "valid_to",
+            F.coalesce(
+                F.lead(F.col(change_time).cast("timestamp")).over(w),
+                F.lit(open_end).cast("timestamp"),
+            ),
+        )
+        .withColumn(
+            "is_current", F.col("valid_to") == F.lit(open_end).cast("timestamp")
+        )
+        .drop(change_time)
+    )

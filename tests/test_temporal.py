@@ -224,3 +224,60 @@ def test_asof_on_events_table(spark, sf_dir):
     assert len(rows) == errors.count()
     matched = [r for r in rows if r.right_ts is not None]
     assert matched and all(r.right_ts <= r.ts for r in matched)
+
+
+def test_scd2_from_changelog(spark):
+    """SCD2 intervals vs a DuckDB lead() replica, and the composition:
+    scd2 -> range_join answers point-in-time attribute lookups."""
+    from jobcan_data_integrator_spark.operators.temporal import (
+        scd2_from_changelog,
+    )
+
+    CHANGES = [  # (user_id, ts, plan)
+        (1, _ts(0), "free"),
+        (1, _ts(10), "pro"),
+        (1, _ts(40), "free"),
+        (2, _ts(5), "pro"),
+    ]
+    ch = spark.createDataFrame(CHANGES, "user_id bigint, ts timestamp, plan string")
+    dim = scd2_from_changelog(ch, key="user_id")
+    got = sorted(
+        (r.user_id, r.plan, r.valid_from, r.valid_to, r.is_current)
+        for r in dim.collect()
+    )
+    con = duckdb.connect()
+    con.execute("create table ch(user_id bigint, ts timestamp, plan varchar)")
+    con.executemany("insert into ch values (?,?,?)", CHANGES)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            select user_id, plan, ts,
+                   coalesce(lead(ts) over (partition by user_id order by ts),
+                            timestamp '9999-12-31 23:59:59'),
+                   lead(ts) over (partition by user_id order by ts) is null
+            from ch
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+
+    # composition: point-in-time lookups through range_join
+    lookups = spark.createDataFrame(
+        [(100, 1, _ts(15)), (101, 1, _ts(45)), (102, 2, _ts(6))],
+        "q bigint, user_id bigint, ts timestamp",
+    )
+    out = {
+        r.q: r.plan
+        for r in range_join(
+            lookups,
+            dim,
+            fact_time="ts",
+            start_col="valid_from",
+            end_col="valid_to",
+            key="user_id",
+            band_seconds=3600,
+        ).collect()
+    }
+    assert out == {100: "pro", 101: "free", 102: "pro"}
