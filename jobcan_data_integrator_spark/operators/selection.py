@@ -195,3 +195,33 @@ def dsir_select(weighted: DataFrame, k: int) -> DataFrame:
         .limit(k)
         .select("doc_id")
     )
+
+
+def sample_per_cluster(
+    df: DataFrame,
+    k: int,
+    cluster_col: str = "cluster",
+    id_col: str = "doc_id",
+    salt: str = "cluster-sample",
+) -> DataFrame:
+    """Deterministic cluster-balanced sampling: keep at most ``k`` rows
+    per cluster, chosen by md5(salt | id) rank — the topic-balancing
+    step after k-means / SemDeDup cell assignment (uniform sampling
+    over a skewed cluster distribution reproduces the skew; per-cluster
+    caps flatten it).
+
+    No RNG state: the same (corpus, salt, k) selects the same rows on
+    any engine or partitioning, and changing the salt re-draws — the
+    same md5-bucket stance as the stratified sampler (gate/llm.py) and
+    the packer's shuffled order.  One hash shuffle on the cluster key;
+    the window is rank-only (no full sort materialization beyond the
+    per-cluster ordering any top-k needs)."""
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(cluster_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
