@@ -229,3 +229,57 @@ def scd2_from_changelog(
         )
         .drop(change_time)
     )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    tolerance_ms: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """:func:`asof_join` for a SMALL right side — the 100 TB scale path
+    when the dimension fits in a broadcast (quotes-per-symbol, config
+    snapshots, SCD2 dims): the right side collapses to one row per key
+    holding its time-sorted (time, payload) array, that tiny table is
+    broadcast-hash-joined onto the facts, and the match is an in-row
+    ``filter`` + last/first element.  The fact table is NEVER shuffled
+    or sorted — the plan is scan -> BHJ -> project, fully narrow,
+    where :func:`asof_join` pays one hash exchange + per-key sort over
+    the combined volume.
+
+    Semantics are identical to :func:`asof_join` (tie-inclusive,
+    backward/forward, tolerance nulls stale matches) — pinned
+    row-for-row against it in tests/test_temporal.py."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    payload_cols = [c for c in right.columns if c not in (key, right_time)]
+    rg = right.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(right_time).cast("timestamp").alias("_rt"),
+                    *[F.col(c) for c in payload_cols],
+                )
+            )
+        ).alias("_rts")
+    )
+    lt = F.col(left_time).cast("timestamp")
+    if direction == "backward":
+        cand = F.filter(F.col("_rts"), lambda s: s["_rt"] <= lt)
+        pick = F.element_at(cand, -1)
+    else:
+        cand = F.filter(F.col("_rts"), lambda s: s["_rt"] >= lt)
+        pick = F.element_at(cand, 1)
+    m = F.when(F.size(cand) > 0, pick)
+    if tolerance_ms is not None:
+        gap = F.abs(F.unix_millis(lt) - F.unix_millis(m["_rt"]))
+        m = F.when(gap <= F.lit(tolerance_ms), m)
+    joined = left.join(F.broadcast(rg), key, "left")
+    return joined.select(
+        *[F.col(c) for c in left.columns],
+        m["_rt"].alias(f"right_{right_time}"),
+        *[m[c].alias(c) for c in payload_cols],
+    )

@@ -281,3 +281,46 @@ def test_scd2_from_changelog(spark):
         ).collect()
     }
     assert out == {100: "pro", 101: "free", 102: "pro"}
+
+
+def test_asof_broadcast_equals_shuffle_variant(spark, frames):
+    """The broadcast formulation is row-for-row identical to the
+    union+window one across directions and tolerance settings."""
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    trades, quotes = frames
+    for kwargs in (
+        {},
+        {"direction": "forward"},
+        {"tolerance_ms": 10 * 60 * 1000},
+        {"direction": "forward", "tolerance_ms": 5 * 60 * 1000},
+    ):
+        a = _spark_rows(asof_join(trades, quotes, key="sym_id", **kwargs))
+        b = _spark_rows(
+            asof_join_broadcast(trades, quotes, key="sym_id", **kwargs)
+        )
+        assert a == b, kwargs
+
+
+def test_asof_broadcast_plan_never_shuffles_facts(spark, frames):
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    trades, quotes = frames
+    plan = (
+        asof_join_broadcast(trades, quotes, key="sym_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan, plan
+    # fact side stays unshuffled and unsorted: the union+window
+    # variant's Window/Sort nodes must be absent, and the single
+    # hashpartitioning exchange belongs to the right-side groupBy
+    assert "Window" not in plan and "Sort " not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
