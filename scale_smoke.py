@@ -264,6 +264,38 @@ def layered_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
     return round(sorted(times)[1], 3)
 
 
+#: as-of join 10x budget: one hash shuffle + keyed sort, so 10x events
+#: should cost ~linear; flag beyond this
+TEMPORAL_BUDGET = 10.0
+
+
+def temporal_experiment(spark, sf_dir: str) -> float:
+    """Median-of-3 as-of join over the events table: every error event
+    picks up its most recent prior signup (operators/temporal.py) —
+    the union+window formulation whose cost should track the event
+    volume linearly."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event")
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        asof_join(errors, signups, key="user_id").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     queries = _gate.queries()
     out: dict[str, float] = {}
@@ -322,6 +354,11 @@ def main() -> None:
     )
     inc_ratio = round(inc1 / inc01, 2) if inc01 else None
 
+    # as-of join: 10x events, expect ~linear
+    tmp01 = temporal_experiment(spark, SRC_SF)
+    tmp1 = temporal_experiment(spark, str(out_dir))
+    tmp_ratio = round(tmp1 / tmp01, 2) if tmp01 else None
+
     # layered snapshot store: the same probe over a 3-layer stack
     lay01 = layered_experiment(
         spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_layidx01"
@@ -338,6 +375,8 @@ def main() -> None:
         flagged["dedup_increment@10x"] = inc_ratio
     if lay_ratio and lay_ratio > LAYER_BUDGET:
         flagged["dedup_increment@layers"] = lay_ratio
+    if tmp_ratio and tmp_ratio > TEMPORAL_BUDGET:
+        flagged["asof_join@10x"] = tmp_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
@@ -354,6 +393,12 @@ def main() -> None:
                                       "bucket-pruned MinHash index; buckets "
                                       "64 -> 640 so bucket size stays "
                                       "constant (median of 3)"},
+                      "temporal": {"op": "asof_join_errors_signups",
+                                   "sf01_sec": tmp01, "sf1_sec": tmp1,
+                                   "ratio": tmp_ratio,
+                                   "budget": TEMPORAL_BUDGET,
+                                   "note": "union+keyed-window as-of join "
+                                   "over events, 10x volume (median of 3)"},
                       "layered": {"op": "dedup_increment@snapshot-layers",
                                   "sf01_sec": lay01,
                                   "plain_sf01_sec": inc01,
