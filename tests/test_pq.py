@@ -1,0 +1,167 @@
+"""Product quantization (operators/pq.py) vs a NumPy replica.
+
+The replica re-implements the exact integer pipeline — floor(x*1000)
+quantization, max-dot assignment with lowest-cell ties, floor(sum/n)
+Lloyd updates, ADC decomposition — so codebooks, codes, and ADC
+scores are compared BIT-EXACTLY, and the ADC identity (score ==
+dot(query, reconstruction)) is asserted rather than assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    train_pq,
+)
+
+N, DIM, M, K, ITERS = 40, 16, 4, 4, 2
+D_SUB = DIM // M
+
+
+def _vectors() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    base = rng.randn(N, DIM)
+    base[N // 2 :] = base[: N // 2] + rng.randn(N // 2, DIM) * 0.05
+    return base.round(4)
+
+
+def _replica():
+    """codebooks[sub][cell] -> np.array, codes[vec] -> list, exactly
+    mirroring train_pq/pq_encode's integer math."""
+    vq = np.floor(_vectors() * 1000).astype(np.int64)
+    subs = [vq[:, s * D_SUB : (s + 1) * D_SUB] for s in range(M)]
+    books = [{c: subs[s][c].copy() for c in range(K)} for s in range(M)]
+
+    def assign(s, x):
+        best_dot, best_cell = None, None
+        for c in sorted(books[s]):
+            d = int(x @ books[s][c])
+            if best_dot is None or d > best_dot:
+                best_dot, best_cell = d, c
+        return best_cell
+
+    for _ in range(ITERS):
+        for s in range(M):
+            members: dict[int, list[np.ndarray]] = {}
+            for i in range(N):
+                members.setdefault(assign(s, subs[s][i]), []).append(subs[s][i])
+            books[s] = {
+                c: np.floor(
+                    np.sum(rows, axis=0) / len(rows)
+                ).astype(np.int64)
+                for c, rows in members.items()
+            }
+    codes = [[assign(s, subs[s][i]) for s in range(M)] for i in range(N)]
+    return vq, books, codes
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = _vectors()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N)],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_train_pq_matches_numpy(spark, emb):
+    got = {
+        (r.sub, r.cell_id): list(r.cq)
+        for r in train_pq(emb, m=M, k=K, iters=ITERS).collect()
+    }
+    _, books, _ = _replica()
+    want = {
+        (s, c): list(books[s][c]) for s in range(M) for c in books[s]
+    }
+    assert got == want
+
+
+def test_pq_encode_matches_numpy(spark, emb):
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    got = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb, m=M).collect()}
+    _, _, codes = _replica()
+    assert got == {i: codes[i] for i in range(N)}
+
+
+def test_adc_identity_and_topk(spark, emb):
+    """ADC score == integer dot(query, reconstructed vector), and the
+    returned top-k is the true top-k under that score."""
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    codes_df = pq_encode(emb, cb, m=M)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_search(codes_df, cb, queries, k=5).collect()
+    vq, books, codes = _replica()
+
+    def adc(qi, vi):
+        return sum(
+            int(
+                vq[qi, s * D_SUB : (s + 1) * D_SUB] @ books[s][codes[vi][s]]
+            )
+            for s in range(M)
+        )
+
+    for r in out:
+        assert r.adc_score == adc(r.query_id, r.vec_id), (r.query_id, r.vec_id)
+    for qi in range(3):
+        want = sorted(
+            ((adc(qi, vi), vi) for vi in range(N) if vi != qi),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        got = sorted(
+            ((r.adc_score, r.vec_id) for r in out if r.query_id == qi),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert got == want, qi
+
+
+def test_pq_compression_is_lossy_but_close(spark, emb):
+    """The planted near-duplicate (vec i vs vec i+N/2) should rank in
+    each other's ADC top-5 — compression preserves neighborhoods."""
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    codes_df = pq_encode(emb, cb, m=M)
+    queries = emb.filter(F.col("vec_id") < 5)
+    top = pq_search(codes_df, cb, queries, k=5).collect()
+    hits = sum(
+        1
+        for q in range(5)
+        if any(r.vec_id == q + N // 2 for r in top if r.query_id == q)
+    )
+    assert hits >= 4  # lossy, so allow one miss
+
+
+def test_encode_plan_is_pure_map(spark, emb):
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    plan = (
+        pq_encode(emb, cb, m=M)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    # the corpus side is never hash-shuffled: the only exchanges build
+    # the broadcast codebook row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dim_must_divide(spark, emb):
+    with pytest.raises(ValueError, match="must divide"):
+        train_pq(emb, m=5, k=K)
+
+
+def test_pq_on_real_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = train_pq(emb, m=8, k=16, iters=2)
+    assert cb.count() <= 8 * 16
+    codes = pq_encode(emb, cb, m=8)
+    row = codes.first()
+    assert len(row.codes) == 8
+    out = pq_search(codes, cb, emb.filter(F.col("vec_id") < 2), k=5)
+    assert out.count() == 10
