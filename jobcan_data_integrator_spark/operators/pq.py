@@ -157,13 +157,33 @@ def pq_search(
     in-row sum of m array lookups; ranking is the per-query window
     every ANN variant here uses.  Deterministic ties: score desc,
     vec_id asc."""
+    scored = (
+        codes.crossJoin(F.broadcast(_query_luts(queries, codebooks)))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", _adc_score().alias("adc_score"))
+    )
+    return _topk(scored, k)
+
+
+def _adc_score():
+    """Per-candidate ADC score: sum over subs of LUT[sub*1000 + code]."""
+    return F.expr(
+        "aggregate(transform(sequence(0, size(codes) - 1),"
+        " i -> element_at(lut, i * 1000 + codes[i])),"
+        " 0L, (s, v) -> s + v)"
+    )
+
+
+def _query_luts(queries: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(query_id, lut): the ADC lookup table per query — keyed
+    sub*1000+cell as a MAP, not a positional array (cells that lose
+    all members during training leave index gaps a positional lookup
+    would mis-align on).  Built by a (queries x m*k codebook rows)
+    join — both tiny."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), quantized_expr().alias("qq")
     )
-    # LUT keyed sub*1000+cell (a MAP, not a positional array — cells
-    # that lose all members during training leave index gaps a
-    # positional lookup would mis-align on)
-    lut = (
+    return (
         q.crossJoin(codebooks)
         .select(
             "query_id",
@@ -180,27 +200,10 @@ def pq_search(
                 F.array_sort(F.collect_list(F.struct("sc", "dot")))
             ).alias("lut")
         )
-        .agg(F.collect_list(F.struct("query_id", "lut")).alias("qs"))
     )
-    score = (
-        "aggregate(transform(sequence(0, size(codes) - 1),"
-        " i -> element_at(q.lut, i * 1000 + codes[i])),"
-        " 0L, (s, v) -> s + v)"
-    )
-    scored = (
-        codes.crossJoin(F.broadcast(lut))
-        .select(
-            "vec_id",
-            "codes",
-            F.explode("qs").alias("q"),
-        )
-        .filter(F.col("q.query_id") != F.col("vec_id"))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            "vec_id",
-            F.expr(score).alias("adc_score"),
-        )
-    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("vec_id").asc()
     )
@@ -208,3 +211,45 @@ def pq_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_topk_ivfpq(
+    codes: DataFrame,
+    assignments: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The FAISS-IVFPQ serving composition: coarse-probe ``n_probe``
+    IVF cells (operators/similarity.probe_cells, in-row against the
+    broadcast coarse codebook), then ADC-score ONLY the candidates in
+    those cells from their PQ codes — the original embeddings are
+    never read at search time.
+
+    At 100 TB: the codes table is ~8 bytes/vector (vs 256+ for raw
+    floats), clustered by ``cell_id`` so each probe scans
+    n_probe/n_cells of it, and every per-candidate operation is an
+    in-row map against broadcast state.  Exactly the probe-prune
+    stance of the IVF-flat path, with PQ removing the embedding I/O.
+
+    ``assignments`` is (vec_id, cell_id) from the coarse quantizer
+    (train_ivf_centroids / assign_cells); results carry the same
+    deterministic (score desc, vec_id asc) ranking as pq_search."""
+    from jobcan_data_integrator_spark.operators.similarity import probe_cells
+
+    probe = probe_cells(
+        queries.select("vec_id", quantized_expr().alias("q")),
+        centroids,
+        n_probe,
+    ).withColumnRenamed("vec_id", "query_id")
+    scored = (
+        F.broadcast(probe)
+        .join(assignments, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(_query_luts(queries, codebooks)), "query_id")
+        .select("query_id", "vec_id", _adc_score().alias("adc_score"))
+    )
+    return _topk(scored, k)

@@ -165,3 +165,51 @@ def test_pq_on_real_embeddings(spark, sf_dir):
     assert len(row.codes) == 8
     out = pq_search(codes, cb, emb.filter(F.col("vec_id") < 2), k=5)
     assert out.count() == 10
+
+
+def test_ivfpq_full_probe_equals_brute_adc(spark, emb):
+    """Probing ALL coarse cells makes IVFPQ exactly pq_search — the
+    composition loses nothing but the pruning."""
+    from jobcan_data_integrator_spark.operators.pq import ann_topk_ivfpq
+    from jobcan_data_integrator_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    codes_df = pq_encode(emb, cb, m=M)
+    cent, assign = train_ivf_centroids(emb, n_cells=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = sorted(
+        (r.query_id, r.vec_id, r.adc_score, r.rank)
+        for r in ann_topk_ivfpq(
+            codes_df, assign, cb, cent, queries, k=5, n_probe=4
+        ).collect()
+    )
+    brute = sorted(
+        (r.query_id, r.vec_id, r.adc_score, r.rank)
+        for r in pq_search(codes_df, cb, queries, k=5).collect()
+    )
+    assert full == brute
+
+
+def test_ivfpq_pruned_probe_recall(spark, emb):
+    """n_probe=2 of 4 cells: results are a subset of each query's
+    candidate cells and still find the planted near-duplicate."""
+    from jobcan_data_integrator_spark.operators.pq import ann_topk_ivfpq
+    from jobcan_data_integrator_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    cb = train_pq(emb, m=M, k=K, iters=ITERS)
+    codes_df = pq_encode(emb, cb, m=M)
+    cent, assign = train_ivf_centroids(emb, n_cells=4, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ann_topk_ivfpq(
+        codes_df, assign, cb, cent, queries, k=5, n_probe=2
+    ).collect()
+    hits = sum(
+        1
+        for q in range(5)
+        if any(r.vec_id == q + N // 2 for r in out if r.query_id == q)
+    )
+    assert hits >= 4  # near-dups co-locate in the probed cells
