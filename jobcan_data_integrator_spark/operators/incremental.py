@@ -1,8 +1,9 @@
 """Incremental (new-vs-corpus) deduplication and ANN indexing over
-persisted index tables — eight families: exact-dedup hashes, MinHash
+persisted index tables — ten families: exact-dedup hashes, MinHash
 bands, SimHash blocks, embedding LSH buckets, IVF cell assignments,
-SemDeDup pairs, ExactSubstr span hashes, and n-gram LM counts
-(perplexity scoring at ingest).
+SemDeDup pairs, ExactSubstr span hashes, n-gram LM counts (perplexity
+scoring at ingest), boilerplate line-stats (line cleaning at ingest),
+and PQ codes (compressed ANN serving).
 
 A 100 TB training pipeline cannot re-dedup the whole corpus for every
 ingest batch — the full-corpus LSH pipeline (gate/llm.py
@@ -1341,3 +1342,67 @@ def extend_line_index(
         ["batch_id"],
     )
     store.end_commit()
+
+
+# ---------------------------------------------------------------------------
+# PQ code index (compressed ANN serving — the 10th family): persist the
+# trained product-quantization codebook and every vector's codes so ADC
+# search runs against ~8-byte rows, and each ingest batch encodes
+# itself against the FROZEN codebook (the standard PQ stance: the
+# codebook trains once on a representative sample; re-training would
+# silently invalidate every stored code).
+# ---------------------------------------------------------------------------
+
+PQ_TABLES = ("pq_codebooks", "pq_codes")
+
+
+def pq_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    """Bucket the codes by vec_id (point lookups / joins prune); the
+    codebook is m*k rows — below any useful bucketing."""
+    return {"pq_codes": ("vec_id", n)}
+
+
+def build_pq_index(
+    store: TableStore, emb: DataFrame, m: int = 8, k: int = 16, iters: int = 2
+) -> None:
+    """Train the PQ codebook on the initial corpus and persist it with
+    every vector's codes (operators/pq.py)."""
+    from jobcan_data_integrator_spark.operators.pq import pq_encode, train_pq
+
+    cb = train_pq(emb, m=m, k=k, iters=iters).localCheckpoint(eager=True)
+    store.begin_commit("pq-index-build", list(PQ_TABLES))
+    store.overwrite("pq_codebooks", cb)
+    store.overwrite("pq_codes", pq_encode(emb, cb, m=m))
+    store.end_commit()
+
+
+def encode_pq_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
+    """(vec_id, codes) for an increment against the STORED frozen
+    codebook — a pure map over the increment (the corpus is never
+    touched; the codebook is the whole interface)."""
+    from jobcan_data_integrator_spark.operators.pq import pq_encode
+
+    cb = store.read("pq_codebooks")
+    m = cb.select(F.max("sub")).first()[0] + 1
+    return pq_encode(new_emb, cb, m=m)
+
+
+def extend_pq_index(store: TableStore, new_codes: DataFrame) -> None:
+    """Absorb an increment's codes — keyed by vec_id, so replays insert
+    nothing (plain idempotent-merge contract, no batch ledger needed)."""
+    new_codes = new_codes.localCheckpoint(eager=True)
+    store.begin_commit("pq-index-extend", list(PQ_TABLES))
+    store.merge_insert_missing("pq_codes", new_codes, ["vec_id"])
+    store.end_commit()
+
+
+def pq_search_indexed(
+    store: TableStore, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """ADC top-k served entirely from the persisted index — codes +
+    codebook, never the embeddings (operators/pq.pq_search)."""
+    from jobcan_data_integrator_spark.operators.pq import pq_search
+
+    return pq_search(
+        store.read("pq_codes"), store.read("pq_codebooks"), queries, k=k
+    )

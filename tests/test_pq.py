@@ -213,3 +213,51 @@ def test_ivfpq_pruned_probe_recall(spark, emb):
         if any(r.vec_id == q + N // 2 for r in out if r.query_id == q)
     )
     assert hits >= 4  # near-dups co-locate in the probed cells
+
+
+def test_pq_index_family(spark, emb, tmp_path):
+    """10th index family: build on half the corpus, encode+absorb the
+    other half against the FROZEN codebook; the served search equals
+    direct pq_search over (frozen-codebook) codes of the full corpus,
+    and replayed extends insert nothing."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_pq_index,
+        encode_pq_increment,
+        extend_pq_index,
+        pq_index_buckets,
+        pq_search_indexed,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        bucketed=pq_index_buckets(4),
+        snapshot_isolation=True,
+    )
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    build_pq_index(store, half_a, m=M, k=K, iters=ITERS)
+    inc = encode_pq_increment(store, half_b)
+    extend_pq_index(store, inc)
+    # frozen-codebook contract: stored codes == encode(full corpus)
+    cb = store.read("pq_codebooks")
+    want = {
+        r.vec_id: list(r.codes) for r in pq_encode(emb, cb, m=M).collect()
+    }
+    got = {r.vec_id: list(r.codes) for r in store.read("pq_codes").collect()}
+    assert got == want
+    # replayed extend inserts nothing
+    extend_pq_index(store, inc)
+    assert store.read("pq_codes").count() == N
+    # served search == direct search over the same codes
+    queries = emb.filter(F.col("vec_id") < 3)
+    served = sorted(
+        tuple(r) for r in pq_search_indexed(store, queries, k=5).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in pq_search(store.read("pq_codes"), cb, queries, k=5).collect()
+    )
+    assert served == direct and len(served) == 15
