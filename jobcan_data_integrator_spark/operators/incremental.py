@@ -1406,3 +1406,25 @@ def pq_search_indexed(
     return pq_search(
         store.read("pq_codes"), store.read("pq_codebooks"), queries, k=k
     )
+
+
+def ivfpq_search_indexed(
+    store: TableStore, queries: DataFrame, k: int = 5, n_probe: int = 2
+) -> DataFrame:
+    """IVFPQ served from TWO persisted families: the IVF coarse
+    quantizer's codebook + cell assignments (``ivf_codebook`` /
+    ``ivf_assignments``) prune candidates to the probed cells, and the PQ
+    family's codes + codebook ADC-score them — embeddings are read for
+    the QUERIES only.  On a store bucketed by vec_id the codes fetch
+    for candidates is additionally bucket-pruned."""
+    from jobcan_data_integrator_spark.operators.pq import ann_topk_ivfpq
+
+    return ann_topk_ivfpq(
+        store.read("pq_codes"),
+        store.read("ivf_assignments").select("vec_id", "cell_id"),
+        store.read("pq_codebooks"),
+        store.read("ivf_codebook"),
+        queries,
+        k=k,
+        n_probe=n_probe,
+    )

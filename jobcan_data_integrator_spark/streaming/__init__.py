@@ -505,3 +505,43 @@ def clean_documents_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def index_pq_stream(
+    emb: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+):
+    """Ingest-time PQ encoding: the FIRST micro-batch trains the frozen
+    codebook (the standard PQ stance — representative sample once,
+    offline retrain on drift, never per batch) and seeds ``pq_codes``;
+    every later batch encodes itself against the stored codebook in a
+    pure map and inserts its codes.  After the stream drains the index
+    serves ADC search (``pq_search_indexed``) over everything ingested.
+
+    Replay-safe with no ledger: codes are keyed by vec_id and encoding
+    under a frozen codebook is deterministic, so a redelivered batch
+    re-inserts identical rows that merge_insert_missing drops."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_pq_index,
+        encode_pq_increment,
+        extend_pq_index,
+    )
+
+    def _index(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+        if not store.exists("pq_codebooks"):
+            build_pq_index(store, b, m=m, k=k, iters=iters)
+        else:
+            extend_pq_index(store, encode_pq_increment(store, b))
+
+    return (
+        emb.writeStream.foreachBatch(_index)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
