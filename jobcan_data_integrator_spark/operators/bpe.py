@@ -227,3 +227,39 @@ def load_bpe(store) -> list[tuple[str, str]]:
         (r.a, r.b)
         for r in store.read("bpe_merges").orderBy("rank").collect()
     ]
+
+
+def bpe_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row tokenizer health report for a corpus under a merge list:
+    document/token/char counts, chars-per-token (the compression a
+    longer merge list buys), and the REALIZED vocabulary (distinct
+    tokens actually emitted — the working vocab size, which a too-small
+    merge list leaves near the alphabet and a converged one pushes
+    toward |merges| + alphabet).
+
+    One encode pass (narrow) + one global aggregate; the distinct-token
+    count shuffles token strings — at 100 TB swap it for the HLL sketch
+    (operators/sketch.py) exactly as corpus_report documents."""
+    enc = encode_bpe(docs, merges, text_col, "_toks").localCheckpoint(
+        eager=False
+    )
+    totals = enc.select(
+        F.size("_toks").alias("n_toks"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars") / F.sum("n_toks"), 4
+        ).alias("chars_per_token"),
+    )
+    vocab = (
+        enc.select(F.explode(F.array_distinct("_toks")).alias("t"))
+        .agg(F.count_distinct("t").alias("vocab_size"))
+    )
+    return totals.crossJoin(vocab)

@@ -247,3 +247,35 @@ def temperature_weights(
     scaled = {k: float(n) ** alpha for k, n in sizes.items()}
     denom = sum(scaled.values())
     return {k: (total * (scaled[k] / denom)) / sizes[k] for k in sizes}
+
+
+def write_shards(
+    packed: DataFrame,
+    out_dir: str,
+    format: str = "parquet",
+) -> DataFrame:
+    """Materialize a packed corpus as one file per shard under
+    ``out_dir/shard_id=N/`` — the final step after ``pack_shards``:
+    training jobs read whole shard directories sequentially.
+
+    ``repartition("shard_id")`` co-locates each shard in one task, so
+    ``partitionBy`` emits exactly one file per shard (no small-file
+    spray), and because shard assignment is deterministic the same
+    corpus + budget + salt always writes byte-identical shard contents.
+    Returns the (shard_id, n_docs, n_tokens) manifest — computed from
+    the SAME frame, one aggregate — which callers persist beside the
+    data as the shard inventory."""
+    packed = packed.localCheckpoint(eager=True)
+    tokens_col = "n_tokens" if "n_tokens" in packed.columns else None
+    aggs = [F.count("*").alias("n_docs")]
+    if tokens_col:
+        aggs.append(F.sum(tokens_col).cast("bigint").alias("n_tokens"))
+    manifest = packed.groupBy("shard_id").agg(*aggs).orderBy("shard_id")
+    (
+        packed.repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(out_dir)
+    )
+    return manifest

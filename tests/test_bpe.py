@@ -210,3 +210,22 @@ def test_token_counts_feed_pack_shards(spark, docs):
     for r in rows:
         assert r.cum_before == run
         run += r.n_bpe_tokens
+
+
+def test_bpe_stats(spark, docs):
+    from jobcan_data_integrator_spark.operators.bpe import bpe_stats
+
+    merges = train_bpe(docs, n_merges=10)
+    row = bpe_stats(docs, merges).collect()[0]
+    # replica
+    all_toks = []
+    total_chars = 0
+    for _, text in CORPUS:
+        all_toks.append(_replica_encode(text, merges))
+        total_chars += len(text)
+    total_tokens = sum(len(t) for t in all_toks)
+    assert row.n_docs == len(CORPUS)
+    assert row.total_tokens == total_tokens
+    assert row.total_chars == total_chars
+    assert row.chars_per_token == round(total_chars / total_tokens, 4)
+    assert row.vocab_size == len({t for ts in all_toks for t in ts})

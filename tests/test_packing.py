@@ -298,3 +298,36 @@ def test_temperature_weights_rebalance_toward_uniform():
         temperature_weights(sizes, alpha=0.0)
     with _pytest.raises(ValueError):
         temperature_weights({"a": 0}, alpha=0.5)
+
+
+def test_write_shards(spark, tmp_path):
+    from jobcan_data_integrator_spark.operators.packing import (
+        pack_shards,
+        write_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id bigint, n_tokens bigint"
+    )
+    packed = pack_shards(docs, budget=50)
+    out = str(tmp_path / "shards")
+    manifest = write_shards(packed, out).collect()
+    # manifest totals match the input
+    assert sum(r.n_docs for r in manifest) == 20
+    assert sum(r.n_tokens for r in manifest) == 200
+    # one data file per shard directory, contents read back exactly
+    import glob
+    import os
+
+    for r in manifest:
+        files = [
+            f
+            for f in glob.glob(os.path.join(out, f"shard_id={r.shard_id}", "*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, files
+    back = spark.read.parquet(out)
+    assert back.count() == 20
+    assert sorted(
+        (row.doc_id, row.shard_id) for row in back.collect()
+    ) == sorted((row.doc_id, row.shard_id) for row in packed.collect())
