@@ -49,6 +49,8 @@ def curate_corpus(
     docs: DataFrame,
     span: int = 8,
     min_tokens: int = 10,
+    normalize: bool = False,
+    normalize_nfkc: bool = False,
     line_clean: bool = False,
     line_max_doc_freq: int | None = None,
     max_pii_hits: int | None = None,
@@ -104,6 +106,17 @@ def curate_corpus(
     from jobcan_data_integrator_spark.operators.pii import scrub_pii
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    # -1. optional normalization (operators/normalize.py) FIRST — the
+    # CCNet ordering: byte-different renderings must collide in every
+    # downstream hash (exact dedup, span hashes, line stats)
+    if normalize:
+        from jobcan_data_integrator_spark.operators.normalize import (
+            normalize_text,
+        )
+
+        docs = normalize_text(docs, nfkc=normalize_nfkc)
+        stages.append(("normalized", docs))
 
     # 0. optional line-level cleaning (operators/lines.py), the stage
     # web pipelines run FIRST: C4 line heuristics + within-doc line

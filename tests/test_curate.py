@@ -167,3 +167,26 @@ def test_line_clean_stage(spark):
     assert texts[0].endswith("zero")
     # default: no line stage in the audit
     assert "line_cleaned" not in curate_corpus(docs, min_tokens=5).audit()
+
+
+def test_normalize_stage_collapses_render_variants(spark):
+    """normalize=True runs before every hash: two byte-different
+    renderings of one document exact-dedup to a single survivor."""
+    body = " ".join(f"w{i}" for i in range(12))
+    docs = _mk(
+        spark,
+        [
+            (0, f"Ｃａｆé   ﬁne {body}"),
+            (1, f"Café ﬁne {body}"),
+            (2, f"a different document {body}"),
+        ],
+    )
+    res = curate_corpus(
+        docs, min_tokens=5, normalize=True, normalize_nfkc=True,
+        chunk_tokens=8, chunk_overlap=2,
+    )
+    audit = res.audit()
+    assert audit["normalized"] == 3
+    assert audit["exact_deduped"] == 2  # doc 1 collapsed into doc 0
+    # without normalization they stay distinct
+    assert curate_corpus(docs, min_tokens=5).audit()["exact_deduped"] == 3
