@@ -233,6 +233,7 @@ def bpe_stats(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    approx_vocab: bool = False,
 ) -> DataFrame:
     """One-row tokenizer health report for a corpus under a merge list:
     document/token/char counts, chars-per-token (the compression a
@@ -241,9 +242,10 @@ def bpe_stats(
     merge list leaves near the alphabet and a converged one pushes
     toward |merges| + alphabet).
 
-    One encode pass (narrow) + one global aggregate; the distinct-token
-    count shuffles token strings — at 100 TB swap it for the HLL sketch
-    (operators/sketch.py) exactly as corpus_report documents."""
+    One encode pass (narrow) + one global aggregate.  The exact
+    distinct-token count shuffles token strings; ``approx_vocab=True``
+    swaps it for the HyperLogLog sketch (operators/sketch.py) — fixed
+    register memory at any corpus size, the 100 TB path."""
     enc = encode_bpe(docs, merges, text_col, "_toks").localCheckpoint(
         eager=False
     )
@@ -258,8 +260,16 @@ def bpe_stats(
             F.sum("n_chars") / F.sum("n_toks"), 4
         ).alias("chars_per_token"),
     )
-    vocab = (
-        enc.select(F.explode(F.array_distinct("_toks")).alias("t"))
-        .agg(F.count_distinct("t").alias("vocab_size"))
-    )
+    toks = enc.select(F.explode(F.array_distinct("_toks")).alias("t"))
+    if approx_vocab:
+        from jobcan_data_integrator_spark.operators.sketch import (
+            hll_count_distinct,
+        )
+
+        est = int(round(hll_count_distinct(toks, "t")))
+        vocab = docs.sparkSession.createDataFrame(
+            [(est,)], "vocab_size bigint"
+        )
+    else:
+        vocab = toks.agg(F.count_distinct("t").alias("vocab_size"))
     return totals.crossJoin(vocab)

@@ -229,3 +229,17 @@ def test_bpe_stats(spark, docs):
     assert row.total_chars == total_chars
     assert row.chars_per_token == round(total_chars / total_tokens, 4)
     assert row.vocab_size == len({t for ts in all_toks for t in ts})
+
+
+def test_bpe_stats_approx_vocab(spark, docs):
+    """The HLL scale path: same totals, vocab within the sketch's
+    error band of the exact count (tiny vocab -> near-exact)."""
+    from jobcan_data_integrator_spark.operators.bpe import bpe_stats
+
+    merges = train_bpe(docs, n_merges=10)
+    exact = bpe_stats(docs, merges).collect()[0]
+    approx = bpe_stats(docs, merges, approx_vocab=True).collect()[0]
+    assert approx.total_tokens == exact.total_tokens
+    assert abs(approx.vocab_size - exact.vocab_size) <= max(
+        2, exact.vocab_size * 0.1
+    )
