@@ -540,3 +540,40 @@ def remove_duplicate_spans(
         )
         .drop("_ivs")
     )
+
+
+def keep_best_per_cluster(
+    labeled: DataFrame,
+    cluster_col: str = "cluster",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One survivor per duplicate cluster, chosen by HIGHEST score
+    (ties -> lowest id): the RefinedWeb/Dolma canonicalization policy —
+    when near-duplicates differ, keep the best-quality rendering, not
+    the accidental minimum id.
+
+    Adds ``is_kept`` to every row (callers usually want the drop list
+    too — it IS the dedup output).  Algebraic ``max(struct(score,
+    -id))`` aggregation + a broadcast-size-free self-join on the
+    cluster key: the same one-shuffle shape as the fan-out collapse
+    gate (gate/analytic.py a5) — no window over the full corpus, so a
+    giant cluster costs a groupBy partial, not a per-row sort.  Any
+    score works: classifier probability, perplexity negation, length —
+    compose with quality_score/score_logreg upstream."""
+    winners = labeled.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col(score_col).alias("s"),
+                (-F.col(id_col)).alias("negid"),
+            )
+        ).alias("w")
+    ).select(
+        cluster_col,
+        (-F.col("w.negid")).cast(labeled.schema[id_col].dataType.simpleString()).alias("_keep_id"),
+    )
+    return (
+        labeled.join(winners, cluster_col)
+        .withColumn("is_kept", F.col(id_col) == F.col("_keep_id"))
+        .drop("_keep_id")
+    )

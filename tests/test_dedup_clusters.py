@@ -124,3 +124,27 @@ def test_twophase_on_gate_pair_graph(spark, sf_dir):
     assert _cc_set(connected_components_twophase(e)) == _cc_set(
         connected_components(e)
     )
+
+
+def test_keep_best_per_cluster(spark):
+    """Highest score survives; ties break to the lowest id; singleton
+    clusters keep their only member."""
+    from jobcan_data_integrator_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    rows = [
+        # cluster 0: doc 3 has the best score
+        (1, 0, 0.2), (3, 0, 0.9), (7, 0, 0.5),
+        # cluster 1: tie on 0.7 -> doc 4 (lower id) wins
+        (4, 1, 0.7), (9, 1, 0.7),
+        # singleton
+        (11, 2, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, cluster bigint, score double")
+    out = keep_best_per_cluster(df)
+    kept = sorted(r.doc_id for r in out.collect() if r.is_kept)
+    assert kept == [3, 4, 11]
+    assert out.count() == len(rows)  # every row labeled, none dropped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan  # algebraic agg, not a sort window
