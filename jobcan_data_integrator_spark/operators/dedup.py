@@ -554,24 +554,26 @@ def keep_best_per_cluster(
     the accidental minimum id.
 
     Adds ``is_kept`` to every row (callers usually want the drop list
-    too — it IS the dedup output).  Algebraic ``max(struct(score,
-    -id))`` aggregation + a broadcast-size-free self-join on the
-    cluster key: the same one-shuffle shape as the fan-out collapse
-    gate (gate/analytic.py a5) — no window over the full corpus, so a
-    giant cluster costs a groupBy partial, not a per-row sort.  Any
-    score works: classifier probability, perplexity negation, length —
-    compose with quality_score/score_logreg upstream."""
+    too — it IS the dedup output).  Algebraic ``min(struct(-score,
+    id))`` aggregation + a broadcast-size-free self-join on the
+    cluster key: struct ordering is lexicographic field-by-field, so
+    the minimum is the highest score and, among ties, the LOWEST id —
+    and because the id is never negated it may be any orderable type
+    (string doc_ids included; negating a string yields null and a
+    silent all-false ``is_kept``).  Same one-shuffle shape as the
+    fan-out collapse gate (gate/analytic.py a5) — no window over the
+    full corpus, so a giant cluster costs a groupBy partial, not a
+    per-row sort.  Any numeric score works: classifier probability,
+    perplexity negation, length — compose with
+    quality_score/score_logreg upstream."""
     winners = labeled.groupBy(cluster_col).agg(
-        F.max(
+        F.min(
             F.struct(
-                F.col(score_col).alias("s"),
-                (-F.col(id_col)).alias("negid"),
+                (-F.col(score_col)).alias("negs"),
+                F.col(id_col).alias("i"),
             )
         ).alias("w")
-    ).select(
-        cluster_col,
-        (-F.col("w.negid")).cast(labeled.schema[id_col].dataType.simpleString()).alias("_keep_id"),
-    )
+    ).select(cluster_col, F.col("w.i").alias("_keep_id"))
     return (
         labeled.join(winners, cluster_col)
         .withColumn("is_kept", F.col(id_col) == F.col("_keep_id"))

@@ -42,27 +42,43 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def _hll_max_rank(m: int) -> int:
+    """Max possible rank for an m-register sketch over the 60-bit H60
+    hash: ``bucket`` consumes log2(m) bits, the remainder ``v`` has
+    ``60 - log2(m)`` bits, and rank = leading zeros of v + 1, so the
+    all-zero remainder ranks ``61 - log2(m)``.  m must be a power of
+    two (the bucket/remainder split is a bit split) in [16, 2^20] —
+    below 16 the alpha constant is wrong, above 2^20 the remainder
+    gets too short for useful ranks."""
+    b = m.bit_length() - 1
+    if m != (1 << b) or not (16 <= m <= (1 << 20)):
+        raise ValueError(f"m must be a power of two in [16, 2^20]: {m}")
+    return 61 - b
+
+
 def hll_registers(
     items: DataFrame, col: str, m: int = HLL_M
 ) -> DataFrame:
     """(bucket, r): the HyperLogLog register table of a column.
 
-    The 60-bit item hash splits into ``bucket = h mod m`` and a 50-bit
-    remainder ``v = h div m`` (for the default m = 2^10); the register
-    holds the max rank, where rank = leading zeros of v's 50-bit field
-    + 1 = ``51 - length(bin(v))`` (and 51 when v = 0 — all bits zero).
-    One map-side-combined groupBy with at most m output rows; registers
-    never seen stay absent (rank 0 — ``hll_estimate`` fills them in).
-    Two register tables over different corpus slices merge with
+    The 60-bit item hash splits into ``bucket = h mod m`` and a
+    ``60 - log2(m)``-bit remainder ``v = h div m``; the register holds
+    the max rank, where rank = leading zeros of v's field + 1 =
+    ``maxrank - length(bin(v))`` with ``maxrank = 61 - log2(m)``
+    (and maxrank itself when v = 0 — all bits zero).  One map-side-
+    combined groupBy with at most m output rows; registers never seen
+    stay absent (rank 0 — ``hll_estimate`` fills them in).  Two
+    register tables over different corpus slices merge with
     ``union -> groupBy(bucket).max(r)`` — sketch addition."""
+    maxrank = _hll_max_rank(m)
     h = F.expr(H60.format(x=col))
     bucket = F.pmod(h, F.lit(m)).cast("int")
     # integer division — h is up to 60 bits, beyond double's 53-bit
     # mantissa, so float '/' + floor would corrupt low bits
     v = F.expr(f"({H60.format(x=col)}) div {m}").cast("bigint")
     rank = (
-        F.when(F.col("_v") == 0, F.lit(51))
-        .otherwise(F.lit(51) - F.length(F.expr("bin(_v)")))
+        F.when(F.col("_v") == 0, F.lit(maxrank))
+        .otherwise(F.lit(maxrank) - F.length(F.expr("bin(_v)")))
         .cast("int")
     )
     return (
@@ -77,16 +93,18 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_M) -> float:
     """Cardinality estimate from a collected register table.
 
     ``registers``: (bucket, r) pairs (absent buckets = rank 0).  The
-    harmonic mean is computed over exact integers — sum of 2^(51 - r)
-    scaled so the total fits a Python int regardless of order — then
-    one float division; the small-range correction is Flajolet's
-    linear counting when the raw estimate is below 2.5 m and empty
-    registers remain.  Driver-side on <= m rows by design (the
-    distributed artifact is the register TABLE; see module docstring)."""
+    harmonic mean is computed over exact integers — sum of
+    2^(maxrank - r), maxrank = 61 - log2(m), scaled so the total fits
+    a Python int regardless of order — then one float division; the
+    small-range correction is Flajolet's linear counting when the raw
+    estimate is below 2.5 m and empty registers remain.  Driver-side on
+    <= m rows by design (the distributed artifact is the register
+    TABLE; see module docstring)."""
+    maxrank = _hll_max_rank(m)
     ranks = {b: r for b, r in registers}
-    s = sum(1 << (51 - ranks.get(j, 0)) for j in range(m))
+    s = sum(1 << (maxrank - ranks.get(j, 0)) for j in range(m))
     alpha = 0.7213 / (1 + 1.079 / m)
-    raw = alpha * m * m * (1 << 51) / s
+    raw = alpha * m * m * (1 << maxrank) / s
     zeros = m - len(ranks)
     if raw <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)

@@ -44,6 +44,7 @@ def asof_join(
     right_time: str = "ts",
     tolerance_ms: int | None = None,
     direction: str = "backward",
+    right_prefix: str = "",
 ) -> DataFrame:
     """For each left row, attach the single right row with the largest
     ``right_time`` <= ``left_time`` (direction='backward'; 'forward'
@@ -56,12 +57,29 @@ def asof_join(
     bounds the allowed staleness: matches older (newer, for forward)
     than the tolerance are nulled out, exactly DuckDB/pandas
     ``tolerance`` semantics.  Ties on equal timestamps match (<=/>=).
-    """
+
+    Null timestamps never match (DuckDB/pandas asof semantics): right
+    rows with a null ``right_time`` are dropped from the candidate
+    set, and left rows with a null ``left_time`` come back unmatched.
+    A right payload column sharing a left column's name would emit a
+    duplicate ambiguous column — pass ``right_prefix`` to disambiguate
+    (``right_prefix="r_"`` renames every right payload column), or the
+    collision raises."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     payload_cols = [
         c for c in right.columns if c not in (key, right_time)
     ]
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash and not right_prefix:
+        raise ValueError(
+            "right payload columns collide with left columns "
+            f"{clash}; pass right_prefix= to rename them"
+        )
+    # null right_time never matches — with nulls-first ascending window
+    # order a null-timed right row would otherwise sort before
+    # everything and be carried forward as a bogus "most recent" match
+    right = right.filter(F.col(right_time).cast("timestamp").isNotNull())
     r = right.select(
         F.col(key).alias("_k"),
         F.col(right_time).cast("timestamp").alias("_t"),
@@ -98,6 +116,11 @@ def asof_join(
     matched = both.withColumn(
         "_m", F.last(F.col("_payload"), ignorenulls=True).over(w)
     ).filter(F.col("_side") == 1)
+    # null left_time never matches (in the forward/desc window a null
+    # left time sorts LAST and would pick up the oldest right payload)
+    matched = matched.withColumn(
+        "_m", F.when(F.col("_t").isNotNull(), F.col("_m"))
+    )
     if tolerance_ms is not None:
         gap = F.abs(
             F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_m._rt"))
@@ -108,7 +131,7 @@ def asof_join(
     out_cols = [
         F.col(f"_l_{c}").alias(c) for c in left.columns
     ] + [F.col("_m._rt").alias(f"right_{right_time}")] + [
-        F.col(f"_m.{c}").alias(c) for c in payload_cols
+        F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
     ]
     return matched.select(*out_cols)
 
@@ -159,28 +182,34 @@ def range_join(
         ).first()
         band_seconds = max(int(row["w"] or 1), 1)
     band = F.lit(band_seconds)
+
+    # FLOOR division on both the Spark and Python sides (a bigint cast
+    # of double division truncates toward zero, which disagrees with
+    # Python's // for pre-1970 negative epochs and would clamp out the
+    # band a fact actually computes).  (x - pmod(x, band)) is an exact
+    # multiple of band and pmod is always non-negative, so the divide
+    # is exact and the result is the mathematical floor for any sign.
+    def _floor_band(col):
+        x = F.unix_timestamp(col).cast("bigint")
+        return ((x - F.pmod(x, band)) / band).cast("bigint")
+
     lo_band, hi_band = fb["lo"] // band_seconds, fb["hi"] // band_seconds
+    seq_lo = F.greatest(_floor_band(F.col(start_col)), F.lit(lo_band))
+    seq_hi = F.least(_floor_band(F.col(end_col)), F.lit(hi_band))
     iv = intervals.filter(
         (F.unix_timestamp(end_col) >= F.lit(fb["lo"]))
         & (F.unix_timestamp(start_col) <= F.lit(fb["hi"]))
     ).withColumn(
+        # guard: an empty clamped range must emit NO bands, not a
+        # descending sequence
         "_band",
         F.explode(
-            F.sequence(
-                F.greatest(
-                    (F.unix_timestamp(start_col) / band).cast("bigint"),
-                    F.lit(lo_band),
-                ),
-                F.least(
-                    (F.unix_timestamp(end_col) / band).cast("bigint"),
-                    F.lit(hi_band),
-                ),
+            F.when(seq_lo <= seq_hi, F.sequence(seq_lo, seq_hi)).otherwise(
+                F.array().cast("array<bigint>")
             )
         ),
     )
-    fx = facts.withColumn(
-        "_band", (F.unix_timestamp(fact_time) / band).cast("bigint")
-    )
+    fx = facts.withColumn("_band", _floor_band(F.col(fact_time)))
     on = [fx["_band"] == iv["_band"]]
     if key is not None:
         on.append(fx[key] == iv[key])
@@ -239,6 +268,7 @@ def asof_join_broadcast(
     right_time: str = "ts",
     tolerance_ms: int | None = None,
     direction: str = "backward",
+    right_prefix: str = "",
 ) -> DataFrame:
     """:func:`asof_join` for a SMALL right side — the 100 TB scale path
     when the dimension fits in a broadcast (quotes-per-symbol, config
@@ -256,6 +286,14 @@ def asof_join_broadcast(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     payload_cols = [c for c in right.columns if c not in (key, right_time)]
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash and not right_prefix:
+        raise ValueError(
+            "right payload columns collide with left columns "
+            f"{clash}; pass right_prefix= to rename them"
+        )
+    # null right_time never matches — mirrors asof_join
+    right = right.filter(F.col(right_time).cast("timestamp").isNotNull())
     rg = right.groupBy(key).agg(
         F.array_sort(
             F.collect_list(
@@ -281,5 +319,5 @@ def asof_join_broadcast(
     return joined.select(
         *[F.col(c) for c in left.columns],
         m["_rt"].alias(f"right_{right_time}"),
-        *[m[c].alias(c) for c in payload_cols],
+        *[m[c].alias(f"{right_prefix}{c}") for c in payload_cols],
     )

@@ -148,3 +148,22 @@ def test_keep_best_per_cluster(spark):
     assert out.count() == len(rows)  # every row labeled, none dropped
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan  # algebraic agg, not a sort window
+
+
+def test_keep_best_per_cluster_string_ids(spark):
+    """String doc_ids (the common corpus-reader shape) must work: the
+    old max(struct(score, -id)) tiebreak negated the id, which nulls a
+    string and silently emitted is_kept=false for every row."""
+    from jobcan_data_integrator_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    rows = [
+        ("doc-b", 0, 0.9), ("doc-a", 0, 0.2),
+        # tie -> lexicographically lowest id wins
+        ("doc-z", 1, 0.7), ("doc-m", 1, 0.7),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, cluster bigint, score double")
+    out = keep_best_per_cluster(df)
+    kept = sorted(r.doc_id for r in out.collect() if r.is_kept)
+    assert kept == ["doc-b", "doc-m"]

@@ -149,3 +149,30 @@ def test_cms_lookup_unseen_value_is_small(spark, sf_dir):
     # unseen values may collide into occupied cells but stay under the
     # epsilon*N bound
     assert r.est <= 0.02 * toks.count()
+
+
+def test_hll_non_default_m_is_unbiased(spark):
+    """The rank base derives from m — with the old hardcoded 51 an
+    m=4096 sketch read ~4x high (the remainder field is 2 bits shorter
+    per factor-of-4 in m)."""
+    df = spark.range(20000).select(F.concat(F.lit("v"), "id").alias("x"))
+    for m, tol in [(256, 0.30), (4096, 0.10)]:
+        est = hll_count_distinct(df, "x", m=m)
+        assert abs(est - 20000) / 20000 < tol, (m, est)
+
+
+def test_hll_registers_rank_range_scales_with_m(spark):
+    df = spark.range(5000).select(F.concat(F.lit("v"), "id").alias("x"))
+    for m, maxrank in [(1024, 51), (4096, 49)]:
+        regs = hll_registers(df, "x", m=m).collect()
+        assert all(1 <= r.r <= maxrank for r in regs), (m, regs[:5])
+
+
+def test_hll_rejects_non_power_of_two_m(spark):
+    import pytest
+
+    df = spark.range(10).select(F.concat(F.lit("v"), "id").alias("x"))
+    with pytest.raises(ValueError, match="power of two"):
+        hll_registers(df, "x", m=1000)
+    with pytest.raises(ValueError, match="power of two"):
+        hll_estimate([], m=12)

@@ -324,3 +324,79 @@ def test_asof_broadcast_plan_never_shuffles_facts(spark, frames):
     # hashpartitioning exchange belongs to the right-side groupBy
     assert "Window" not in plan and "Sort " not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Null right times must not be carried forward as a 'most recent'
+    match, and null left times come back unmatched (DuckDB/pandas asof
+    semantics)."""
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    quotes = spark.createDataFrame(
+        [(1, None, 999.0), (1, _ts(5), 11.0)],
+        "sym_id bigint, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(0, 1, _ts(1), 5), (1, 1, _ts(9), 2), (2, 1, None, 3)],
+        "trade_id bigint, sym_id bigint, ts timestamp, qty bigint",
+    )
+    for fn in (asof_join, asof_join_broadcast):
+        for direction in ("backward", "forward"):
+            got = {
+                r.trade_id: r.px
+                for r in fn(
+                    trades, quotes, "sym_id", direction=direction
+                ).collect()
+            }
+            # the null-timed quote never matches anything...
+            assert 999.0 not in got.values(), (fn.__name__, direction, got)
+            # ...and the null-timed trade never matches anything
+            assert got[2] is None, (fn.__name__, direction, got)
+
+
+def test_asof_payload_collision_raises_unless_prefixed(spark, frames):
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_broadcast,
+    )
+
+    trades, quotes = frames
+    # make the right payload share a left column name
+    clash = quotes.withColumnRenamed("px", "qty")
+    for fn in (asof_join, asof_join_broadcast):
+        with pytest.raises(ValueError, match="collide"):
+            fn(trades, clash, "sym_id")
+        out = fn(trades, clash, "sym_id", right_prefix="r_")
+        assert "r_qty" in out.columns and out.columns.count("qty") == 1
+        got = {r.trade_id: r.r_qty for r in out.collect()}
+        assert got[1] == 11.0  # trade 1 @ :07 -> quote @ :05
+
+
+def test_range_join_negative_epochs_floor_consistent(spark):
+    """Pre-1970 timestamps: Python // floors while a bigint cast of a
+    double division truncates toward zero — mixed semantics dropped
+    valid matches.  Oracle: plain inequality join."""
+    facts = spark.createDataFrame(
+        [(i, dt.datetime(1969, 12, 31, 23, m)) for i, m in enumerate(range(0, 60, 7))],
+        "fact_id bigint, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, dt.datetime(1969, 12, 31, 22, 50), dt.datetime(1969, 12, 31, 23, 20)),
+            (101, dt.datetime(1969, 12, 31, 23, 15), dt.datetime(1970, 1, 1, 0, 30)),
+        ],
+        "iv_id bigint, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r.fact_id, r.iv_id)
+        for r in range_join(facts, ivs, band_seconds=600).collect()
+    }
+    want = {
+        (r.fact_id, r.iv_id)
+        for r in facts.join(
+            ivs,
+            (facts.ts >= ivs.start_ts) & (facts.ts < ivs.end_ts),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
