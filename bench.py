@@ -146,29 +146,37 @@ def main() -> None:
             else:
                 vs_baseline[name] = None
 
-    print(
-        json.dumps(
-            {
-                "metric": f"headline-suite wall-clock ({len(HEADLINE)} queries: "
-                "TPC-H-ish analytics, pivots/windows/JSON-reconstruct, "
-                "minhash-LSH + simhash + jaccard + embedding dedup, cosine "
-                "top-k + LSH/IVF ANN + k-means codebook training, text "
-                "analysis, multimodal mapInPandas; median of "
-                f"{n_trials} trials; value_full = all {len(suite)} "
-                "registry gates)",
-                "value": round(_median(headline_totals), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n": n_trials,
-                "trials": sorted(headline_totals),
-                "value_full": round(_median(full_totals), 3),
-                "trials_full": sorted(full_totals),
-                "vs_baseline": vs_baseline,
-                "regressions": sorted(regressions),
-            }
-        )
+    # The stdout line must stay COMPACT: the driver captures a bounded
+    # stdout tail, and round 4's line (prose metric + 50-gate
+    # vs_baseline map) grew past it, leaving an unparseable artifact.
+    # Everything beyond the contract keys goes to BENCH_FULL.json.
+    compact = {
+        "metric": f"headline-{len(HEADLINE)} suite wall-clock, "
+        f"median of {n_trials}",
+        "value": round(_median(headline_totals), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n": n_trials,
+        "trials": sorted(headline_totals),
+        "value_full": round(_median(full_totals), 3),
+        "regressions": sorted(regressions),
+        "full": "BENCH_FULL.json",
+    }
+    full = dict(
+        compact,
+        metric=f"headline-suite wall-clock ({len(HEADLINE)} queries: "
+        "TPC-H-ish analytics, pivots/windows/JSON-reconstruct, "
+        "minhash-LSH + simhash + jaccard + embedding dedup, cosine "
+        "top-k + LSH/IVF ANN + k-means codebook training, text "
+        "analysis, multimodal mapInPandas; median of "
+        f"{n_trials} trials; value_full = all {len(suite)} "
+        "registry gates)",
+        trials_full=sorted(full_totals),
+        vs_baseline=vs_baseline,
     )
+    (Path(_REPO) / "BENCH_FULL.json").write_text(json.dumps(full, indent=1))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
