@@ -352,16 +352,17 @@ def j8_self_join_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "j10_anti_join_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    doc="J10 / set-difference sync (users.py:129-134): left-anti join — the "
-    "Spark primitive behind MERGE ... NOT MATCHED BY SOURCE DELETE.",
-)
 def j10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 / set-difference sync (users.py:129-134): left-anti join — the
+    Spark primitive behind MERGE ... NOT MATCHED BY SOURCE DELETE.
+
+    ROTATED out of the 50-gate driver registry in round 5 (slot given
+    to ig_incremental_curation, like J1 in round 4): the driver row was
+    a 0==0 comparison — the TPC-H-ish generator gives every customer an
+    order at the gate SFs — so the dual-engine golden now lives in
+    tests/test_gate_oracle.py::test_j10_anti_join_golden, which also
+    runs a crafted orphan-customer fixture that actually produces
+    rows."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")

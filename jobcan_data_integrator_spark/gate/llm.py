@@ -1646,25 +1646,14 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "tx_shard_packing",
-    # The END-TO-END curation pipeline (operators/curate.curate_corpus):
-    # PII scrub -> doc-level exact dedup (min-id survivor per md5 group)
-    # -> span-level ExactSubstr removal (same CTE chain as
-    # dd_exact_dedup's summary, here MATERIALIZED: surviving tokens are
-    # the ones outside every merged interval) -> 10-token length floor
-    # -> 32/8 sliding-window chunking -> 4096-token shard packing in
-    # deterministic shuffled order (md5('pk|'||chunk_id) 60-bit key).
-    # The PII stage has NO SQL mirror here: the phone pattern needs a
-    # lookahead DuckDB's RE2 can't run, and the gate corpus is proven
-    # letters-only (zero matches for all three classes, asserted in
-    # test_pii.py::test_clean_text_unchanged) — so the scrub runs on the Spark side
-    # as a value no-op and PII itself is evidenced by crafted-fixture
-    # pytest oracles (operators/pii.py docstring).  The packing oracle
-    # is the semantic definition of the prefix sum: ONE global running
-    # sum over (ord, chunk_id).
-    oracle="""
-    WITH base AS (
+#: one-shot curation through the KEPT stage as DuckDB CTEs — PII scrub
+#: (value no-op on the proven letters-only gate corpus) -> doc-level
+#: exact dedup (min-id survivor per md5 group) -> span-level ExactSubstr
+#: removal (spans of 8, MATERIALIZED: surviving tokens are the ones
+#: outside every merged interval) -> 10-token length floor.  Shared by
+#: tx_shard_packing (which chains chunking + packing on top) and
+#: ig_incremental_curation (which stops at the kept text).
+_CURATE_KEPT_CTES = """base AS (
       SELECT doc_id, text,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
       FROM documents
@@ -1712,7 +1701,25 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                           AND t.pos BETWEEN v.s AND v.e)
       GROUP BY t.doc_id
       HAVING count(*) >= 10
-    ), st AS (
+    )"""
+
+
+@gate(
+    "tx_shard_packing",
+    # The END-TO-END curation pipeline (operators/curate.curate_corpus):
+    # the _CURATE_KEPT_CTES chain -> 32/8 sliding-window chunking ->
+    # 4096-token shard packing in deterministic shuffled order
+    # (md5('pk|'||chunk_id) 60-bit key).  The PII stage has NO SQL
+    # mirror here: the phone pattern needs a lookahead DuckDB's RE2
+    # can't run, and the gate corpus is proven letters-only (zero
+    # matches for all three classes, asserted in
+    # test_pii.py::test_clean_text_unchanged) — so the scrub runs on
+    # the Spark side as a value no-op and PII itself is evidenced by
+    # crafted-fixture pytest oracles (operators/pii.py docstring).
+    # The packing oracle is the semantic definition of the prefix sum:
+    # ONE global running sum over (ord, chunk_id).
+    oracle=f"""
+    WITH {_CURATE_KEPT_CTES}, st AS (
       SELECT doc_id, toks,
              unnest(generate_series(0, greatest(0, len(toks) - 1 - 8), 24)) AS s
       FROM ded
@@ -1771,6 +1778,73 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         "shard_id",
     )
+
+
+@gate(
+    "ig_incremental_curation",
+    # The oracle is the ONE-SHOT curation (same CTE chain as
+    # tx_shard_packing) stopped at the kept text — while the Spark side
+    # ingests the corpus in THREE sequential monotone-id batches through
+    # operators/ingest.ingest_increment, each batch curated against and
+    # absorbed into the persisted exact + span index families under one
+    # snapshot commit.  A green hash therefore PROVES the orchestration
+    # contract: N batch-arrival calls ≡ one-shot curation — the property
+    # that lets a 100 TB corpus be curated as it arrives instead of
+    # re-curated per batch.  (The near-dup + cluster families compose
+    # the same way; their equivalences are driver-proven by
+    # dd_incremental_dedup and pinned end-to-end in tests/test_ingest.py
+    # — this gate runs minhash off so the oracle stays the exact/span
+    # chain DuckDB can express without the recursive-CC machinery.)
+    oracle=f"""
+    WITH {_CURATE_KEPT_CTES}
+    SELECT doc_id, array_to_string(toks, ' ') AS text FROM ded
+    """,
+    doc="Orchestrated incremental ingest (operators/ingest.py, "
+    "ingest_increment): the corpus arrives in 3 monotone doc_id batches; "
+    "each is PII-scrubbed, exact-deduped against the persisted ex_docs "
+    "hash index, ExactSubstr-span-deduped against the persisted sp_occs "
+    "index, length-floored, merged into the curated table, and absorbed "
+    "into every index family — all under ONE snapshot commit per batch "
+    "with an absorbed-batch ledger (replays are no-ops, crashes publish "
+    "nothing). The oracle is the one-shot curation over the union: "
+    "green = batch-arrival curation ≡ one-shot curation. Reference "
+    "analog: the integrator's phase driver (integrator.py:522-553) — "
+    "per-batch increments against persisted state, never full re-runs.",
+)
+def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        read_curated,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    # fresh store per run so repeated trials redo the full batch work
+    # (the ledger would otherwise short-circuit them as redeliveries)
+    root = _index_root(sf_dir) + "-ing"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    store = TableStore(
+        spark, root, write_partitions=4, snapshot_isolation=True
+    )
+    # two batches (80% build / 20% increment, the dd_incremental_dedup
+    # split): the gate's cost is almost pure per-job scheduling overhead
+    # (flat from sf0.001 to sf0.1), so batch count IS the cost knob —
+    # two proves the same build-then-increment contract as three, and
+    # tests/test_ingest.py pins the 3-batch composition
+    cuts = [(0, (hi * 4) // 5), ((hi * 4) // 5 + 1, hi)]
+    for i, (lo, hi2) in enumerate(cuts):
+        ingest_increment(
+            store,
+            docs.filter(F.col("doc_id").between(lo, hi2)),
+            f"ing-{i}",
+            span=8,
+            min_tokens=10,
+            minhash=False,
+        )
+    return read_curated(store).select("doc_id", "text")
 
 
 @gate(

@@ -513,14 +513,42 @@ def remove_duplicate_spans(
     The interval list per document is tiny (merged islands), so it
     gathers via collect_list and filters tokens in-row — one doc-keyed
     shuffle, then narrow."""
-    ivs = (
-        duplicate_span_intervals(docs, span, id_col, text_col)
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("start_tok", "end_tok"))
-            ).alias("_ivs")
-        )
+    return _apply_span_intervals(
+        docs, duplicate_span_intervals(docs, span, id_col, text_col),
+        id_col, text_col,
+    )
+
+
+def remove_flagged_spans(
+    docs: DataFrame,
+    flagged: DataFrame,
+    span: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``docs`` with ``deduped_text`` given a PRECOMPUTED flagged
+    occurrence set (id, pos) — the apply half of the ExactSubstr pass,
+    for callers that derive flags elsewhere (the incremental span index's
+    ``span_increment``; operators/ingest.py applies a batch's flags
+    without re-hashing the corpus).  Flags for ids absent from ``docs``
+    are ignored; docs with no flags pass through unchanged.  Equivalent
+    to :func:`remove_duplicate_spans` when ``flagged`` is the full-corpus
+    flag set (pinned in tests/test_ingest.py)."""
+    ivs = _merge_islands(
+        flagged.select(F.col(id_col), F.col("pos")).distinct(), span, id_col
+    )
+    return _apply_span_intervals(docs, ivs, id_col, text_col)
+
+
+def _apply_span_intervals(
+    docs: DataFrame, intervals: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Drop each doc's tokens covered by its (start_tok, end_tok)
+    intervals — in-row once the per-doc interval list is gathered."""
+    ivs = intervals.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("start_tok", "end_tok"))
+        ).alias("_ivs")
     )
     kept = (
         "array_join(filter(transform(split({text}, ' '),"

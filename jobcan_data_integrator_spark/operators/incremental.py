@@ -269,9 +269,13 @@ def build_cluster_index(store: TableStore, pairs: DataFrame) -> None:
     store.end_commit()
 
 
-def extend_clusters(store: TableStore, new_pairs: DataFrame) -> None:
+def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
     """Merge a batch of new near-dup pairs into the stored labels WITHOUT
-    re-clustering the corpus graph.
+    re-clustering the corpus graph.  Returns the label REMAP
+    (old_label, new_label) — every cluster whose id changed this batch.
+    Each ``old_label`` names a previously-kept doc (the old cluster
+    minimum) now demoted by a merge; operators/ingest.py turns those
+    into curated-corpus tombstones.
 
     New edges are projected into label space (each endpoint replaced by
     its current cluster label; unseen nodes keep their own id), connected
@@ -312,7 +316,7 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> None:
     merged = connected_components(label_edges)
     remap = merged.select(
         F.col("doc_id").alias("old_label"), F.col("cluster_id").alias("new_label")
-    ).filter(F.col("old_label") != F.col("new_label"))
+    ).filter(F.col("old_label") != F.col("new_label")).localCheckpoint(eager=True)
     updated = (
         labels.join(
             F.broadcast(remap), labels["cluster_id"] == F.col("old_label"), "left"
@@ -332,6 +336,7 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> None:
     store.begin_commit("cc-index-extend", ["cc_labels"])
     store.overwrite("cc_labels", out)
     store.end_commit()
+    return remap
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,548 @@
+"""Orchestrated incremental ingest: ONE call per arriving document
+batch that runs the full curation pipeline against the persisted index
+families and absorbs the batch into every configured index — under one
+commit.
+
+``curate_corpus`` (operators/curate.py) is the ONE-SHOT composition; a
+production corpus is not ingested one-shot, it arrives in batches, and
+re-curating the whole corpus per batch is quadratic over the pipeline's
+lifetime.  ``ingest_increment`` is the batch-arrival analog: each stage
+consults the matching incremental index family (operators/
+incremental.py) instead of the corpus, so per-batch cost is linear in
+the INCREMENT, and then extends that family so the NEXT batch sees this
+one.  The stage order is curate_corpus's exactly:
+
+    normalize -> line clean (vs bl_stats) -> PII scrub ->
+    exact dedup (vs ex_docs) -> ExactSubstr span removal (vs sp_occs)
+    -> MinHash near-dup + cluster labels (vs mh_* / cc_labels) ->
+    optional quality/perplexity gate -> curated-corpus merge ->
+    optional chunk + pack
+
+EQUIVALENCE CONTRACT (pinned in tests/test_ingest.py): for batches with
+MONOTONE doc ids (each batch's ids all exceed every earlier batch's —
+the natural ingest order, and the reference's own monotone request-id
+assumption), after N ``ingest_increment`` calls
+
+    read_curated(store)  ≡  curate_corpus(union of batches).kept
+    mh_pairs             ≡  the full-corpus verified pair set
+    cc_labels            ≡  dup_clusters(full pairs) labels
+
+Monotonicity is ENFORCED (a ledger of absorbed id ranges; out-of-order
+batches raise — ingest them through the per-family APIs, which handle
+retroactive flags, and rebuild the curated table).  One genuinely
+retroactive effect survives even monotone ingest: a new doc can pair
+with members of TWO existing clusters and merge them, demoting the
+larger cluster's old keeper.  ``extend_clusters`` returns exactly that
+remap, and the demoted ids become TOMBSTONES (``cur_drops``) —
+merge-on-read deletes, the lakehouse pattern — so ``read_curated``
+(curated docs anti-join tombstones) stays equivalent to the one-shot
+result without rewriting historical partitions.
+
+Boilerplate line stats are inherently as-of-ingest (a line that becomes
+corpus-boilerplate in batch 9 was not removed from batch 1's docs —
+true of ANY streaming pipeline); the per-batch contract is
+``clean_increment``'s (tests/test_incremental_lines.py), and the strict
+≡ gate runs with line cleaning off.  Per-batch packing is batch-scoped:
+shard boundaries never span batches (repack ``read_curated`` one-shot
+for a globally shuffled order).
+
+Atomicity: every family write lands inside ONE ``store.batch_commit``
+— on a snapshot-isolation store the whole batch (all ten families, the
+curated table, the ledger) publishes with one pointer swap, and a crash
+anywhere publishes NOTHING; the replay (same batch_id) reruns against
+the untouched pre-batch snapshot.  A batch REDELIVERED after a
+successful publish is detected by the ``ig_batches`` ledger and
+returns the already-curated rows without touching any index.
+
+Reference analog: the reference's top-level phase driver runs exactly
+this shape over its domain — basic -> outline -> detail phases, each
+consulting persisted state, committing progress as it goes
+(`/root/reference/jobcan_di/integrator/integrator.py:522-553`); this is
+the LLM-curation-tier analog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.storage import TableStore
+
+#: orchestrator-owned tables: the absorbed-batch ledger, the curated
+#: corpus, its tombstones, and the optional chunk/shard outputs
+LEDGER = "ig_batches"
+CURATED = "cur_docs"
+TOMBSTONES = "cur_drops"
+CHUNKS = "cur_chunks"
+SHARDS = "cur_shards"
+
+
+@dataclass
+class IngestResult:
+    """One batch's outcome.  ``docs`` is the batch's curated survivors
+    (doc_id, text) — already merged into ``cur_docs``; ``stages`` are
+    (name, frame) pairs in pipeline order (materialized — counting them
+    re-runs nothing upstream); ``pairs`` the near-dup pairs involving
+    the batch; ``demoted`` the previously-kept doc ids tombstoned by
+    cluster merges this batch."""
+
+    batch_id: str
+    replayed: bool
+    docs: DataFrame
+    stages: list[tuple[str, DataFrame]] = field(default_factory=list)
+    pairs: DataFrame | None = None
+    demoted: DataFrame | None = None
+
+    def audit(self) -> dict[str, int]:
+        """Per-stage surviving-row counts (curate_corpus's audit)."""
+        return {name: df.count() for name, df in self.stages}
+
+
+def read_curated(store: TableStore) -> DataFrame:
+    """The curated corpus as of the last published batch: ``cur_docs``
+    minus tombstoned (retroactively demoted) docs.  Merge-on-read: the
+    tombstone set is bounded by observed cluster merges — broadcast-size
+    by construction — so the anti-join never shuffles the corpus."""
+    docs = store.read(CURATED)
+    if store.exists(TOMBSTONES):
+        docs = docs.join(
+            F.broadcast(store.read(TOMBSTONES).select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    return docs
+
+
+def ingest_tables(
+    *,
+    line_clean: bool = False,
+    line_max_doc_freq: int | None = None,
+    span: int | None = 8,
+    minhash: bool = True,
+    simhash: bool = False,
+    lm_extend: bool = False,
+    pack_budget: int | None = None,
+    new_emb: bool = False,
+    emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
+) -> list[str]:
+    """The manifest table list a given configuration touches (the outer
+    ``batch_commit``'s scope)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    tables = [LEDGER, CURATED, TOMBSTONES, "ex_docs", "ex_groups"]
+    if line_clean and line_max_doc_freq is not None:
+        tables += list(inc.LINE_TABLES)
+    if span is not None:
+        tables += list(inc.SPAN_TABLES)
+    if minhash:
+        tables += list(inc.INDEX_TABLES) + ["cc_labels"]
+    if simhash:
+        tables += list(inc.SIMHASH_TABLES)
+    if lm_extend:
+        tables += list(inc.LM_TABLES)
+    if pack_budget is not None:
+        tables += [CHUNKS, SHARDS]
+    if new_emb:
+        if "lsh" in emb_families:
+            tables += list(inc.EMBEDDING_TABLES)
+        if "ivf" in emb_families:
+            tables += list(inc.IVF_TABLES)
+        if "semantic" in emb_families:
+            tables += ["sd_pairs"]
+        if "pq" in emb_families:
+            tables += list(inc.PQ_TABLES)
+    return sorted(set(tables))
+
+
+def ingest_increment(
+    store: TableStore,
+    new_docs: DataFrame,
+    batch_id: str,
+    *,
+    normalize: bool = False,
+    nfkc: bool = False,
+    line_clean: bool = False,
+    line_max_doc_freq: int | None = None,
+    max_pii_hits: int | None = None,
+    span: int | None = 8,
+    min_tokens: int = 10,
+    minhash: bool = True,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    cluster_threshold: float = 0.5,
+    simhash: bool = False,
+    quality_scorer: Callable[[DataFrame], DataFrame] | None = None,
+    classifier_floor: float | None = None,
+    lm_filter: tuple[str, ...] | None = None,
+    lm_extend: bool = False,
+    perplexity_cuts: tuple[float, float] = (-1.0, -1.5),
+    pack_budget: int | None = None,
+    chunk_tokens: int = 32,
+    chunk_overlap: int = 8,
+    new_emb: DataFrame | None = None,
+    emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
+) -> IngestResult:
+    """Curate one arriving (doc_id, text) batch against — and into —
+    the persisted index families.  Knobs mirror ``curate_corpus``:
+
+    - ``normalize``/``nfkc``, ``line_clean``/``line_max_doc_freq``,
+      ``max_pii_hits``, ``span``/``min_tokens``,
+      ``quality_scorer``/``classifier_floor``: the same stages with the
+      same defaults; the boilerplate stage consults + extends the
+      ``bl_stats`` family (requires a snapshot-isolation store —
+      additive counts).
+    - ``minhash``: near-dup canonicalization — curate_corpus's
+      ``near_dup_pairs`` callback specialized to the MinHash-LSH family
+      (the one with a maintained pair index), clustered at
+      ``cluster_threshold`` with min-id keepers via ``cc_labels``.
+    - ``simhash``: additionally maintain the SimHash family (index +
+      pairs only — it does not feed the keep/drop decision; choose ONE
+      pair family for canonicalization, as curate_corpus does).
+    - ``lm_filter``: keep only docs whose CCNet ``ppl_bucket`` (scored
+      against the PERSISTED lm index — build_lm_index on a trusted
+      corpus first) is in the given set, e.g. ``("head", "middle")``;
+      ``lm_extend`` then absorbs the batch's kept docs into the LM
+      (snapshot store required).
+    - ``pack_budget``: chunk + pack the batch's kept docs into
+      batch-scoped shards (``cur_chunks``/``cur_shards``).
+    - ``new_emb``: this batch's (vec_id, embedding) rows; the
+      ``emb_families`` among lsh/ivf/semantic/pq are built on first
+      sight and extended after (semantic requires an existing
+      ``sd_pairs`` — seed with build_semantic_index).
+
+    First batch against an empty store BUILDS each family; later
+    batches increment.  Raises on out-of-order doc ids (see module
+    docstring).
+    """
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.dedup import (
+        remove_flagged_spans,
+    )
+    from jobcan_data_integrator_spark.operators.minhash import (
+        hashed_shingle_rows,
+    )
+    from jobcan_data_integrator_spark.operators.pii import scrub_pii
+
+    spark = new_docs.sparkSession
+
+    # ONE ledger pass answers both questions: was this batch already
+    # absorbed (redelivery), and what is the absorbed id high-water mark
+    # (monotone guard)
+    if store.exists(LEDGER):
+        led = store.read(LEDGER).agg(
+            F.max("max_doc_id").alias("hi"),
+            F.max((F.col("batch_id") == batch_id).cast("int")).alias("seen"),
+        ).first()
+        if led["seen"]:
+            # redelivery after a successful publish: the batch's rows
+            # are already curated — return them, touch nothing
+            prior = (
+                read_curated(store)
+                .filter(F.col("batch_id") == batch_id)
+                .select("doc_id", "text")
+            )
+            return IngestResult(batch_id, True, prior)
+        prev_hi = led["hi"]
+    else:
+        prev_hi = None
+
+    bounds = new_docs.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.count("*").alias("n"),
+    ).first()
+    if (
+        prev_hi is not None
+        and bounds["lo"] is not None
+        and bounds["lo"] <= prev_hi
+    ):
+        raise ValueError(
+            f"out-of-order batch: doc_id {bounds['lo']} <= absorbed "
+            f"max {prev_hi}; the ≡-one-shot contract needs monotone "
+            "ids — use the per-family incremental APIs for "
+            "out-of-order ingest"
+        )
+
+    tables = ingest_tables(
+        line_clean=line_clean,
+        line_max_doc_freq=line_max_doc_freq,
+        span=span,
+        minhash=minhash,
+        simhash=simhash,
+        lm_extend=lm_extend,
+        pack_budget=pack_budget,
+        new_emb=new_emb is not None,
+        emb_families=emb_families,
+    )
+    ledger_row = spark.createDataFrame(
+        [(batch_id, bounds["lo"], bounds["hi"], bounds["n"])],
+        "batch_id string, min_doc_id bigint, max_doc_id bigint, n_docs bigint",
+    )
+
+    docs = new_docs.select("doc_id", "text")
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    pairs: DataFrame | None = None
+    demoted: DataFrame | None = None
+
+    with store.batch_commit(batch_id, tables):
+        # -1. normalization FIRST (CCNet ordering: byte-different
+        # renderings must collide in every downstream hash)
+        if normalize:
+            from jobcan_data_integrator_spark.operators.normalize import (
+                normalize_text,
+            )
+
+            docs = normalize_text(docs, nfkc=nfkc)
+            stages.append(("normalized", docs))
+
+        # 0. line cleaning: the in-row C4 stages, then boilerplate
+        # removal against stats-so-far (bl_stats family)
+        if line_clean:
+            from jobcan_data_integrator_spark.operators import lines as L
+
+            docs = L.dedup_lines_within_doc(
+                L.clean_lines(docs, min_words=1)
+            ).drop("n_lines_dropped")
+            if line_max_doc_freq is not None:
+                pre = docs.localCheckpoint(eager=True)
+                if store.exists("bl_stats"):
+                    docs = inc.clean_increment(
+                        store, pre, max_doc_freq=line_max_doc_freq
+                    ).drop("n_boilerplate_dropped").localCheckpoint(eager=True)
+                    inc.extend_line_index(store, pre, batch_id)
+                else:
+                    docs = L.remove_boilerplate_lines(
+                        pre, max_doc_freq=line_max_doc_freq
+                    ).drop("n_boilerplate_dropped").localCheckpoint(eager=True)
+                    inc.build_line_index(store, pre, batch_id=batch_id)
+            stages.append(("line_cleaned", docs))
+
+        # 1. PII scrub — downstream hashes see the redacted text
+        scrubbed = scrub_pii(docs)
+        if max_pii_hits is not None:
+            scrubbed = scrubbed.filter(
+                (F.col("n_email") + F.col("n_ip") + F.col("n_phone"))
+                <= max_pii_hits
+            )
+        # lazy checkpoint: materialized by the survivors checkpoint
+        # below (one job instead of two), still pinned before any
+        # family extend rewrites the tables this frame scans
+        scrubbed = scrubbed.select(
+            "doc_id", F.col("redacted_text").alias("text")
+        ).localCheckpoint(eager=False)
+        stages.append(("pii_scrubbed", scrubbed))
+
+        # 2. exact dedup vs the ex_docs family: a batch doc survives iff
+        # it is its content hash's keeper (min id over corpus ∪ batch —
+        # with monotone ids a corpus copy always wins)
+        if not store.exists("ex_docs"):
+            inc.build_exact_index(store, scrubbed)
+            groups, first_exact = store.read("ex_groups"), True
+        else:
+            groups, first_exact = inc.exact_increment(store, scrubbed), False
+        survivors = scrubbed.join(
+            groups.select(F.col("keep_doc_id").alias("doc_id")),
+            "doc_id",
+            "leftsemi",
+        ).localCheckpoint(eager=True)
+        if not first_exact:
+            inc.extend_exact_index(store, scrubbed, groups)
+        stages.append(("exact_deduped", survivors))
+
+        # 3. ExactSubstr span removal vs the sp_occs family + length
+        # floor (monotone ids -> the flag set never reaches back into
+        # stored docs, so applying the batch's own flags suffices)
+        if span is not None:
+            sp_groups = None
+            if not store.exists("sp_occs"):
+                inc.build_span_index(store, survivors, span=span)
+                flags = store.read("sp_flags")
+            else:
+                sp_groups, flags = inc.span_increment(
+                    store, survivors, span=span
+                )
+            batch_flags = flags.join(
+                survivors.select("doc_id"), "doc_id", "leftsemi"
+            )
+            kept = (
+                remove_flagged_spans(survivors, batch_flags, span=span)
+                .select("doc_id", F.col("deduped_text").alias("text"))
+                .filter(F.size(F.split(F.col("text"), " ")) >= min_tokens)
+                .localCheckpoint(eager=True)
+            )
+            stages.append(("span_deduped", kept))
+            if sp_groups is not None:
+                inc.extend_span_index(
+                    store, survivors, sp_groups, flags, span=span
+                )
+        else:
+            kept = survivors.filter(
+                F.size(F.split(F.col("text"), " ")) >= min_tokens
+            ).localCheckpoint(eager=True)
+            stages.append(("length_filtered", kept))
+
+        # 4. MinHash near-dup canonicalization vs mh_* + cc_labels
+        if minhash:
+            hashed = hashed_shingle_rows(kept)
+            if not store.exists("mh_bands"):
+                inc.build_minhash_index(store, hashed, n_hashes, band_size)
+                pairs = store.read("mh_pairs").localCheckpoint(eager=True)
+                inc.build_cluster_index(
+                    store, pairs.filter(F.col("jaccard") >= cluster_threshold)
+                )
+                remap = None
+            else:
+                pairs = inc.dedup_increment(
+                    store, hashed, n_hashes, band_size
+                ).localCheckpoint(eager=True)
+                inc.extend_index(store, hashed, pairs, n_hashes, band_size)
+                remap = inc.extend_clusters(
+                    store, pairs.filter(F.col("jaccard") >= cluster_threshold)
+                )
+            labels = store.read("cc_labels")
+            kept = kept.join(
+                labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+                    "doc_id"
+                ),
+                "doc_id",
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            stages.append(("near_deduped", kept))
+            if remap is not None:
+                # a merge's old keeper (old cluster minimum) is demoted;
+                # batch-local labels are excluded (handled above)
+                demoted = (
+                    remap.select(F.col("old_label").alias("doc_id"))
+                    .join(new_docs.select("doc_id"), "doc_id", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                store.merge_insert_missing(
+                    TOMBSTONES,
+                    demoted.withColumn("batch_id", F.lit(batch_id)),
+                    ["doc_id"],
+                )
+
+        # 4b. SimHash family (index + pair maintenance only)
+        if simhash:
+            from jobcan_data_integrator_spark.operators.simhash import (
+                simhash_signatures,
+            )
+
+            sigs = simhash_signatures(kept)
+            if not store.exists("sh_signatures"):
+                inc.build_simhash_index(store, sigs)
+            else:
+                sh_pairs = inc.simhash_increment(store, sigs)
+                inc.extend_simhash_index(store, sigs, sh_pairs)
+
+        # 5. quality gates: learned-classifier floor, then the CCNet
+        # perplexity bucket filter against the persisted LM
+        if classifier_floor is not None:
+            if quality_scorer is None:
+                raise ValueError(
+                    "classifier_floor needs a quality_scorer callback"
+                )
+            kept = (
+                quality_scorer(kept)
+                .filter(F.col("classifier_score") >= classifier_floor)
+                .select("doc_id", "text")
+                .localCheckpoint(eager=True)
+            )
+            stages.append(("quality_kept", kept))
+        if lm_filter is not None:
+            scored = inc.perplexity_increment(
+                store, kept, cuts=perplexity_cuts
+            )
+            kept = kept.join(
+                scored.filter(F.col("ppl_bucket").isin(*lm_filter)).select(
+                    "doc_id"
+                ),
+                "doc_id",
+                "leftsemi",
+            ).localCheckpoint(eager=True)
+            stages.append(("lm_kept", kept))
+        if lm_extend:
+            inc.extend_lm_index(store, kept, batch_id)
+
+        # 6. curated-corpus merge + optional batch-scoped chunk/pack
+        store.merge_insert_missing(
+            CURATED,
+            kept.withColumn("batch_id", F.lit(batch_id)),
+            ["doc_id"],
+        )
+        if pack_budget is not None:
+            from jobcan_data_integrator_spark.operators.packing import (
+                chunk_documents,
+                pack_shards,
+            )
+
+            chunks = (
+                chunk_documents(
+                    kept, max_tokens=chunk_tokens, overlap=chunk_overlap
+                )
+                .withColumn(
+                    "chunk_id",
+                    (
+                        F.col("doc_id") * 1_048_576 + F.col("chunk_idx")
+                    ).cast("bigint"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            packed = pack_shards(
+                chunks.select("chunk_id", "n_tokens"),
+                budget=pack_budget,
+                id_col="chunk_id",
+                shuffle_salt=batch_id,
+            ).withColumn("batch_id", F.lit(batch_id))
+            store.merge_insert_missing(
+                CHUNKS,
+                chunks.withColumn("batch_id", F.lit(batch_id)),
+                ["chunk_id"],
+            )
+            store.merge_insert_missing(SHARDS, packed, ["chunk_id"])
+            stages.append(("chunks", chunks))
+
+        # 7. embedding families for this batch's vectors
+        if new_emb is not None:
+            emb = new_emb.localCheckpoint(eager=True)
+            if "lsh" in emb_families:
+                if not store.exists("eb_vectors"):
+                    inc.build_embedding_index(store, emb)
+                else:
+                    ep = inc.embedding_increment(store, emb)
+                    inc.extend_embedding_index(store, emb, ep)
+            if "ivf" in emb_families:
+                if not store.exists("ivf_codebook"):
+                    inc.build_ivf_index(store, emb)
+                else:
+                    inc.extend_ivf_index(
+                        store, inc.assign_increment(store, emb)
+                    )
+            if "semantic" in emb_families:
+                if not store.exists("sd_pairs"):
+                    raise ValueError(
+                        "semantic family needs a seeded sd_pairs — run "
+                        "build_semantic_index on the initial corpus first"
+                    )
+                sp = inc.semantic_increment(store, emb)
+                inc.extend_semantic_index(store, emb, sp)
+            if "pq" in emb_families:
+                if not store.exists("pq_codebooks"):
+                    inc.build_pq_index(store, emb)
+                else:
+                    inc.extend_pq_index(
+                        store, inc.encode_pq_increment(store, emb)
+                    )
+
+        # 8. ledger LAST: on a plain store a crash before this line
+        # leaves the batch replayable (idempotent family merges); after
+        # it, redelivery short-circuits above.  On a snapshot store it
+        # publishes atomically with everything else.
+        store.merge_insert_missing(LEDGER, ledger_row, ["batch_id"])
+
+    return IngestResult(
+        batch_id, False, kept.select("doc_id", "text"), stages, pairs, demoted
+    )

@@ -17,6 +17,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def simhash_signatures(
+    docs: DataFrame, bits: int = 60, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide fingerprint over word tokens —
+    per-bit signed vote of each token hash bit, majority sign → bit.
+    Fully in-row (nested higher-order aggregates over the split text):
+    zero shuffle at any corpus size.  Same formulation as the
+    dd_simhash gate (gate/llm.py), factored here so the incremental
+    index and the ingest orchestrator share one definition."""
+    from jobcan_data_integrator_spark.operators.minhash import H60
+
+    h = H60.format(x="t")
+    hashed = docs.withColumn(
+        "_hashes", F.expr(f"transform(split({text_col}, ' '), t -> {h})")
+    )
+    fp = F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc +"
+        " case when aggregate(_hashes, 0L,"
+        "        (a, h) -> a + (pmod(shiftright(h, j), 2) * 2 - 1)) > 0"
+        "      then shiftleft(1L, j) else 0L end)"
+    )
+    return hashed.select("doc_id", fp.alias("simhash"))
+
+
 def block_rows(signatures: DataFrame, n_blocks: int, block_bits: int) -> DataFrame:
     """(doc_id, simhash, b, block_val): one row per fingerprint block —
     a narrow per-row explode, no shuffle."""

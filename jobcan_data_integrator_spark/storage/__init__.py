@@ -29,6 +29,7 @@ import shutil
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 from functools import reduce
 from pathlib import Path
 
@@ -158,6 +159,12 @@ class TableStore:
         #: managed ones; read() prefers these so a batch reads its own
         #: writes
         self._pending_versions: dict[str, str | dict] = {}
+        #: True while a ``batch_commit`` context is open: inner
+        #: begin_commit/end_commit calls become no-ops so composed
+        #: operators (each of which brackets its own writes) fold into
+        #: ONE outer commit — the orchestration contract of
+        #: operators/ingest.ingest_increment
+        self._suspended = False
         #: instance-scoped swap-name token: _recover may always reclaim
         #: THIS instance's leftover tmp dirs, but foreign ones only when
         #: stale (they may be another live writer's in-flight swap)
@@ -602,6 +609,8 @@ class TableStore:
         """
         import json as _json
 
+        if self._suspended:
+            return  # inside batch_commit: the outer manifest owns the batch
         payload = {"batch_id": batch_id, "tables": sorted(tables)}
         tmp = self.root / f"{self.MANIFEST}.tmp"
         tmp.write_text(_json.dumps(payload))
@@ -655,6 +664,8 @@ class TableStore:
         """
         import json as _json
 
+        if self._suspended:
+            return  # inside batch_commit: published once, at context exit
         if self.snapshot_isolation and self._pending_versions:
             snap = self.current_snapshot()
             new_tables = dict(snap["tables"])
@@ -681,6 +692,38 @@ class TableStore:
                 if p.name not in keep:
                     shutil.rmtree(p, ignore_errors=True)
         (self.root / self.MANIFEST).unlink(missing_ok=True)
+
+    @contextmanager
+    def batch_commit(self, batch_id: str, tables: list[str]):
+        """ONE commit spanning several composed operators: everything
+        written inside the ``with`` block publishes atomically at exit
+        (snapshot mode) under a single manifest.
+
+        Composed index operators (``extend_index``, ``extend_lm_index``,
+        ...) each bracket their own writes with begin/end_commit;
+        inside this context those inner brackets are no-ops, so an
+        orchestrated multi-family batch (operators/ingest.py) gets
+        exactly one manifest and — on a snapshot-isolation store — one
+        atomic snapshot publish covering every family.  On an
+        exception the manifest is LEFT IN PLACE (and in snapshot mode
+        nothing was published): ``pending_commit`` reports the
+        interrupted batch and the replay converges exactly as for a
+        hard crash.  Nesting is rejected — one batch, one owner."""
+        if self._suspended:
+            raise RuntimeError("batch_commit does not nest")
+        self.begin_commit(batch_id, tables)
+        self._suspended = True
+        try:
+            yield self
+        except BaseException:
+            self._suspended = False
+            # snapshot mode: discard the unpublished versioned dirs so a
+            # same-instance replay starts from the pre-batch snapshot
+            # (the next successful end_commit GCs the orphans)
+            self._pending_versions = {}
+            raise
+        self._suspended = False
+        self.end_commit()
 
     @staticmethod
     def _entry_dirs(tables: dict) -> set[str]:

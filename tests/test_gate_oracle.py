@@ -117,3 +117,40 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+_J10_ORACLE = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def test_j10_anti_join_golden(spark, sf_dir):
+    """J10 rotated out of the driver registry in round 5 (slot given to
+    ig_incremental_curation): the dual-engine golden on the generated
+    tables, PLUS a crafted orphan-customer fixture that actually
+    exercises the anti-join's non-empty side (the generator gives every
+    customer an order, so the driver row compared 0 == 0)."""
+    from pyspark.sql import functions as F
+
+    from jobcan_data_integrator_spark.gate.analytic import j10_anti_join
+
+    sdf = j10_anti_join(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_J10_ORACLE)
+    assert sorted(sdf.columns) == sorted([d[0] for d in res.description])
+    assert _rows(sdf.columns, s_recs) == _rows(
+        [d[0] for d in res.description], res.fetchall()
+    )
+
+    # crafted orphans: customers 900001/900002 have no orders
+    c = spark.createDataFrame(
+        [(900001, "orphan-a"), (900002, "orphan-b"), (1, "has-orders")],
+        "c_custkey bigint, c_name string",
+    )
+    o = spark.createDataFrame([(10, 1)], "o_orderkey bigint, o_custkey bigint")
+    got = sorted(
+        r.c_custkey
+        for r in c.join(o, c.c_custkey == o.o_custkey, "left_anti").collect()
+    )
+    assert got == [900001, 900002]

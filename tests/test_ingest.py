@@ -1,0 +1,283 @@
+"""ingest_increment (operators/ingest.py): the orchestrated
+batch-arrival pipeline, proven equivalent to one-shot curation.
+
+The load-bearing gate: N sequential ``ingest_increment`` batches with
+monotone doc ids must leave
+
+    read_curated(store)  ==  curate_corpus(union).kept
+    mh_pairs             ==  the full-corpus verified pair set
+    cc_labels            ==  dup_clusters(full pairs)
+
+including the one genuinely retroactive monotone-ingest effect — a new
+doc merging two existing clusters demotes the larger cluster's old
+keeper, which must land in the tombstone table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.curate import curate_corpus
+from jobcan_data_integrator_spark.operators.ingest import (
+    TOMBSTONES,
+    ingest_increment,
+    read_curated,
+)
+from jobcan_data_integrator_spark.storage import TableStore
+
+SPAN = 7
+MIN_TOKENS = 3
+NH, BS = 8, 1  # 8 one-hash bands (the affine family has 8 coefficients)
+THRESH = 0.2
+
+
+def _t(prefix: str, lo: int, hi: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(lo, hi))
+
+
+A = _t("a", 0, 12)
+B = _t("b", 0, 12)
+
+#: batch 2's doc 24 shares 3-gram shingles with BOTH doc 3 (A) and
+#: doc 7 (B) but never a >= SPAN-token run (X/Y/Z breaks), so it
+#: survives span dedup and MERGES clusters {3} and {7} -> 7 demoted.
+MERGER = (
+    _t("a", 0, 6) + " X " + _t("a", 6, 12) + " Y "
+    + _t("b", 0, 6) + " Z " + _t("b", 6, 12)
+)
+#: near dup of doc 2 (insert one token mid-way: high Jaccard, no
+#: >= SPAN shared run)
+NEAR2 = _t("v", 0, 5) + " X " + _t("v", 5, 10)
+
+BATCH1 = [
+    (1, _t("u", 0, 10)),
+    (2, _t("v", 0, 10)),
+    (3, A),
+    (7, B),
+    (8, "short one"),  # < MIN_TOKENS -> dropped in both paths
+]
+BATCH2 = [
+    (21, _t("u", 0, 10)),  # exact dup of doc 1
+    (22, NEAR2),           # near dup of doc 2
+    (23, _t("w", 0, 10)),  # unique
+    (24, MERGER),          # merges clusters of 3 and 7
+]
+BATCH3 = [
+    (31, _t("u", 3, 10) + " " + _t("z", 0, 8)),  # 7-token span dup of doc 1
+    (32, _t("y", 0, 10)),
+]
+ALL = BATCH1 + BATCH2 + BATCH3
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ingest_all(spark, root, batches=None):
+    store = TableStore(
+        spark, root, write_partitions=2, snapshot_isolation=True
+    )
+    results = []
+    for i, rows in enumerate(batches or (BATCH1, BATCH2, BATCH3), 1):
+        results.append(
+            ingest_increment(
+                store,
+                _mk(spark, rows),
+                f"b{i}",
+                span=SPAN,
+                min_tokens=MIN_TOKENS,
+                n_hashes=NH,
+                band_size=BS,
+                cluster_threshold=THRESH,
+            )
+        )
+    return store, results
+
+
+def _near_dup_cb(deduped):
+    """curate_corpus's near-dup callback specialized to the SAME
+    MinHash-LSH family/params the orchestrator maintains."""
+    from jobcan_data_integrator_spark.operators.minhash import (
+        band_rows,
+        candidate_pairs,
+        hashed_shingle_rows,
+        shingle_sizes,
+        verify_candidate_pairs,
+    )
+
+    hashed = hashed_shingle_rows(deduped)
+    sh = hashed.distinct()
+    pairs = verify_candidate_pairs(
+        candidate_pairs(band_rows(hashed, NH, BS)), sh, shingle_sizes(sh)
+    )
+    return pairs.filter(F.col("jaccard") >= THRESH)
+
+
+def _one_shot(spark):
+    return curate_corpus(
+        _mk(spark, ALL),
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        near_dup_pairs=_near_dup_cb,
+    )
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_n_batches_equal_one_shot(spark, tmp_path):
+    store, results = _ingest_all(spark, tmp_path)
+    want = _rows(_one_shot(spark).kept, "doc_id", "text")
+    got = _rows(read_curated(store), "doc_id", "text")
+    assert got == want
+    # the retroactive demotion: doc 24 merged {3} and {7}; 7's cluster
+    # relabeled to 3 -> 7 tombstoned, excluded from read_curated
+    assert _rows(store.read(TOMBSTONES), "doc_id") == {(7,)}
+    assert {r.doc_id for r in results[1].demoted.collect()} == {7}
+    # every batch's own audit shape
+    audit = results[1].audit()
+    assert audit["input"] == len(BATCH2)
+    assert audit["near_deduped"] < audit["span_deduped"]
+
+
+def test_pairs_and_clusters_match_full_corpus(spark, tmp_path):
+    from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+
+    store, _ = _ingest_all(spark, tmp_path)
+    # full-corpus pairs over the one-shot span-deduped text
+    one = _one_shot(spark)
+    span_deduped = dict(one.stages)["near_deduped"]
+    # near_deduped already dropped cluster losers; pairs must be
+    # computed on the PRE-drop frame
+    pre = dict(one.stages)["span_deduped"]
+    full_pairs = _near_dup_cb(pre)
+    assert _rows(
+        store.read("mh_pairs").filter(F.col("jaccard") >= THRESH),
+        "doc_a",
+        "doc_b",
+    ) == _rows(full_pairs, "doc_a", "doc_b")
+    assert _rows(store.read("cc_labels"), "doc_id", "cluster_id") == _rows(
+        dup_clusters(full_pairs).select("doc_id", "cluster_id"),
+        "doc_id",
+        "cluster_id",
+    )
+    assert span_deduped is not None  # stages carry the audit frames
+
+
+def test_redelivered_batch_is_noop(spark, tmp_path):
+    store, _ = _ingest_all(spark, tmp_path)
+    before = _rows(read_curated(store), "doc_id", "text")
+    res = ingest_increment(
+        store,
+        _mk(spark, BATCH2),
+        "b2",
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        n_hashes=NH,
+        band_size=BS,
+        cluster_threshold=THRESH,
+    )
+    assert res.replayed
+    assert _rows(read_curated(store), "doc_id", "text") == before
+    assert _rows(res.docs, "doc_id") <= {(d,) for d, _ in BATCH2}
+
+
+def test_out_of_order_batch_raises(spark, tmp_path):
+    store, _ = _ingest_all(spark, tmp_path, batches=(BATCH1,))
+    with pytest.raises(ValueError, match="out-of-order"):
+        ingest_increment(store, _mk(spark, [(2, "x y z")]), "late")
+
+
+def test_crash_mid_batch_publishes_nothing_then_replays(
+    spark, tmp_path, monkeypatch
+):
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    store, _ = _ingest_all(spark, tmp_path, batches=(BATCH1,))
+    before = _rows(read_curated(store), "doc_id", "text")
+
+    real = inc.extend_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(inc, "extend_index", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_increment(
+            store,
+            _mk(spark, BATCH2),
+            "b2",
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            n_hashes=NH,
+            band_size=BS,
+            cluster_threshold=THRESH,
+        )
+    # nothing published; the interrupted batch is detectable
+    assert _rows(read_curated(store), "doc_id", "text") == before
+    assert store.pending_commit()["batch_id"] == "b2"
+
+    monkeypatch.setattr(inc, "extend_index", real)
+    res = ingest_increment(
+        store,
+        _mk(spark, BATCH2),
+        "b2",
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        n_hashes=NH,
+        band_size=BS,
+        cluster_threshold=THRESH,
+    )
+    assert not res.replayed
+    assert store.pending_commit() is None
+    # and batch 3 completes the corpus to the one-shot result
+    ingest_increment(
+        store,
+        _mk(spark, BATCH3),
+        "b3",
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        n_hashes=NH,
+        band_size=BS,
+        cluster_threshold=THRESH,
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == _rows(
+        _one_shot(spark).kept, "doc_id", "text"
+    )
+
+
+def test_batch_commit_does_not_nest(spark, tmp_path):
+    store = TableStore(spark, tmp_path, snapshot_isolation=True)
+    with store.batch_commit("outer", ["t"]):
+        with pytest.raises(RuntimeError, match="nest"):
+            with store.batch_commit("inner", ["t"]):
+                pass
+
+
+def test_remove_flagged_spans_matches_batch_operator(spark):
+    """With the FULL flag set, the apply half reproduces
+    remove_duplicate_spans exactly."""
+    from jobcan_data_integrator_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_flagged_spans,
+    )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        _span_flags,
+        _span_hash_groups,
+        _span_occ_rows,
+    )
+
+    docs = _mk(spark, ALL)
+    occ = _span_occ_rows(docs, SPAN)
+    flags = _span_flags(occ, _span_hash_groups(occ))
+    got = _rows(
+        remove_flagged_spans(docs, flags, span=SPAN),
+        "doc_id",
+        "deduped_text",
+    )
+    want = _rows(
+        remove_duplicate_spans(docs, span=SPAN), "doc_id", "deduped_text"
+    )
+    assert got == want
