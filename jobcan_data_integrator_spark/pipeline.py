@@ -356,32 +356,70 @@ class JobcanPipeline:
 
     # -- phase 3: form detail (gateway.py:434-541) --------------------------------
 
-    def _open_ids_by_form(self) -> dict[str, set[str]]:
-        """I2 late-data catch-up: stored requests whose status is still
-        open are re-fetched every run (reference _requests.py:219-251).
-
-        The status filter runs in Spark (pushed to the parquet scan), so
-        only the open set — small by construction: requests drain to a
-        closed status — ever reaches the driver.  Collecting the full
-        table here would pull every request id ever seen at 100 TB.
-        """
-        if not self.store.exists("requests"):
-            return {}
+    def _open_items(self):
+        """I2 late-data catch-up: (form_key, id) of stored requests whose
+        status is still open — re-fetched every run (reference
+        _requests.py:219-251).  A DataFrame, never a driver collection:
+        the status filter is pushed to the parquet scan and the frame
+        feeds the work-queue union/anti-join below, so no id list ever
+        materializes on the driver regardless of table size."""
         from pyspark.sql import functions as F
 
-        rows = (
+        if not self.store.exists("requests"):
+            return None
+        return (
             self.store.read("requests")
             .filter(
                 ~F.col("status").isin(*sorted(CLOSED_STATUSES))
                 | F.col("status").isNull()
             )
-            .select("id", "form_id")
-            .collect()
+            .select(
+                F.col("form_id").cast("string").alias("form_key"),
+                F.col("id"),
+            )
         )
-        out: dict[str, set[str]] = {}
-        for r in rows:
-            out.setdefault(str(r["form_id"]), set()).add(r["id"])
-        return out
+
+    def _work_queue(self, state: AppState, retry_ids: set[str]):
+        """The detail-phase work list as a DataFrame of (form_key, id):
+        each outline-queue form's ids ∪ its stored open requests, plus
+        stray retry ids (unknown form) in a catch-all ``_retry`` bucket.
+
+        Built entirely with Spark set operations (union, dropDuplicates,
+        anti-join) — the driver sees only per-form COUNTS (bounded by
+        the number of forms) and then streams ids one partition at a
+        time via ``toLocalIterator`` in ``_run_form_detail``, never an
+        unbounded ``collect``: the open set is small by construction
+        (requests drain to a closed status) but the work-queue build
+        must not depend on that at 100 TB."""
+        spark = self.store.spark
+        schema = "form_key string, id string"
+        outline_rows = [
+            (key, rid)
+            for key, entry in state.outline_queue.items()
+            for rid in entry["ids"]
+        ]
+        work = spark.createDataFrame(outline_rows or [], schema)
+        open_df = self._open_items()
+        if open_df is not None and state.outline_queue:
+            # old-behavior parity: open catch-up applies to forms present
+            # in this run's outline queue (the outline enumerates every
+            # form each run); the key list is bounded by the form count
+            work = work.unionByName(
+                open_df.filter(
+                    open_df["form_key"].isin(*state.outline_queue)
+                )
+            )
+        work = work.dropDuplicates(["id"])
+        if retry_ids:
+            retry = spark.createDataFrame(
+                [(r,) for r in sorted(retry_ids)], "id string"
+            )
+            stray = (
+                retry.join(work.select("id"), "id", "left_anti")
+                .selectExpr("'_retry' as form_key", "id")
+            )
+            work = work.unionByName(stray)
+        return work
 
     def _run_form_detail(self, state: AppState, summary: RunSummary) -> None:
         if not state.is_future(Phase.FORM_DETAIL):
@@ -389,38 +427,39 @@ class JobcanPipeline:
         if state.phase < Phase.FORM_DETAIL:
             state.enter_phase(Phase.FORM_DETAIL)
         retry_ids = state.take_failures("requests_detail")
-        open_by_form = self._open_ids_by_form()
-
-        targets: dict[str, set[str]] = {}
-        for key, entry in state.outline_queue.items():
-            targets[key] = set(entry["ids"]) | open_by_form.get(key, set())
-        # retry ids whose form is unknown ride along in a catch-all batch
-        known = set().union(*targets.values()) if targets else set()
-        stray = retry_ids - known
-        if stray:
-            targets.setdefault("_retry", set()).update(stray)
+        work = self._work_queue(state, retry_ids)
+        # per-form totals for progress reporting: bounded by the number
+        # of forms, the ONLY work-queue aggregate the driver holds
+        counts = {
+            r["form_key"]: r["count"]
+            for r in work.groupBy("form_key").count().collect()
+        }
 
         docs: list[dict[str, Any]] = []
         failed_forms: set[str] = set()
         pages: list[Any] = []
-        for sub_count, key in enumerate(sorted(targets), start=1):
-            for current, rid in enumerate(sorted(targets[key]), start=1):
-                doc, res = self.client.fetch_form_detail(rid)
-                self._warn(summary, res.warnings)
-                self.progress_callback(
-                    "requests_detail",
-                    current,
-                    len(targets[key]),
-                    sub_count,
-                    len(targets),
-                )
-                pages.extend(res.raw_pages)
-                if doc is None:
-                    state.record_failures(res.failures)
-                    summary.detail_failed.append(rid)
-                    failed_forms.add(key)
-                else:
-                    docs.append(doc)
+        sub_count, current, last_key = 0, 0, None
+        for row in work.orderBy("form_key", "id").toLocalIterator():
+            key, rid = row["form_key"], row["id"]
+            if key != last_key:
+                sub_count, current, last_key = sub_count + 1, 0, key
+            current += 1
+            doc, res = self.client.fetch_form_detail(rid)
+            self._warn(summary, res.warnings)
+            self.progress_callback(
+                "requests_detail",
+                current,
+                counts[key],
+                sub_count,
+                len(counts),
+            )
+            pages.extend(res.raw_pages)
+            if doc is None:
+                state.record_failures(res.failures)
+                summary.detail_failed.append(rid)
+                failed_forms.add(key)
+            else:
+                docs.append(doc)
         self._archive("requests_detail", pages)
 
         if docs:
