@@ -268,6 +268,14 @@ def layered_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
 #: should cost ~linear; flag beyond this
 TEMPORAL_BUDGET = 10.0
 
+#: as-of join under a HOT KEY (one user owns ~50% of events): the
+#: union+keyed-window plan serializes that key's whole history into one
+#: task's sort, so the skewed run is expected to cost MORE than the
+#: uniform same-volume run — but a bounded constant (one task sorting
+#: ~N/2 rows vs 32 tasks sorting N/32 each), not a blow-up.  Past this
+#: budget the salted carry-forward variant becomes mandatory.
+ASOF_SKEW_BUDGET = 4.0
+
 
 def temporal_experiment(spark, sf_dir: str) -> float:
     """Median-of-3 as-of join over the events table: every error event
@@ -359,6 +367,11 @@ def main() -> None:
     tmp1 = temporal_experiment(spark, str(out_dir))
     tmp_ratio = round(tmp1 / tmp01, 2) if tmp01 else None
 
+    # as-of join under a hot key: same volume, one user owns 50% of
+    # events (the skew corpus), so that key's history sorts in ONE task
+    tmp_skew = temporal_experiment(spark, str(skew_dir))
+    tmp_skew_ratio = round(tmp_skew / tmp01, 2) if tmp01 else None
+
     # layered snapshot store: the same probe over a 3-layer stack
     lay01 = layered_experiment(
         spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_layidx01"
@@ -377,6 +390,8 @@ def main() -> None:
         flagged["dedup_increment@layers"] = lay_ratio
     if tmp_ratio and tmp_ratio > TEMPORAL_BUDGET:
         flagged["asof_join@10x"] = tmp_ratio
+    if tmp_skew_ratio and tmp_skew_ratio > ASOF_SKEW_BUDGET:
+        flagged["asof_join@skew"] = tmp_skew_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
@@ -399,6 +414,15 @@ def main() -> None:
                                    "budget": TEMPORAL_BUDGET,
                                    "note": "union+keyed-window as-of join "
                                    "over events, 10x volume (median of 3)"},
+                      "temporal_skew": {"op": "asof_join_errors_signups",
+                                        "uniform_sec": tmp01,
+                                        "skewed_sec": tmp_skew,
+                                        "ratio": tmp_skew_ratio,
+                                        "budget": ASOF_SKEW_BUDGET,
+                                        "note": "same-volume corpus, one "
+                                        "user owns 50% of events — that "
+                                        "key's history sorts in one task "
+                                        "(median of 3)"},
                       "layered": {"op": "dedup_increment@snapshot-layers",
                                   "sf01_sec": lay01,
                                   "plain_sf01_sec": inc01,
@@ -415,6 +439,9 @@ def main() -> None:
           file=sys.stderr)
     print(f"# incremental: dedup_increment {inc01:.2f} @sf0.1-index -> "
           f"{inc1:.2f} @sf1-index ({inc_ratio}x, budget {INC_BUDGET}x)",
+          file=sys.stderr)
+    print(f"# asof skew: {tmp01:.2f} uniform -> {tmp_skew:.2f} hot-key "
+          f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x)",
           file=sys.stderr)
     if flagged:
         print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",

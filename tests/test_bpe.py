@@ -243,3 +243,81 @@ def test_bpe_stats_approx_vocab(spark, docs):
     assert abs(approx.vocab_size - exact.vocab_size) <= max(
         2, exact.vocab_size * 0.1
     )
+
+
+def _replica_train_batched(
+    corpus: list[tuple[int, str]],
+    n_merges: int,
+    batch: int,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """The batched variant: same ranked snapshot, compatible_merges
+    prefix applied per round (shares the engine's selection function —
+    the replica pins the COUNTING and APPLICATION, the selection rule
+    is one pure list function)."""
+    from jobcan_data_integrator_spark.operators.bpe import compatible_merges
+
+    words = {
+        w: (list(w) + [EOW], n) for w, n in _replica_word_freq(corpus).items()
+    }
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for syms, n in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[a, b] += n
+        ranked = sorted(
+            ((p, c) for p, c in pairs.items() if c >= min_count),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if not ranked:
+            break
+        taken = compatible_merges(
+            [p for p, _ in ranked], min(batch, n_merges - len(merges))
+        )
+        merges.extend(taken)
+        for a, b in taken:
+            for w, (syms, n) in words.items():
+                words[w] = (_replica_merge(syms, a, b), n)
+    return merges
+
+
+def test_batched_training_matches_replica(spark, docs, monkeypatch):
+    """batch > 1 learns the replica's exact batched merge list in
+    ~n_merges/batch count rounds (one pair-count job per round, the
+    scheduler-overhead fix for 32k-merge vocabularies)."""
+    import jobcan_data_integrator_spark.operators.bpe as bpe
+
+    rounds = {"n": 0}
+    real = bpe._pair_counts
+
+    def counting(words):
+        rounds["n"] += 1
+        return real(words)
+
+    monkeypatch.setattr(bpe, "_pair_counts", counting)
+    merges = train_bpe(docs, n_merges=12, batch=4)
+    assert merges == _replica_train_batched(CORPUS, 12, batch=4)
+    # every merge present and ordered; round count ~ merges/batch
+    assert len(merges) > 0
+    import math
+
+    assert rounds["n"] <= math.ceil(12 / 4) + 2, rounds
+
+
+def test_batched_batch1_is_classic_bpe(spark, docs):
+    assert train_bpe(docs, n_merges=8, batch=1) == _replica_train(CORPUS, 8)
+
+
+def test_compatible_merges_rejects_interacting_pairs():
+    from jobcan_data_integrator_spark.operators.bpe import compatible_merges
+
+    ranked = [
+        ("a", "b"),   # taken
+        ("b", "c"),   # shares 'b' -> skipped
+        ("ab", "c"),  # consumes the symbol ('a','b') creates -> skipped
+        ("x", "y"),   # disjoint -> taken
+        ("w", "xy"),  # consumes ('x','y')'s product -> skipped
+        ("p", "q"),   # disjoint -> taken
+    ]
+    assert compatible_merges(ranked, 10) == [("a", "b"), ("x", "y"), ("p", "q")]
