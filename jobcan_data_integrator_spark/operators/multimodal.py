@@ -180,6 +180,180 @@ def _decode(payload: bytes) -> dict[str, Any]:
     return _fake_decode(payload, digest)
 
 
+def _parse_wav(b: bytes) -> dict[str, Any] | None:
+    """WAV RIFF chunk walk: sample rate / channels from ``fmt ``,
+    duration from the ``data`` chunk length / byte rate."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos = 12
+    sample_rate = n_channels = block_align = None
+    data_size = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 24 <= len(b):
+            n_channels, sample_rate = struct.unpack(
+                "<HI", b[pos + 10 : pos + 16]
+            )
+            block_align = struct.unpack("<H", b[pos + 20 : pos + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if not sample_rate or not block_align or data_size is None:
+        return None
+    n_samples = data_size // block_align
+    return {
+        "duration_ms": int(n_samples * 1000 // sample_rate),
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "n_tracks": 1,
+        "width": None,
+        "height": None,
+    }
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO-BMFF boxes in
+    ``b[start:end]`` — tolerant of truncation (stops cleanly)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1 and pos + 16 <= end:  # 64-bit largesize
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            hdr = 16
+        if size < hdr or pos + size > end:
+            return
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4(b: bytes) -> dict[str, Any] | None:
+    """MP4/ISO-BMFF box walk: duration/timescale from ``moov/mvhd``,
+    track count from ``trak`` boxes, video dimensions from the first
+    ``tkhd`` with nonzero width/height (16.16 fixed point)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        duration_ms = None
+        n_tracks = 0
+        width = height = None
+        for ctype, cs, ce in _mp4_boxes(b, s, e):
+            if ctype == b"mvhd" and ce - cs >= 4:
+                ver = b[cs]
+                if ver == 1 and ce - cs >= 28:
+                    timescale = struct.unpack(">I", b[cs + 20 : cs + 24])[0]
+                    duration = struct.unpack(">Q", b[cs + 24 : cs + 32])[0]
+                elif ce - cs >= 20:
+                    timescale = struct.unpack(">I", b[cs + 12 : cs + 16])[0]
+                    duration = struct.unpack(">I", b[cs + 16 : cs + 20])[0]
+                else:
+                    continue
+                if timescale:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif ctype == b"trak":
+                n_tracks += 1
+                for ttype, ts, te in _mp4_boxes(b, cs, ce):
+                    if ttype == b"tkhd" and te - ts >= 8 and width is None:
+                        w, h = struct.unpack(">II", b[te - 8 : te])
+                        if w and h:
+                            width, height = w >> 16, h >> 16
+        if duration_ms is None and n_tracks == 0:
+            return None
+        return {
+            "duration_ms": duration_ms,
+            "sample_rate": None,
+            "n_channels": None,
+            "n_tracks": n_tracks,
+            "width": width,
+            "height": height,
+        }
+    return None
+
+
+#: Output schema of extract_av_metadata.
+AV_METADATA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def _decode_av(payload: bytes) -> dict[str, Any]:
+    """Real metadata for recognized WAV/MP4 containers (dependency-free
+    header parsing, mirroring the image approach), deterministic
+    sha256-derived fake otherwise."""
+    digest = hashlib.sha256(payload).digest()
+    sha = digest.hex()
+    for parse in (_parse_wav, _parse_mp4):
+        meta = parse(payload)
+        if meta is not None:
+            return {"sha256": sha, **meta}
+    return {
+        "sha256": sha,
+        "duration_ms": 1000 + int.from_bytes(digest[:2], "big") % 60000,
+        "sample_rate": 8000 * (1 + digest[2] % 6),
+        "n_channels": 1 + digest[3] % 2,
+        "n_tracks": 1 + digest[4] % 3,
+        "width": None,
+        "height": None,
+    }
+
+
+def extract_av_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio/video metadata extraction over a binary media
+    column — the WAV/MP4 face of :func:`extract_binary_metadata`
+    (images keep their own schema; AV payloads carry duration / sample
+    rate / track counts instead of frame grids).
+
+    Input columns: ``doc_id long, payload binary, mime string``."""
+    ensure_pyfiles(media.sparkSession)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_av(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "sha256": [d["sha256"] for d in decoded],
+                    "duration_ms": pd.Series(
+                        [d["duration_ms"] for d in decoded], dtype="Int64"
+                    ),
+                    "sample_rate": pd.Series(
+                        [d["sample_rate"] for d in decoded], dtype="Int32"
+                    ),
+                    "n_channels": pd.Series(
+                        [d["n_channels"] for d in decoded], dtype="Int32"
+                    ),
+                    "n_tracks": pd.Series(
+                        [d["n_tracks"] for d in decoded], dtype="Int32"
+                    ),
+                    "width": pd.Series(
+                        [d["width"] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [d["height"] for d in decoded], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_extract, AV_METADATA_SCHEMA)
+
+
 def extract_binary_metadata(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over a binary media column.
 

@@ -75,6 +75,7 @@ class TableStore:
         sorted_by: dict[str, list[str]] | None = None,
         snapshot_isolation: bool = False,
         max_snapshot_layers: int = 8,
+        backend: str = "parquet",
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -143,6 +144,41 @@ class TableStore:
         ``delete_scope`` stays unsupported for managed tables (same
         reason as plain mode: a layer cannot express an emptied
         partition; use ``sync_children``)."""
+        if backend not in ("parquet", "delta"):
+            raise ValueError(f"backend must be parquet|delta: {backend}")
+        if backend == "delta":
+            # ``backend="delta"`` binds the three merge idioms to REAL
+            # ``MERGE INTO`` (delta-spark's DeltaTable builder) and
+            # per-table writes to Delta commits — the lakehouse
+            # integration the parquet mode's call sites document
+            # (README "binds 1:1 to Delta/Iceberg MERGE INTO").  Delta
+            # provides its own snapshot isolation and concurrent-writer
+            # conflict detection per table, so the home-grown layered
+            # snapshot mode must not be stacked on top.
+            try:
+                from delta.tables import DeltaTable  # noqa: F401
+            except ImportError as e:  # pragma: no cover - dep optional
+                raise ImportError(
+                    "backend='delta' needs the delta-spark package (and a "
+                    "SparkSession built with the Delta extension + catalog "
+                    "configs); install delta-spark or use the default "
+                    "parquet backend"
+                ) from e
+            if snapshot_isolation:
+                raise ValueError(
+                    "backend='delta' is already snapshot-isolated per "
+                    "table (Delta's commit protocol); snapshot_isolation="
+                    "True is the parquet-mode emulation — pick one"
+                )
+            if partitioned or bucketed or range_partitioned:
+                raise ValueError(
+                    "backend='delta' does not take the parquet-mode "
+                    "partition layouts: Delta's own data skipping + "
+                    "OPTIMIZE ZORDER replace the managed hive/bucket "
+                    "machinery (declare layout on the Delta table "
+                    "itself)"
+                )
+        self.backend = backend
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
@@ -373,7 +409,37 @@ class TableStore:
                 df = df.drop(col)
         return df
 
+    # -- delta backend (optional; see __init__) -------------------------------
+
+    def _delta_table(self, table: str):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(self.spark, str(self.path(table)))
+
+    def _delta_write(self, table: str, df: DataFrame, mode: str) -> None:
+        df.write.format("delta").mode(mode).option(
+            "overwriteSchema", "true"
+        ).save(str(self.path(table)))
+
+    def _delta_scope_cond(self, updates: DataFrame, scope_keys: list[str]):
+        """OR-of-AND predicate matching the updates' distinct scopes —
+        collected to the driver, bounded by the batch's scope count
+        (the same assumption _current_in_partitions makes)."""
+        scopes = updates.select(*scope_keys).dropDuplicates(scope_keys).collect()
+        conds = [
+            reduce(
+                lambda x, y: x & y,
+                (F.col(k).eqNullSafe(F.lit(r[k])) for k in scope_keys),
+            )
+            for r in scopes
+        ]
+        return reduce(lambda x, y: x | y, conds) if conds else F.lit(False)
+
     def exists(self, table: str) -> bool:
+        if self.backend == "delta":
+            from delta.tables import DeltaTable
+
+            return DeltaTable.isDeltaTable(self.spark, str(self.path(table)))
         if self.snapshot_isolation:
             if self._is_managed(table):
                 return self._effective_layers(table) is not None
@@ -382,6 +448,8 @@ class TableStore:
         return self.path(table).exists()
 
     def read(self, table: str) -> DataFrame:
+        if self.backend == "delta":
+            return self.spark.read.format("delta").load(str(self.path(table)))
         if self.snapshot_isolation:
             if self._is_managed(table):
                 layers = self._effective_layers(table)
@@ -552,7 +620,12 @@ class TableStore:
         Snapshot mode: the write lands in a fresh versioned directory and
         is NOT reader-visible until ``end_commit`` publishes the manifest
         pointer — no swap, no in-flight bookkeeping needed.
+
+        Delta backend: one Delta commit (atomic by its protocol).
         """
+        if self.backend == "delta":
+            self._delta_write(table, df, "overwrite")
+            return
         if self.snapshot_isolation:
             if self._is_managed(table):
                 self._write_layer(table, self._prep(table, df), reset=True)
@@ -895,8 +968,26 @@ class TableStore:
 
     def merge_upsert(self, table: str, updates: DataFrame, keys: list[str]) -> None:
         """Full-row upsert: rows matching on ``keys`` are replaced, new rows
-        inserted.  ``updates`` must be key-unique (callers dedup upstream)."""
+        inserted.  ``updates`` must be key-unique (callers dedup upstream).
+
+        Delta backend: one real ``MERGE INTO`` (matched → update all,
+        not-matched → insert all) — the statement this parquet-mode
+        merge documents itself as binding to."""
         u = updates.dropDuplicates(keys)
+        if self.backend == "delta":
+            if not self.exists(table):
+                self._delta_write(table, u, "overwrite")
+                return
+            cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+            (
+                self._delta_table(table)
+                .alias("t")
+                .merge(u.alias("u"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
         if not self.exists(table):
             if self._managed_pcols(table):
                 self._write_partitions_dynamic(table, self._prep(table, u))
@@ -915,8 +1006,24 @@ class TableStore:
         self.overwrite(table, kept.unionByName(u))
 
     def merge_insert_missing(self, table: str, updates: DataFrame, keys: list[str]) -> None:
-        """Insert-if-absent, never update (reference N15, group.py:52-64)."""
+        """Insert-if-absent, never update (reference N15, group.py:52-64).
+
+        Delta backend: ``MERGE INTO`` with only the not-matched-insert
+        branch."""
         u = updates.dropDuplicates(keys)
+        if self.backend == "delta":
+            if not self.exists(table):
+                self._delta_write(table, u, "overwrite")
+                return
+            cond = " AND ".join(f"t.{k} <=> u.{k}" for k in keys)
+            (
+                self._delta_table(table)
+                .alias("t")
+                .merge(u.alias("u"), cond)
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
         if not self.exists(table):
             if self._managed_pcols(table):
                 self._write_partitions_dynamic(table, self._prep(table, u))
@@ -941,7 +1048,22 @@ class TableStore:
         appears in ``updates`` (or in ``scopes`` when provided), then insert
         the new rows.  This is the reference's delete-of-removed nested sync
         (N14) generalized — a re-ingest with fewer children leaves no stale
-        tails (N18)."""
+        tails (N18).
+
+        Delta backend: scope-delete + append (child rows have no unique
+        key to MERGE on — full-scope replace is the delete+insert pair,
+        each an atomic Delta commit; a crash between them is converged
+        by the idempotent replay, the same cross-commit contract as
+        parquet mode's multi-table batches)."""
+        if self.backend == "delta":
+            if not self.exists(table):
+                self._delta_write(table, updates, "overwrite")
+                return
+            self._delta_table(table).delete(
+                self._delta_scope_cond(updates, scope_keys)
+            )
+            self._delta_write(table, updates, "append")
+            return
         if not self.exists(table):
             if self._managed_pcols(table):
                 self._write_partitions_dynamic(table, self._prep(table, updates))
@@ -979,6 +1101,12 @@ class TableStore:
         rows behind.  Use ``sync_children`` for managed tables instead —
         its kept ∪ updates frame always re-covers every touched partition.
         """
+        if self.backend == "delta":
+            if self.exists(table):
+                self._delta_table(table).delete(
+                    self._delta_scope_cond(scopes, scope_keys)
+                )
+            return
         if self._managed_pcols(table):
             raise ValueError(
                 f"delete_scope on partitioned/bucketed table {table!r} is "

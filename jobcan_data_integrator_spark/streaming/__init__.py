@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -173,28 +173,68 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-#: list-valued state: ALL of a user's unsealed sessions, parallel arrays
-#: sorted by start.  A session leaves state only when the event-time
-#: watermark passes its close point — never earlier — so no later event
-#: can bridge into an already-emitted session (exactness, not
-#: bounded-error).  State stays O(sessions inside one watermark window)
-#: per user, which the watermark bounds just like built-in session
-#: windows.
+#: VERSIONED state: the physical state-store schema is one binary
+#: column, permanently — applyInPandasWithState validates the state
+#: schema against the checkpoint on restart, so any physical change
+#: strands every deployed checkpoint.  The LOGICAL layout lives inside
+#: the blob behind a version tag (compact JSON: debuggable, no pickle)
+#: and evolves by adding decoder branches, never by touching the
+#: physical schema — a v(N) checkpoint restarts cleanly under a v(N+1)
+#: binary and upgrades lazily per key on first read
+#: (tests/test_streaming.py::test_sessionize_restores_old_layout_checkpoint).
 #:
-#: COMPAT: this parallel-array layout replaced an earlier scalar
-#: (start_ms, end_ms, n_events) state schema.  applyInPandasWithState
-#: cannot migrate checkpointed state between schemas — a streaming query
-#: restarted from a checkpoint written under the old layout will fail or
-#: misread its state.  Discard the old checkpoint directory and let the
-#: query rebuild state from the source (the sessionizer is deterministic
-#: over replayed events).
-_STATE_SCHEMA = StructType(
-    [
-        StructField("starts_ms", ArrayType(LongType())),
-        StructField("ends_ms", ArrayType(LongType())),
-        StructField("n_events", ArrayType(LongType())),
-    ]
-)
+#: Logical payload: ALL of a user's unsealed sessions as (start, end, n)
+#: triples sorted by start.  A session leaves state only when the
+#: event-time watermark passes its close point — never earlier — so no
+#: later event can bridge into an already-emitted session (exactness,
+#: not bounded-error).  State stays O(sessions inside one watermark
+#: window) per user, which the watermark bounds just like built-in
+#: session windows.
+#:
+#: COMPAT: the blob schema replaced the round-4 3-parallel-array struct
+#: (itself a break from round 2's scalar layout) — the LAST physical
+#: break.  A checkpoint written under either pre-blob struct cannot
+#: restart here (Spark's state schema check rejects it before our code
+#: runs): discard it and rebuild from the source (the sessionizer is
+#: deterministic over replayed events).  Both historical LOGICAL
+#: layouts live on as decoder versions 1 and 2 below.
+_STATE_SCHEMA = StructType([StructField("blob", BinaryType())])
+
+#: current logical state-layout version written by _encode_state
+_STATE_VERSION = 2
+
+
+def _encode_state(held: list[list[int]]) -> bytes:
+    """Current (v2) layout: parallel triple arrays under a version tag."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "v": _STATE_VERSION,
+            "s": [t[0] for t in held],
+            "e": [t[1] for t in held],
+            "n": [t[2] for t in held],
+        }
+    ).encode()
+
+
+def _decode_state(blob: bytes) -> list[list[int]]:
+    """Decode ANY historical layout version into (start, end, n)
+    triples: v1 is round 2's scalar one-unsealed-session layout, v2 the
+    parallel arrays.  Unknown versions raise loudly — a checkpoint from
+    a NEWER binary must not be silently misread."""
+    import json as _json
+
+    d = _json.loads(bytes(blob))
+    v = d.get("v")
+    if v == 1:
+        return [[d["s"], d["e"], d["n"]]]
+    if v == 2:
+        return [list(t) for t in zip(d["s"], d["e"], d["n"])]
+    raise ValueError(
+        f"unknown sessionizer state version {v!r} — checkpoint written "
+        "by a newer binary?"
+    )
 
 
 def merge_gap_intervals(
@@ -270,11 +310,12 @@ def sessionize_events_stream(
                 }
             )
 
-        # (start, end, n) triples currently held for this user
+        # (start, end, n) triples currently held for this user —
+        # version-decoded, so any historical blob layout restores
         held: list[list[int]] = []
         if state.exists:
-            starts, ends, counts = state.get
-            held = [[s, e, n] for s, e, n in zip(starts, ends, counts)]
+            (blob,) = state.get
+            held = _decode_state(blob)
 
         if not state.hasTimedOut:
             # interval-merge the batch events into the held sessions
@@ -291,9 +332,7 @@ def sessionize_events_stream(
         sealed, held = split_sealed(held, state.getCurrentWatermarkMs(), gap_ms)
 
         if held:
-            state.update(
-                ([t[0] for t in held], [t[1] for t in held], [t[2] for t in held])
-            )
+            state.update((_encode_state(held),))
             # wake when the earliest unsealed session becomes sealable;
             # end + gap >= wm for every held session, so this is always
             # ahead of the current watermark as the API requires

@@ -10,8 +10,40 @@ import pytest
 from jobcan_data_integrator_spark.storage import TableStore
 
 
+def _has_delta() -> bool:
+    try:
+        import delta.tables  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+#: the merge-idiom matrix runs against every available backend — the
+#: delta param is a CONDITIONAL skip (runs wherever delta-spark is
+#: installed; this container ships without it), pinning that the
+#: MERGE INTO binding stays call-compatible with the parquet mode
+BACKENDS = [
+    "parquet",
+    pytest.param(
+        "delta",
+        marks=pytest.mark.skipif(
+            not _has_delta(), reason="delta-spark not installed"
+        ),
+    ),
+]
+
+
+@pytest.fixture(params=BACKENDS)
+def store(spark, tmp_path, request):
+    """Backend-parameterized store for the merge-idiom matrix."""
+    return TableStore(spark, tmp_path / "tables", backend=request.param)
+
+
 @pytest.fixture()
-def store(spark, tmp_path):
+def pstore(spark, tmp_path):
+    """Plain parquet store for the swap/recover/manifest machinery
+    that IS the parquet backend (delta has its own commit protocol)."""
     return TableStore(spark, tmp_path / "tables")
 
 
@@ -148,78 +180,78 @@ def test_delete_scope(spark, store):
     assert _rows(store, "t") == [("sa-2", 2)]
 
 
-def test_recover_from_crashed_swap(spark, store):
+def test_recover_from_crashed_swap(spark, pstore):
     """A crash between overwrite()'s two renames leaves the live dir
     missing and the data in .old-* — every read path must restore it
     instead of letting the next merge rebuild from the batch alone.
     A dead process's torn tmp (foreign token, old mtime) is reclaimed."""
     import os
 
-    store.merge_upsert(
+    pstore.merge_upsert(
         "t", spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), ["id"]
     )
-    root = store.root
-    os.replace(store.path("t"), root / "t.old-deadbeef")
+    root = pstore.root
+    os.replace(pstore.path("t"), root / "t.old-deadbeef")
     torn = root / "t.tmp-deadpid-cafe0123"  # torn unswapped write, dead writer
     torn.mkdir()
     past = 1_000_000_000
     os.utime(torn, (past, past))
-    assert store.exists("t")  # recovery ran
+    assert pstore.exists("t")  # recovery ran
     assert not (root / "t.old-deadbeef").exists()
     assert not torn.exists()
     # a merge after the crash still sees the prior rows
-    store.merge_upsert(
+    pstore.merge_upsert(
         "t", spark.createDataFrame([(3, "c")], "id int, v string"), ["id"]
     )
-    assert _rows(store, "t") == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(pstore, "t") == [(1, "a"), (2, "b"), (3, "c")]
 
 
-def test_recover_preserves_other_writers_fresh_tmp(spark, store):
+def test_recover_preserves_other_writers_fresh_tmp(spark, pstore):
     """A FRESH tmp dir with a foreign token may be another live writer's
     in-flight swap (streaming merge + batch pipeline sharing a root) —
-    _recover must not delete it; the store's OWN leftover tmp is
+    _recover must not delete it; the pstore's OWN leftover tmp is
     reclaimed immediately regardless of age."""
-    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
-    foreign = store.root / "t.tmp-feedbeef-01234567"
+    pstore.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    foreign = pstore.root / "t.tmp-feedbeef-01234567"
     foreign.mkdir()  # fresh mtime = possibly in flight
-    own = store.root / f"t.tmp-{store._token}-76543210"
-    own.mkdir()  # own token = leftover from a failed write of THIS store
-    assert store.exists("t")
+    own = pstore.root / f"t.tmp-{pstore._token}-76543210"
+    own.mkdir()  # own token = leftover from a failed write of THIS pstore
+    assert pstore.exists("t")
     assert foreign.exists(), "fresh foreign tmp must survive recovery"
     assert not own.exists(), "own leftover tmp must be reclaimed"
     foreign.rmdir()
 
 
-def test_recover_skips_inflight_table(spark, store):
+def test_recover_skips_inflight_table(spark, pstore):
     """While an overwrite swap is registered in flight (same process,
     another thread), _recover must leave the table's swap dirs alone."""
     from jobcan_data_integrator_spark import storage as S
 
-    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
-    torn = store.root / f"t.tmp-{store._token}-aaaaaaaa"
+    pstore.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    torn = pstore.root / f"t.tmp-{pstore._token}-aaaaaaaa"
     torn.mkdir()
     with S._INFLIGHT_LOCK:
-        S._INFLIGHT.add(str(store.path("t")))
+        S._INFLIGHT.add(str(pstore.path("t")))
     try:
-        assert store.exists("t")
+        assert pstore.exists("t")
         assert torn.exists(), "in-flight table's tmp must not be touched"
     finally:
         with S._INFLIGHT_LOCK:
-            S._INFLIGHT.discard(str(store.path("t")))
-    assert store.exists("t")
+            S._INFLIGHT.discard(str(pstore.path("t")))
+    assert pstore.exists("t")
     assert not torn.exists()  # reclaimed once the swap is no longer in flight
 
 
-def test_recover_drops_superseded_old_dirs(spark, store):
+def test_recover_drops_superseded_old_dirs(spark, pstore):
     """A crash after the second rename but before cleanup leaves a
     .old-* next to a live table — it is stale and must be dropped."""
     import shutil
 
-    store.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
-    shutil.copytree(store.path("t"), store.root / "t.old-12345678")
-    store.merge_upsert("t", spark.createDataFrame([(2, "b")], "id int, v string"), ["id"])
-    assert not list(store.root.glob("t.old-*"))
-    assert _rows(store, "t") == [(1, "a"), (2, "b")]
+    pstore.merge_upsert("t", spark.createDataFrame([(1, "a")], "id int, v string"), ["id"])
+    shutil.copytree(pstore.path("t"), pstore.root / "t.old-12345678")
+    pstore.merge_upsert("t", spark.createDataFrame([(2, "b")], "id int, v string"), ["id"])
+    assert not list(pstore.root.glob("t.old-*"))
+    assert _rows(pstore, "t") == [(1, "a"), (2, "b")]
 
 
 def test_bucketed_sync_rewrites_only_touched_buckets(spark, tmp_path):
@@ -358,13 +390,13 @@ def test_partitioned_and_bucketed_combined(spark, tmp_path):
     assert untouched_before == untouched_after
 
 
-def test_commit_manifest_roundtrip(spark, store):
+def test_commit_manifest_roundtrip(spark, pstore):
     """begin_commit writes an atomic manifest, pending_commit reads it
     back, end_commit clears it (idempotently)."""
-    assert store.pending_commit() is None
-    store.begin_commit("batch-7", ["requests", "expense_items"])
-    pending = store.pending_commit()
+    assert pstore.pending_commit() is None
+    pstore.begin_commit("batch-7", ["requests", "expense_items"])
+    pending = pstore.pending_commit()
     assert pending == {"batch_id": "batch-7", "tables": ["expense_items", "requests"]}
-    store.end_commit()
-    assert store.pending_commit() is None
-    store.end_commit()  # idempotent
+    pstore.end_commit()
+    assert pstore.pending_commit() is None
+    pstore.end_commit()  # idempotent

@@ -535,3 +535,93 @@ def test_streaming_span_index_equals_full_corpus(spark, sf_dir, tmp_path):
     want = {(r.doc_id, r.pos) for r in fresh.read("sp_flags").collect()}
     assert want  # corpus must actually contain duplicated spans
     assert got == want
+
+
+def test_sessionize_restores_old_layout_checkpoint(spark, tmp_path, monkeypatch):
+    """State-layout versioning: a checkpoint whose state blobs carry the
+    OLD v1 logical layout (round 2's scalar one-session form) restarts
+    cleanly under the current binary — the physical blob schema never
+    changed, and the decoder upgrades v1 per key on first read.  The
+    first run writes v1 blobs (encoder monkeypatched to the historical
+    form); the second run is the stock operator restarting from that
+    checkpoint and sealing the held session correctly."""
+    import json as _json
+
+    src = tmp_path / "events"
+    src.mkdir()
+
+    def _v1_encode(held):
+        # round-2 layout: exactly one unsealed session, scalar fields
+        assert len(held) == 1
+        s, e, n = held[0]
+        return _json.dumps({"v": 1, "s": s, "e": e, "n": n}).encode()
+
+    def _drain() -> list:
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .json(str(src))
+        )
+        sessions = S.sessionize_events_stream(
+            stream, gap_seconds=1800, watermark="1 hour"
+        )
+        out: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: out.extend(df.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_v"))
+            .start()
+        )
+        q.awaitTermination()
+        return out
+
+    # run A under the "old binary": one held session for user 7,
+    # checkpointed as a v1 blob (nothing seals: watermark 8:10-1h)
+    monkeypatch.setattr(S, "_encode_state", _v1_encode)
+    (src / "a.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"user_id": 7, "ts": "2024-03-01 08:00:00"},
+                {"user_id": 7, "ts": "2024-03-01 08:10:00"},
+            ]
+        )
+    )
+    assert _drain() == []
+
+    # run B under the CURRENT binary: restart from the v1 checkpoint; a
+    # late event joins the v1-decoded session, then a 12:00 event seals
+    # it (watermark 11:00 > 8:15 + gap)
+    monkeypatch.undo()
+    (src / "b.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"user_id": 7, "ts": "2024-03-01 08:15:00"},
+                {"user_id": 7, "ts": "2024-03-01 12:00:00"},
+            ]
+        )
+    )
+    rows = _drain()
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(7, 3)]
+    assert rows[0]["session_start"].hour == 8
+    assert (rows[0]["session_end"].hour, rows[0]["session_end"].minute) == (8, 15)
+
+
+def test_decode_state_rejects_unknown_version():
+    import json as _json
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown sessionizer state"):
+        S._decode_state(_json.dumps({"v": 99}).encode())
+    # both historical layouts decode to triples
+    assert S._decode_state(
+        _json.dumps({"v": 1, "s": 10, "e": 20, "n": 3}).encode()
+    ) == [[10, 20, 3]]
+    assert S._decode_state(S._encode_state([[1, 2, 3], [4, 5, 6]])) == [
+        [1, 2, 3],
+        [4, 5, 6],
+    ]
