@@ -260,6 +260,157 @@ def scd2_from_changelog(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    band_seconds: int = 86400,
+    tolerance_ms: int | None = None,
+    direction: str = "backward",
+    right_prefix: str = "",
+) -> DataFrame:
+    """:func:`asof_join` with HOT-KEY salting — the variant for a key
+    that owns an unbounded share of the facts (one symbol with half the
+    trades, one tenant with half the events), where the plain
+    union+keyed-window plan serializes that key's entire history into a
+    single task's sort.
+
+    Time-banded salting: rows additionally partition by
+    ``floor(time / band_seconds)``, so the big window sorts one (key,
+    band) slice per task — the hot key's history spreads across its
+    bands, and task size is bounded by events-per-band, a knob, not by
+    key popularity.  Cross-band carry: an in-band match can miss a
+    right row from an EARLIER band (backward; later for forward), so a
+    per-(key, band) aggregate keeps each band's latest (earliest)
+    right payload — #(key, band) rows, events-per-band times smaller
+    than the fact table — and a keyed window over THAT small frame
+    carries payloads across band boundaries (the hot key again
+    serializes, but over its band count, not its event count).  The
+    in-band match wins when present; the carry fills the rest.
+
+    Row-identical to :func:`asof_join` for every direction / tolerance
+    / null combination (pinned in tests/test_temporal.py), including
+    tie behavior: ties happen at equal timestamps, which always share
+    a band.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if band_seconds < 1:
+        raise ValueError(f"band_seconds must be >= 1: {band_seconds}")
+    payload_cols = [c for c in right.columns if c not in (key, right_time)]
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash and not right_prefix:
+        raise ValueError(
+            "right payload columns collide with left columns "
+            f"{clash}; pass right_prefix= to rename them"
+        )
+    right = right.filter(F.col(right_time).cast("timestamp").isNotNull())
+    band = F.lit(band_seconds)
+
+    def _band_of(col):
+        x = F.unix_timestamp(col.cast("timestamp")).cast("bigint")
+        return ((x - F.pmod(x, band)) / band).cast("bigint")
+
+    payload_t = F.struct(
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        payload_t.alias("_payload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    both = r.unionByName(l).withColumn("_band", _band_of(F.col("_t")))
+
+    if direction == "backward":
+        w_in = (
+            Window.partitionBy("_k", "_band")
+            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        agg_pick = F.max  # latest right payload of each band
+    else:
+        w_in = (
+            Window.partitionBy("_k", "_band")
+            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        agg_pick = F.min  # earliest right payload of each band
+
+    matched = both.withColumn(
+        "_m", F.last(F.col("_payload"), ignorenulls=True).over(w_in)
+    ).filter(F.col("_side") == 1)
+
+    # cross-band carry: per (key, band) boundary payload (struct max/min
+    # orders by _rt first — exactly the latest/earliest right row), then
+    # one keyed window over this SMALL band-level frame carries it
+    # across bands.  Fact bands with no right rows still need a carry
+    # row, so the fact side's distinct (key, band) pairs ride along as
+    # null-edge markers; the RANGE frame ending at -1 excludes the
+    # CURRENT band entirely (same-band right rows are the in-band
+    # window's job — a same-band edge may postdate a fact and must not
+    # leak in) while covering every strictly-prior band.
+    edges = (
+        r.withColumn("_band", _band_of(F.col("_t")))
+        .groupBy("_k", "_band")
+        .agg(agg_pick("_payload").alias("_edge"))
+    )
+    markers = (
+        matched.select("_k", "_band")
+        .distinct()
+        .withColumn("_edge", F.lit(None).cast(r.schema["_payload"].dataType))
+    )
+    sign = 1 if direction == "backward" else -1
+    eu = edges.unionByName(markers).withColumn(
+        "_ord", (F.col("_band") * sign).cast("bigint")
+    )
+    w_carry = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ord").asc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        eu.withColumn(
+            "_carry", F.last(F.col("_edge"), ignorenulls=True).over(w_carry)
+        )
+        .select("_k", "_band", "_carry")
+        .distinct()  # one row per band (every row of a band sees the same carry)
+    )
+
+    matched = matched.join(carry, ["_k", "_band"], "left").withColumn(
+        "_m",
+        F.when(F.col("_t").isNull(), F.lit(None).cast(r.schema["_payload"].dataType))
+        .otherwise(F.coalesce(F.col("_m"), F.col("_carry"))),
+    )
+    if tolerance_ms is not None:
+        gap = F.abs(
+            F.unix_millis(F.col("_t")) - F.unix_millis(F.col("_m._rt"))
+        )
+        matched = matched.withColumn(
+            "_m", F.when(gap <= F.lit(tolerance_ms), F.col("_m"))
+        )
+    out_cols = [
+        F.col(f"_l_{c}").alias(c) for c in left.columns
+    ] + [F.col("_m._rt").alias(f"right_{right_time}")] + [
+        F.col(f"_m.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
+    ]
+    return matched.select(*out_cols)
+
+
 def asof_join_broadcast(
     left: DataFrame,
     right: DataFrame,

@@ -584,3 +584,46 @@ def index_pq_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def ingest_documents_stream(
+    docs: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    **ingest_kwargs,
+):
+    """Streaming face of the ORCHESTRATED ingest: each micro-batch of
+    (doc_id, text) runs ``operators/ingest.ingest_increment`` — the
+    full curation pipeline against and into every configured index
+    family, one snapshot commit per micro-batch — under the batch id
+    ``stream-<epoch_id>``.
+
+    Exactly-once without idempotent sinks: Structured Streaming
+    redelivers an epoch after a foreachBatch failure, and the
+    orchestrator's ``ig_batches`` ledger turns the redelivery into a
+    no-op (a crash BEFORE the snapshot publish left nothing visible,
+    so the retry recomputes against the pre-batch state).  Micro-batch
+    order satisfies the orchestrator's monotone-id contract whenever
+    the source assigns ids monotonically — the same assumption as the
+    reference's request-id cursor.  ``ingest_kwargs`` pass through to
+    ``ingest_increment`` (span, minhash, lm_filter, pack_budget, ...).
+    """
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_increment(
+            store,
+            batch_df.select("doc_id", "text"),
+            f"stream-{batch_id}",
+            **ingest_kwargs,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -277,14 +277,27 @@ TEMPORAL_BUDGET = 10.0
 ASOF_SKEW_BUDGET = 4.0
 
 
-def temporal_experiment(spark, sf_dir: str) -> float:
+def temporal_experiment(spark, sf_dir: str, salted: bool = False) -> float:
     """Median-of-3 as-of join over the events table: every error event
     picks up its most recent prior signup (operators/temporal.py) —
     the union+window formulation whose cost should track the event
-    volume linearly."""
+    volume linearly.  ``salted=True`` runs the hot-key variant
+    (asof_join_salted, daily time bands) instead — the plan whose task
+    size is bounded by events-per-band, not key popularity."""
+    import functools
+
     from pyspark.sql import functions as F
 
-    from jobcan_data_integrator_spark.operators.temporal import asof_join
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    join = (
+        functools.partial(asof_join_salted, band_seconds=86400)
+        if salted
+        else asof_join
+    )
 
     ev = load_table(spark, sf_dir, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
@@ -296,7 +309,7 @@ def temporal_experiment(spark, sf_dir: str) -> float:
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        asof_join(errors, signups, key="user_id").write.mode(
+        join(errors, signups, key="user_id").write.mode(
             "overwrite"
         ).format("noop").save()
         times.append(time.perf_counter() - t0)
@@ -371,6 +384,11 @@ def main() -> None:
     # events (the skew corpus), so that key's history sorts in ONE task
     tmp_skew = temporal_experiment(spark, str(skew_dir))
     tmp_skew_ratio = round(tmp_skew / tmp01, 2) if tmp01 else None
+    # ...and the salted variant on the same skewed corpus, recording
+    # what the band-partitioned plan costs where the plain one is the
+    # one flagged to blow up at real scale
+    tmp_salted = temporal_experiment(spark, str(skew_dir), salted=True)
+    tmp_salted_ratio = round(tmp_salted / tmp01, 2) if tmp01 else None
 
     # layered snapshot store: the same probe over a 3-layer stack
     lay01 = layered_experiment(
@@ -417,12 +435,16 @@ def main() -> None:
                       "temporal_skew": {"op": "asof_join_errors_signups",
                                         "uniform_sec": tmp01,
                                         "skewed_sec": tmp_skew,
+                                        "salted_skewed_sec": tmp_salted,
                                         "ratio": tmp_skew_ratio,
+                                        "salted_ratio": tmp_salted_ratio,
                                         "budget": ASOF_SKEW_BUDGET,
                                         "note": "same-volume corpus, one "
                                         "user owns 50% of events — that "
-                                        "key's history sorts in one task "
-                                        "(median of 3)"},
+                                        "key's history sorts in one task; "
+                                        "salted = asof_join_salted daily "
+                                        "bands, task size bounded by "
+                                        "events-per-band (median of 3)"},
                       "layered": {"op": "dedup_increment@snapshot-layers",
                                   "sf01_sec": lay01,
                                   "plain_sf01_sec": inc01,
@@ -441,7 +463,8 @@ def main() -> None:
           f"{inc1:.2f} @sf1-index ({inc_ratio}x, budget {INC_BUDGET}x)",
           file=sys.stderr)
     print(f"# asof skew: {tmp01:.2f} uniform -> {tmp_skew:.2f} hot-key "
-          f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x)",
+          f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x); salted "
+          f"{tmp_salted:.2f} ({tmp_salted_ratio}x)",
           file=sys.stderr)
     if flagged:
         print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",

@@ -281,3 +281,58 @@ def test_remove_flagged_spans_matches_batch_operator(spark):
         remove_duplicate_spans(docs, span=SPAN), "doc_id", "deduped_text"
     )
     assert got == want
+
+
+def test_streaming_ingest_equals_one_shot(spark, tmp_path):
+    """ingest_documents_stream: the orchestrator per micro-batch. Two
+    file-batch drains (monotone ids) leave read_curated == the one-shot
+    curation of the union — the streaming face of the ≡ contract."""
+    import json as _json
+
+    from jobcan_data_integrator_spark import streaming as S
+
+    store = TableStore(
+        spark, tmp_path / "store", write_partitions=2, snapshot_isolation=True
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = S.ingest_documents_stream(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            n_hashes=NH,
+            band_size=BS,
+            cluster_threshold=THRESH,
+        ).start()
+        q.awaitTermination()
+
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in BATCH1)
+    )
+    _drain()
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in BATCH2 + BATCH3
+        )
+    )
+    _drain()
+
+    want = _rows(
+        curate_corpus(
+            _mk(spark, ALL),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            near_dup_pairs=_near_dup_cb,
+        ).kept,
+        "doc_id",
+        "text",
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == want

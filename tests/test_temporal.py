@@ -400,3 +400,98 @@ def test_range_join_negative_epochs_floor_consistent(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_asof_salted_equals_plain(spark, frames):
+    """The hot-key salted variant is row-identical to asof_join across
+    directions, tolerance, and band widths that force cross-band
+    carries (band=600s on a minute-scale fixture: matches routinely
+    live in earlier/later bands)."""
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    trades, quotes = frames
+    for direction in ("backward", "forward"):
+        for tol in (None, 6):
+            want = _spark_rows(
+                asof_join(
+                    trades, quotes, "sym_id",
+                    direction=direction,
+                    tolerance_ms=None if tol is None else tol * 60_000,
+                )
+            )
+            for band in (60, 600, 10**9):  # tiny, medium, one-band
+                got = _spark_rows(
+                    asof_join_salted(
+                        trades, quotes, "sym_id",
+                        band_seconds=band,
+                        direction=direction,
+                        tolerance_ms=None if tol is None else tol * 60_000,
+                    )
+                )
+                assert got == want, (direction, tol, band)
+
+
+def test_asof_salted_null_times_and_collision(spark):
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    quotes = spark.createDataFrame(
+        [(1, None, 999.0), (1, _ts(5), 11.0)],
+        "sym_id bigint, ts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [(0, 1, _ts(1), 5), (1, 1, _ts(9), 2), (2, 1, None, 3)],
+        "trade_id bigint, sym_id bigint, ts timestamp, qty bigint",
+    )
+    got = {
+        r.trade_id: r.px
+        for r in asof_join_salted(
+            trades, quotes, "sym_id", band_seconds=60
+        ).collect()
+    }
+    assert 999.0 not in got.values() and got[2] is None and got[1] == 11.0
+    clash = quotes.withColumnRenamed("px", "qty")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_salted(trades, clash, "sym_id")
+
+
+def test_asof_salted_hot_key_plan_partitions_by_band(spark):
+    """The big window must partition by (key, band) — never by key
+    alone — and still match the plain join on a corpus where one key
+    owns ~90% of the facts spread over many bands."""
+    import datetime as _dt
+
+    from jobcan_data_integrator_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    base = _dt.datetime(2024, 1, 1)
+    facts = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2, base + _dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "fact_id bigint, k bigint, ts timestamp",
+    )
+    dims = spark.createDataFrame(
+        [(1 if j % 3 else 2, base + _dt.timedelta(minutes=45 * j), float(j)) for j in range(20)],
+        "k bigint, ts timestamp, v double",
+    )
+    salted = asof_join_salted(facts, dims, "k", band_seconds=3600)
+    plain = asof_join(facts, dims, "k")
+    assert _rows_set(salted) == _rows_set(plain)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # every window partition spec over the fact union carries _band
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and any("_band" in s for s in specs), plan[:2000]
+
+
+def _rows_set(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "fact_id", "k", "ts", "right_ts", "v"
+        ).collect()
+    }
