@@ -548,7 +548,9 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = _simhash_signatures(spark, sf_dir).cache()
     blocks = block_rows(sig, _SH_BLOCKS, _SH_BLOCK_BITS)
-    return near_dup_pairs(blocks, n_blocks=_SH_BLOCKS)
+    return near_dup_pairs(
+        blocks, n_blocks=_SH_BLOCKS, block_bits=_SH_BLOCK_BITS
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -438,7 +438,7 @@ def build_simhash_index(
     sig = signatures.cache()
     blocks = block_rows(sig, n_blocks, block_bits).cache()
     try:
-        pairs = near_dup_pairs(blocks, n_blocks=n_blocks)
+        pairs = near_dup_pairs(blocks, n_blocks=n_blocks, block_bits=block_bits)
         store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
         store.overwrite("sh_signatures", sig)
         store.overwrite("sh_blocks", blocks)
@@ -493,8 +493,10 @@ def simhash_increment(
         "sh_blocks", new_blocks.select("block_val")
     )
     return near_dup_pairs(
-        new_blocks, corpus_blocks, n_blocks=n_blocks
-    ).unionByName(near_dup_pairs(new_blocks, n_blocks=n_blocks)).distinct()
+        new_blocks, corpus_blocks, n_blocks=n_blocks, block_bits=block_bits
+    ).unionByName(
+        near_dup_pairs(new_blocks, n_blocks=n_blocks, block_bits=block_bits)
+    ).distinct()
 
 
 def extend_simhash_index(

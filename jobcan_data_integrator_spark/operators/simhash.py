@@ -62,6 +62,7 @@ def near_dup_pairs(
     other_blocks: DataFrame | None = None,
     max_hamming: int | None = None,
     n_blocks: int = 4,
+    block_bits: int = 15,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs agreeing on >= 1 block and
     within ``max_hamming`` (default ``n_blocks - 1``, the pigeonhole
@@ -71,51 +72,68 @@ def near_dup_pairs(
     pairs normalized to (least, greatest) — the split-corpus composition
     (within-corpus ∪ cross ∪ within-new) reproduces the full corpus's
     pair set exactly, because blocks are a pure per-doc function.
+
+    A pair agreeing on k blocks comes out of the equi-join k times; the
+    duplicates are removed WITHOUT a shuffle by emitting the pair only
+    at its MINIMAL agreeing block — both full fingerprints ride on the
+    joined row, so "no earlier block also agrees" is a narrow in-row
+    predicate on (sa, sb, b).  (Through round 4 this was a .distinct()
+    over the candidate set: a second full exchange that dominated the
+    10x scale smoke; the pair set is identical by construction.)  The
+    hamming filter runs before the min-block check so above-threshold
+    candidates die in the same narrow stage.  Cross-frame inputs are
+    assumed doc_id-disjoint (the incremental index ∪ increment split);
+    overlapping frames would emit one row per orientation, which the
+    callers' terminal .distinct() collapses.
     """
     if max_hamming is None:
         max_hamming = n_blocks - 1
+    mask = (1 << block_bits) - 1
     a = blocks.alias("a")
     if other_blocks is None:
         b = blocks.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.b") == F.col("b.b"))
-                & (F.col("a.block_val") == F.col("b.block_val"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.col("a.simhash").alias("sa"),
-                F.col("b.simhash").alias("sb"),
-            )
-            .distinct()
+        cand = a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+            F.col("a.b").alias("b"),
         )
     else:
         b = other_blocks.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.b") == F.col("b.b"))
-                & (F.col("a.block_val") == F.col("b.block_val"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(
-                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-                F.when(
-                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.simhash")
-                ).otherwise(F.col("b.simhash")).alias("sa"),
-                F.when(
-                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.simhash")
-                ).otherwise(F.col("a.simhash")).alias("sb"),
-            )
-            .distinct()
+        cand = a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        ).select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.simhash")
+            ).otherwise(F.col("b.simhash")).alias("sa"),
+            F.when(
+                F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.simhash")
+            ).otherwise(F.col("a.simhash")).alias("sb"),
+            F.col("a.b").alias("b"),
         )
     hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
+    # sequence(0, b) (never empty, always ascending — sequence(0, b-1)
+    # flips descending at b=0) with the j < b guard inside: true iff some
+    # EARLIER block also agrees, i.e. this row is not the canonical one.
+    earlier_agrees = F.expr(
+        f"exists(sequence(0, b), j -> j < b AND"
+        f" ((sa >> cast({block_bits} * j as int)) & {mask}) ="
+        f" ((sb >> cast({block_bits} * j as int)) & {mask}))"
+    )
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .filter(~earlier_agrees)
         .select("doc_a", "doc_b", "hamming")
     )
