@@ -429,13 +429,19 @@ def build_simhash_index(
 ) -> None:
     """Persist (doc_id, simhash), the pigeonhole block table, and the
     corpus-internal near-dup pairs (doc_a, doc_b, hamming) for an
-    initial corpus."""
+    initial corpus.
+
+    Signatures are deduped on doc_id first: near_dup_pairs removes
+    block-level duplicates with an in-row min-block predicate (no
+    terminal distinct), so duplicate doc_id rows in the input (e.g. a
+    replayed ingest) would otherwise persist duplicate
+    (doc_a, doc_b, hamming) rows into sh_pairs."""
     from jobcan_data_integrator_spark.operators.simhash import (
         block_rows,
         near_dup_pairs,
     )
 
-    sig = signatures.cache()
+    sig = signatures.dropDuplicates(["doc_id"]).cache()
     blocks = block_rows(sig, n_blocks, block_bits).cache()
     try:
         pairs = near_dup_pairs(blocks, n_blocks=n_blocks, block_bits=block_bits)

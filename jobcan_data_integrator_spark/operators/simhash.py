@@ -77,7 +77,14 @@ def near_dup_pairs(
     duplicates are removed WITHOUT a shuffle by emitting the pair only
     at its MINIMAL agreeing block — both full fingerprints ride on the
     joined row, so "no earlier block also agrees" is a narrow in-row
-    predicate on (sa, sb, b).  (Through round 4 this was a .distinct()
+    predicate on (sa, sb, b).  That predicate RE-DERIVES block values
+    from ``block_bits``, so ``block_bits`` here MUST equal the value the
+    blocks frame was built with (block_rows) — a mismatch would silently
+    drop pairs (no row looks canonical).  Rather than trust the caller,
+    the plan carries an in-row assertion: each candidate's joined
+    ``block_val`` is re-derived from (simhash, b, block_bits) and a
+    mismatch raises at execution time (one shift+mask per candidate —
+    negligible next to the hamming popcount on the same row).  (Through round 4 this was a .distinct()
     over the candidate set: a second full exchange that dominated the
     10x scale smoke; the pair set is identical by construction.)  The
     hamming filter runs before the min-block check so above-threshold
@@ -103,6 +110,7 @@ def near_dup_pairs(
             F.col("a.simhash").alias("sa"),
             F.col("b.simhash").alias("sb"),
             F.col("a.b").alias("b"),
+            F.col("a.block_val").alias("bv"),
         )
     else:
         b = other_blocks.alias("b")
@@ -121,6 +129,7 @@ def near_dup_pairs(
                 F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.simhash")
             ).otherwise(F.col("a.simhash")).alias("sb"),
             F.col("a.b").alias("b"),
+            F.col("a.block_val").alias("bv"),
         )
     hamming = F.bit_count(F.expr("sa ^ sb")).cast("int")
     # sequence(0, b) (never empty, always ascending — sequence(0, b-1)
@@ -131,9 +140,26 @@ def near_dup_pairs(
         f" ((sa >> cast({block_bits} * j as int)) & {mask}) ="
         f" ((sb >> cast({block_bits} * j as int)) & {mask}))"
     )
+    # Geometry guard (see docstring): the joined row's block_val must be
+    # reproducible from (simhash, b) with THIS call's block_bits.  On a
+    # candidate row sa and sb agree at block b (join condition), so sa is
+    # a valid re-derivation source regardless of the cross-branch swap.
+    # assert_true returns NULL on success, so the isNull filter is a
+    # no-op pass-through that keeps the assertion in the executed plan.
+    geometry_ok = F.expr(
+        f"((sa >> cast({block_bits} * b as int)) & {mask}) = bv"
+    )
+    guard = F.assert_true(
+        geometry_ok,
+        F.lit(
+            "near_dup_pairs: block_bits disagrees with the geometry"
+            " used by block_rows — pairs would be silently dropped"
+        ),
+    )
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .filter(guard.isNull())
         .filter(~earlier_agrees)
         .select("doc_a", "doc_b", "hamming")
     )
