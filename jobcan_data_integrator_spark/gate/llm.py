@@ -1785,33 +1785,93 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate(
     "ig_incremental_curation",
     # The oracle is the ONE-SHOT curation (same CTE chain as
-    # tx_shard_packing) stopped at the kept text — while the Spark side
-    # ingests the corpus in THREE sequential monotone-id batches through
-    # operators/ingest.ingest_increment, each batch curated against and
-    # absorbed into the persisted exact + span index families under one
-    # snapshot commit.  A green hash therefore PROVES the orchestration
-    # contract: N batch-arrival calls ≡ one-shot curation — the property
-    # that lets a 100 TB corpus be curated as it arrives instead of
-    # re-curated per batch.  (The near-dup + cluster families compose
-    # the same way; their equivalences are driver-proven by
-    # dd_incremental_dedup and pinned end-to-end in tests/test_ingest.py
-    # — this gate runs minhash off so the oracle stays the exact/span
-    # chain DuckDB can express without the recursive-CC machinery.)
+    # tx_shard_packing) through exact + span + floor, THEN the MinHash
+    # near-dup canonicalization over the kept set: the _VERIFIED_CTES
+    # machinery re-rooted on ded's post-span text (shingle window ->
+    # affine-minhash signatures -> 2-row LSH bands -> candidate
+    # equi-join -> exact Jaccard), edges at >= 0.5, connected components
+    # via the dd_dup_clusters recursive walk, and every non-minimum
+    # cluster member dropped.  The Spark side ingests the corpus in two
+    # monotone batches through operators/ingest.ingest_increment with
+    # minhash ON, so a green hash proves the FULL orchestration
+    # contract: per-batch curation against the persisted exact + span +
+    # MinHash + cluster families — including cross-batch pair
+    # discovery, keeper election, cluster-merge keeper demotion via
+    # cur_drops tombstones, and the read_curated anti-join — ≡ one-shot
+    # curation of the union.  (Through round 5 this gate ran minhash
+    # off and the near-dup path was pytest-only evidence;
+    # tests/test_ingest.py still pins the 3-batch + demotion matrix.)
     oracle=f"""
-    WITH {_CURATE_KEPT_CTES}
-    SELECT doc_id, array_to_string(toks, ' ') AS text FROM ded
+    WITH RECURSIVE {_CURATE_KEPT_CTES}, dtok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord
+      FROM ded
+    ), dshw AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
+      FROM dtok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    ), dsh AS (
+      SELECT DISTINCT doc_id, shingle FROM dshw
+    ), dsig AS (
+      SELECT doc_id, g.i AS h_idx,
+             min(({_sql_arr(_MH_A)}[g.i + 1] * (shingle % {_MH_P})
+                  + {_sql_arr(_MH_B)}[g.i + 1]) % {_MH_P}) AS minhash
+      FROM dshw, generate_series(0, 7) AS g(i)
+      GROUP BY doc_id, g.i
+    ), dbands AS (
+      SELECT doc_id, h_idx // 2 AS band_idx,
+             md5(string_agg(minhash::VARCHAR, '_' ORDER BY h_idx)) AS band_key
+      FROM dsig GROUP BY doc_id, h_idx // 2
+    ), dcands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dbands a JOIN dbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ), dsizes AS (
+      SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id
+    ), dedges AS (
+      SELECT i.doc_a AS src, i.doc_b AS dst
+      FROM (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM dcands c
+            JOIN dsh a ON a.doc_id = c.doc_a
+            JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY c.doc_a, c.doc_b) i
+      JOIN dsizes sa ON sa.doc_id = i.doc_a
+      JOIN dsizes sb ON sb.doc_id = i.doc_b
+      WHERE round(CAST(i.n_common AS DOUBLE)
+                  / (sa.n + sb.n - i.n_common), 6) >= 0.5
+    ), dsym AS (
+      SELECT src, dst FROM dedges UNION SELECT dst, src FROM dedges
+    ), dwalk(doc_id, label) AS (
+      SELECT DISTINCT src, src FROM dsym
+      UNION
+      SELECT s.dst, w.label FROM dwalk w JOIN dsym s ON s.src = w.doc_id
+    ), dlabels AS (
+      SELECT doc_id, min(label) AS cluster_id FROM dwalk GROUP BY doc_id
+    )
+    SELECT d.doc_id, array_to_string(d.toks, ' ') AS text
+    FROM ded d
+    WHERE NOT EXISTS (SELECT 1 FROM dlabels l
+                      WHERE l.doc_id = d.doc_id
+                        AND l.doc_id <> l.cluster_id)
     """,
     doc="Orchestrated incremental ingest (operators/ingest.py, "
-    "ingest_increment): the corpus arrives in 3 monotone doc_id batches; "
+    "ingest_increment): the corpus arrives in monotone doc_id batches; "
     "each is PII-scrubbed, exact-deduped against the persisted ex_docs "
     "hash index, ExactSubstr-span-deduped against the persisted sp_occs "
-    "index, length-floored, merged into the curated table, and absorbed "
-    "into every index family — all under ONE snapshot commit per batch "
-    "with an absorbed-batch ledger (replays are no-ops, crashes publish "
-    "nothing). The oracle is the one-shot curation over the union: "
-    "green = batch-arrival curation ≡ one-shot curation. Reference "
-    "analog: the integrator's phase driver (integrator.py:522-553) — "
-    "per-batch increments against persisted state, never full re-runs.",
+    "index, length-floored, near-dup-canonicalized against the persisted "
+    "MinHash band/pair index + cc_labels cluster map (cluster-merge "
+    "keeper demotions become cur_drops tombstones), merged into the "
+    "curated table, and absorbed into every index family — all under ONE "
+    "snapshot commit per batch with an absorbed-batch ledger (replays "
+    "are no-ops, crashes publish nothing). The oracle is the one-shot "
+    "curation over the union incl. the verified-pair cluster collapse: "
+    "green = batch-arrival curation ≡ one-shot curation across ALL "
+    "families. Reference analog: the integrator's phase driver "
+    "(integrator.py:522-553) — per-batch increments against persisted "
+    "state, never full re-runs.",
 )
 def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -1835,7 +1895,7 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split): the gate's cost is almost pure per-job scheduling overhead
     # (flat from sf0.001 to sf0.1), so batch count IS the cost knob —
     # two proves the same build-then-increment contract as three, and
-    # tests/test_ingest.py pins the 3-batch composition
+    # tests/test_ingest.py pins the 3-batch + keeper-demotion matrix
     cuts = [(0, (hi * 4) // 5), ((hi * 4) // 5 + 1, hi)]
     for i, (lo, hi2) in enumerate(cuts):
         ingest_increment(
@@ -1844,7 +1904,7 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ing-{i}",
             span=8,
             min_tokens=10,
-            minhash=False,
+            minhash=True,
         )
     return read_curated(store).select("doc_id", "text")
 

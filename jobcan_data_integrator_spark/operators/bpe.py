@@ -143,6 +143,7 @@ def train_bpe(
     text_col: str = "text",
     min_count: int = 2,
     batch: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from a corpus.
 
@@ -157,7 +158,11 @@ def train_bpe(
     scheduler overhead and minutes, at any cluster size.  ``batch=1``
     is classic Sennrich BPE; ``batch>1`` is the standard batched
     variant (identical within a round's compatible set, and the exact
-    batched rule is replica-pinned in tests/test_bpe.py)."""
+    batched rule is replica-pinned in tests/test_bpe.py).
+
+    ``stats``, if given, is filled with ``{"rounds": <count-round
+    jobs run>}`` — the measurable half of the ~n_merges/batch claim
+    (scale_smoke.py asserts it at a production-ish merge count)."""
     if batch < 1:
         raise ValueError(f"batch must be >= 1: {batch}")
     words = word_frequency_table(docs, text_col).localCheckpoint(eager=True)
@@ -166,13 +171,16 @@ def train_bpe(
     while len(merges) < n_merges:
         want = min(batch, n_merges - len(merges))
         # over-fetch ranked rows so skipped incompatible pairs do not
-        # starve the batch; 4x is a heuristic — a short batch just
+        # starve the batch — the pinned replica (tests/test_bpe.py)
+        # ranks the FULL live pair list, so a deeper cap only converges
+        # toward it; 32x a 32-batch is ~1k tiny (a, b, cnt) rows, noise
+        # next to the count job itself, and a still-starved batch just
         # means one extra (cheap) round
         top = (
             _pair_counts(words)
             .filter(F.col("cnt") >= min_count)
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(max(want * 4, want))
+            .limit(max(want * 32, 256))
             .collect()
         )
         if not top:
@@ -187,6 +195,8 @@ def train_bpe(
         # truncate lineage so round k's plan doesn't embed rounds 1..k-1
         if rounds % _CHECKPOINT_EVERY == 0:
             words = words.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -264,6 +264,127 @@ def layered_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
     return round(sorted(times)[1], 3)
 
 
+#: orchestrated-ingest probe: a FIXED ~20-doc batch through
+#: ``ingest_increment`` (exact + span + MinHash families, curated
+#: merge, ledger) against a store seeded with the 10x corpus must cost
+#: ~flat vs the sf0.1-seeded store — the orchestrator's whole claim is
+#: per-batch cost linear in the INCREMENT.  Budget mirrors the
+#: dedup-increment probe (the corpus-side bucket reads grow 10x while
+#: staying tiny at this increment size).
+INGEST_BUDGET = 3.0
+
+
+def ingest_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
+    """Median seconds for one fixed ~20-doc ``ingest_increment`` batch
+    (span=8, minhash on) against a store seeded with ``sf_dir``'s whole
+    document corpus via one base ingest call.
+
+    The probe batch is the SAME 20 source documents (sf0.1 doc_id < 20)
+    in both runs, re-keyed above the seeded corpus's absorbed high-water
+    mark (the orchestrator's monotone-id contract).  Three sequential
+    probe batches (each must carry fresh monotone ids — a replayed
+    batch_id short-circuits by design), median taken; each probe's cost
+    includes extending every family, i.e. the real steady-state
+    per-batch cost.  Bucket count scales with the corpus like the
+    dedup probe (bucket SIZE held constant)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        exact_index_buckets,
+        index_layout,
+        minhash_index_buckets,
+        minhash_pair_bands,
+        span_index_buckets,
+    )
+    from jobcan_data_integrator_spark.operators.ingest import ingest_increment
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    buckets = (
+        minhash_index_buckets(n_buckets)
+        | exact_index_buckets(n_buckets)
+        | span_index_buckets(n_buckets)
+    )
+    store = TableStore(
+        spark, workdir, write_partitions=1,
+        **index_layout(buckets, minhash_pair_bands(1 << 20)),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    ingest_increment(store, docs, "base", span=8, minhash=True)
+    probe_src = (
+        load_table(spark, SRC_SF, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    times = []
+    for i in range(3):
+        batch = probe_src.select(
+            (F.col("doc_id") + F.lit(hi + 1 + i * 100)).alias("doc_id"),
+            "text",
+        )
+        t0 = time.perf_counter()
+        ingest_increment(store, batch, f"probe-{i}", span=8, minhash=True)
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
+#: BPE batched-training smoke: learn a production-ish merge count with
+#: batch=32 and assert the round count tracks ~n_merges/32, not
+#: n_merges — the difference between minutes and hours of scheduler
+#: overhead at 32k-64k vocab.  Incompatible-pair starvation can shorten
+#: a round's batch, so the bound carries slack: rounds must stay under
+#: 2x the ideal ceil(learned/32).
+BPE_BATCH = 32
+BPE_MERGES = 1000
+BPE_ROUND_SLACK = 2.0
+
+
+def bpe_experiment(spark, sf_dir: str) -> dict:
+    """Train BPE (batch=32, up to 1000 merges) on ``sf_dir``'s document
+    corpus re-tokenized as hyphenated BIGRAM words; returns learned
+    merge count, count-round jobs, wall seconds, and the ideal round
+    count.
+
+    The bigram re-tokenization is the width knob: the raw synthetic
+    vocabulary (31 distinct words) exhausts after ~113 merges with its
+    top pairs all sharing symbols — the inherently-sequential ENDGAME
+    of BPE, not the regime the ~n/batch claim is about.  Bigram words
+    (~1k distinct, ~10 chars) give the abundant-pair-mass head that a
+    production 32k-merge corpus has, where compatible_merges packs full
+    batches (a pure-Python replica of the batched rule reaches 1000
+    merges in ~35 rounds on this table vs the ideal 32)."""
+    from jobcan_data_integrator_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "array_join(filter(zip_with(split(text, ' '),"
+            " slice(split(text, ' '), 2, size(split(text, ' '))),"
+            " (x, y) -> case when y is null then null"
+            "           else concat(x, '-', y) end),"
+            " p -> p is not null), ' ')"
+        ).alias("text"),
+    )
+    stats: dict = {}
+    t0 = time.perf_counter()
+    merges = train_bpe(docs, BPE_MERGES, batch=BPE_BATCH, stats=stats)
+    sec = round(time.perf_counter() - t0, 3)
+    ideal = -(-len(merges) // BPE_BATCH)  # ceil
+    return {
+        "op": "train_bpe",
+        "batch": BPE_BATCH,
+        "requested_merges": BPE_MERGES,
+        "learned_merges": len(merges),
+        "rounds": stats["rounds"],
+        "ideal_rounds": ideal,
+        "round_slack": BPE_ROUND_SLACK,
+        "sec": sec,
+        "note": "batched compatible merges; rounds must stay under "
+        "slack x ceil(learned/batch) — the ~n/batch asymptotic "
+        "operators/bpe.py claims",
+    }
+
+
 #: as-of join 10x budget: one hash shuffle + keyed sort, so 10x events
 #: should cost ~linear; flag beyond this
 TEMPORAL_BUDGET = 10.0
@@ -375,6 +496,19 @@ def main() -> None:
     )
     inc_ratio = round(inc1 / inc01, 2) if inc01 else None
 
+    # orchestrated ingest: fixed ~20-doc batch, sf0.1-seeded store vs
+    # the 10x-seeded store (buckets scaled so bucket size is constant)
+    ing01 = ingest_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_ingidx01"
+    )
+    ing1 = ingest_experiment(
+        spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_ingidx1"
+    )
+    ing_ratio = round(ing1 / ing01, 2) if ing01 else None
+
+    # BPE batched training at a production-ish merge count
+    bpe = bpe_experiment(spark, str(out_dir))
+
     # as-of join: 10x events, expect ~linear
     tmp01 = temporal_experiment(spark, SRC_SF)
     tmp1 = temporal_experiment(spark, str(out_dir))
@@ -404,6 +538,10 @@ def main() -> None:
         flagged[f"{SKEW_GATE}@skew"] = skew_ratio
     if inc_ratio and inc_ratio > INC_BUDGET:
         flagged["dedup_increment@10x"] = inc_ratio
+    if ing_ratio and ing_ratio > INGEST_BUDGET:
+        flagged["ingest_increment@10x"] = ing_ratio
+    if bpe["rounds"] > BPE_ROUND_SLACK * bpe["ideal_rounds"]:
+        flagged["train_bpe@rounds"] = bpe["rounds"]
     if lay_ratio and lay_ratio > LAYER_BUDGET:
         flagged["dedup_increment@layers"] = lay_ratio
     if tmp_ratio and tmp_ratio > TEMPORAL_BUDGET:
@@ -426,6 +564,15 @@ def main() -> None:
                                       "bucket-pruned MinHash index; buckets "
                                       "64 -> 640 so bucket size stays "
                                       "constant (median of 3)"},
+                      "ingest": {"op": "ingest_increment",
+                                 "sf01_sec": ing01, "sf1_sec": ing1,
+                                 "ratio": ing_ratio, "budget": INGEST_BUDGET,
+                                 "note": "fixed ~20-doc batch through the "
+                                 "full orchestrator (exact+span+minhash "
+                                 "families, curated merge, ledger) vs a "
+                                 "store seeded with the whole corpus; "
+                                 "buckets 64 -> 640 (median of 3)"},
+                      "bpe": bpe,
                       "temporal": {"op": "asof_join_errors_signups",
                                    "sf01_sec": tmp01, "sf1_sec": tmp1,
                                    "ratio": tmp_ratio,
@@ -462,6 +609,12 @@ def main() -> None:
     print(f"# incremental: dedup_increment {inc01:.2f} @sf0.1-index -> "
           f"{inc1:.2f} @sf1-index ({inc_ratio}x, budget {INC_BUDGET}x)",
           file=sys.stderr)
+    print(f"# ingest: ingest_increment {ing01:.2f} @sf0.1-store -> "
+          f"{ing1:.2f} @sf1-store ({ing_ratio}x, budget {INGEST_BUDGET}x)",
+          file=sys.stderr)
+    print(f"# bpe: {bpe['learned_merges']} merges in {bpe['rounds']} rounds "
+          f"(ideal {bpe['ideal_rounds']}, batch {BPE_BATCH}) in "
+          f"{bpe['sec']:.1f}s", file=sys.stderr)
     print(f"# asof skew: {tmp01:.2f} uniform -> {tmp_skew:.2f} hot-key "
           f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x); salted "
           f"{tmp_salted:.2f} ({tmp_salted_ratio}x)",
