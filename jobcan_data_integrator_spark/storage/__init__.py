@@ -76,6 +76,7 @@ class TableStore:
         snapshot_isolation: bool = False,
         max_snapshot_layers: int = 8,
         backend: str = "parquet",
+        delta_impl: str = "auto",
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -146,6 +147,9 @@ class TableStore:
         partition; use ``sync_children``)."""
         if backend not in ("parquet", "delta"):
             raise ValueError(f"backend must be parquet|delta: {backend}")
+        if delta_impl not in ("auto", "fake"):
+            raise ValueError(f"delta_impl must be auto|fake: {delta_impl}")
+        self._delta_fake = backend == "delta" and delta_impl == "fake"
         if backend == "delta":
             # ``backend="delta"`` binds the three merge idioms to REAL
             # ``MERGE INTO`` (delta-spark's DeltaTable builder) and
@@ -155,15 +159,23 @@ class TableStore:
             # provides its own snapshot isolation and concurrent-writer
             # conflict detection per table, so the home-grown layered
             # snapshot mode must not be stacked on top.
-            try:
-                from delta.tables import DeltaTable  # noqa: F401
-            except ImportError as e:  # pragma: no cover - dep optional
-                raise ImportError(
-                    "backend='delta' needs the delta-spark package (and a "
-                    "SparkSession built with the Delta extension + catalog "
-                    "configs); install delta-spark or use the default "
-                    "parquet backend"
-                ) from e
+            #
+            # ``delta_impl="fake"`` swaps in the in-repo builder stand-in
+            # (storage/_delta_fake.py) so the binding logic executes in
+            # environments without delta-spark — a TEST/CI harness, not
+            # a Delta: no transaction log or writer-conflict detection.
+            if not self._delta_fake:
+                try:
+                    from delta.tables import DeltaTable  # noqa: F401
+                except ImportError as e:  # pragma: no cover - dep optional
+                    raise ImportError(
+                        "backend='delta' needs the delta-spark package "
+                        "(and a SparkSession built with the Delta "
+                        "extension + catalog configs); install "
+                        "delta-spark, use delta_impl='fake' (binding-"
+                        "logic tests only), or use the default parquet "
+                        "backend"
+                    ) from e
             if snapshot_isolation:
                 raise ValueError(
                     "backend='delta' is already snapshot-isolated per "
@@ -411,12 +423,31 @@ class TableStore:
 
     # -- delta backend (optional; see __init__) -------------------------------
 
-    def _delta_table(self, table: str):
+    def _delta_cls(self):
+        """The DeltaTable class: delta-spark's, or the in-repo fake
+        builder stand-in when ``delta_impl="fake"`` (same call surface;
+        see storage/_delta_fake.py for what the fake does and doesn't
+        execute)."""
+        if self._delta_fake:
+            from jobcan_data_integrator_spark.storage._delta_fake import (
+                FakeDeltaTable,
+            )
+
+            return FakeDeltaTable
         from delta.tables import DeltaTable
 
-        return DeltaTable.forPath(self.spark, str(self.path(table)))
+        return DeltaTable
+
+    def _delta_table(self, table: str):
+        return self._delta_cls().forPath(self.spark, str(self.path(table)))
 
     def _delta_write(self, table: str, df: DataFrame, mode: str) -> None:
+        if self._delta_fake:
+            if mode == "append" and self.path(table).exists():
+                df.write.mode("append").parquet(str(self.path(table)))
+            else:
+                df.write.mode("overwrite").parquet(str(self.path(table)))
+            return
         df.write.format("delta").mode(mode).option(
             "overwriteSchema", "true"
         ).save(str(self.path(table)))
@@ -437,9 +468,9 @@ class TableStore:
 
     def exists(self, table: str) -> bool:
         if self.backend == "delta":
-            from delta.tables import DeltaTable
-
-            return DeltaTable.isDeltaTable(self.spark, str(self.path(table)))
+            return self._delta_cls().isDeltaTable(
+                self.spark, str(self.path(table))
+            )
         if self.snapshot_isolation:
             if self._is_managed(table):
                 return self._effective_layers(table) is not None
@@ -449,6 +480,8 @@ class TableStore:
 
     def read(self, table: str) -> DataFrame:
         if self.backend == "delta":
+            if self._delta_fake:
+                return self.spark.read.parquet(str(self.path(table)))
             return self.spark.read.format("delta").load(str(self.path(table)))
         if self.snapshot_isolation:
             if self._is_managed(table):

@@ -22,7 +22,12 @@ def _has_delta() -> bool:
 #: the merge-idiom matrix runs against every available backend — the
 #: delta param is a CONDITIONAL skip (runs wherever delta-spark is
 #: installed; this container ships without it), pinning that the
-#: MERGE INTO binding stays call-compatible with the parquet mode
+#: MERGE INTO binding stays call-compatible with the parquet mode.
+#: delta-fake ALWAYS runs: the in-repo builder stand-in
+#: (storage/_delta_fake.py) executes the binding's generated merge
+#: conditions and clause sequences over parquet, so the backend="delta"
+#: code path is exercised in this sandbox instead of skipping to zero
+#: executions.
 BACKENDS = [
     "parquet",
     pytest.param(
@@ -31,13 +36,20 @@ BACKENDS = [
             not _has_delta(), reason="delta-spark not installed"
         ),
     ),
+    "delta-fake",
 ]
+
+
+def _mk_store(spark, root, backend):
+    if backend == "delta-fake":
+        return TableStore(spark, root, backend="delta", delta_impl="fake")
+    return TableStore(spark, root, backend=backend)
 
 
 @pytest.fixture(params=BACKENDS)
 def store(spark, tmp_path, request):
     """Backend-parameterized store for the merge-idiom matrix."""
-    return TableStore(spark, tmp_path / "tables", backend=request.param)
+    return _mk_store(spark, tmp_path / "tables", request.param)
 
 
 @pytest.fixture()
@@ -400,3 +412,132 @@ def test_commit_manifest_roundtrip(spark, pstore):
     pstore.end_commit()
     assert pstore.pending_commit() is None
     pstore.end_commit()  # idempotent
+
+
+# -- delta binding: generated statements (fake-backed, always runs) --------
+
+
+@pytest.fixture()
+def dstore(spark, tmp_path):
+    """Fake-backed delta store + a cleared builder-call journal."""
+    from jobcan_data_integrator_spark.storage._delta_fake import FakeDeltaTable
+
+    FakeDeltaTable.journal.clear()
+    return TableStore(
+        spark, tmp_path / "tables", backend="delta", delta_impl="fake"
+    )
+
+
+def _journal():
+    from jobcan_data_integrator_spark.storage._delta_fake import FakeDeltaTable
+
+    return FakeDeltaTable.journal
+
+
+def test_delta_merge_upsert_generates_both_clauses(spark, dstore):
+    """merge_upsert emits MERGE ON t.key <=> u.key with BOTH when-clauses
+    — the exact statement its parquet-mode docstring claims to bind to."""
+    schema = "id int, v string"
+    dstore.merge_upsert("t", spark.createDataFrame([(1, "a")], schema), ["id"])
+    assert _journal() == []  # first write is a plain table create
+    dstore.merge_upsert(
+        "t", spark.createDataFrame([(1, "A"), (2, "b")], schema), ["id"]
+    )
+    op, _path, cond, clauses = _journal()[-1]
+    assert op == "merge"
+    assert cond == "t.id <=> u.id"
+    assert clauses == ("whenMatchedUpdateAll", "whenNotMatchedInsertAll")
+    assert _rows(dstore, "t") == [(1, "A"), (2, "b")]
+
+
+def test_delta_insert_missing_generates_insert_only(spark, dstore):
+    """merge_insert_missing emits a composite NULL-SAFE key condition and
+    ONLY the not-matched-insert clause (N15: never update)."""
+    schema = "group_name string, group_code string"
+    dstore.merge_insert_missing(
+        "g", spark.createDataFrame([("営業", None)], schema),
+        ["group_name", "group_code"],
+    )
+    dstore.merge_insert_missing(
+        "g", spark.createDataFrame([("営業", None), ("営業", "E1")], schema),
+        ["group_name", "group_code"],
+    )
+    op, _path, cond, clauses = _journal()[-1]
+    assert op == "merge"
+    assert cond == "t.group_name <=> u.group_name AND t.group_code <=> u.group_code"
+    assert clauses == ("whenNotMatchedInsertAll",)
+    assert _rows(dstore, "g") == [("営業", "E1"), ("営業", None)]
+
+
+def test_delta_sync_children_deletes_scope_then_appends(spark, dstore):
+    """sync_children emits delete(scope clamp) + append; the clamp names
+    ONLY the update batch's scopes, so untouched scopes never appear in
+    the generated predicate (the _delta_scope_cond contract)."""
+    schema = "request_id string, item_index int, v string"
+    dstore.sync_children(
+        "ci",
+        spark.createDataFrame(
+            [("sa-1", 0, "a"), ("sa-1", 1, "b"), ("sa-2", 0, "x")], schema
+        ),
+        ["request_id"],
+    )
+    dstore.sync_children(
+        "ci", spark.createDataFrame([("sa-1", 0, "A")], schema), ["request_id"]
+    )
+    deletes = [e for e in _journal() if e[0] == "delete"]
+    assert len(deletes) == 1
+    cond = deletes[0][2]
+    assert "sa-1" in cond and "sa-2" not in cond
+    assert _rows(dstore, "ci") == [("sa-1", 0, "A"), ("sa-2", 0, "x")]
+
+
+def test_delta_delete_scope_null_safe(spark, dstore):
+    """delete_scope removes exactly the named scopes, NULL-safely — a
+    NULL scope key matches stored NULLs (eqNullSafe in the clamp), and
+    a delete on a missing table is a no-op."""
+    dstore.delete_scope(
+        "ev", spark.createDataFrame([("x",)], "k string"), ["k"]
+    )  # table absent: no-op, no journal entry
+    assert _journal() == []
+    schema = "k string, v int"
+    dstore.overwrite(
+        "ev", spark.createDataFrame([("a", 1), ("b", 2), (None, 3)], schema)
+    )
+    dstore.delete_scope(
+        "ev",
+        spark.createDataFrame([("a",), (None,)], "k string"),
+        ["k"],
+    )
+    assert _rows(dstore, "ev") == [("b", 2)]
+    assert _journal()[-1][0] == "delete"
+
+
+def test_delta_batch_commit_one_manifest(spark, dstore):
+    """batch_commit over delta-backed merges: one outer manifest brackets
+    the batch (inner begin/end are no-ops) and clears at exit."""
+    schema = "id int, v string"
+    with dstore.batch_commit("b1", ["t", "u"]):
+        dstore.merge_upsert("t", spark.createDataFrame([(1, "a")], schema), ["id"])
+        assert dstore.pending_commit() == {"batch_id": "b1", "tables": ["t", "u"]}
+        dstore.merge_insert_missing(
+            "u", spark.createDataFrame([(2, "b")], schema), ["id"]
+        )
+    assert dstore.pending_commit() is None
+    assert _rows(dstore, "t") == [(1, "a")]
+    assert _rows(dstore, "u") == [(2, "b")]
+
+
+def test_delta_rejects_snapshot_and_layouts_in_fake_mode(spark, tmp_path):
+    """The fake impl keeps the real binding's constructor validations."""
+    with pytest.raises(ValueError, match="snapshot"):
+        TableStore(
+            spark, tmp_path / "a", backend="delta", delta_impl="fake",
+            snapshot_isolation=True,
+        )
+    with pytest.raises(ValueError, match="layout"):
+        TableStore(
+            spark, tmp_path / "b", backend="delta", delta_impl="fake",
+            bucketed={"t": ("id", 4)},
+        )
+    with pytest.raises(ValueError, match="delta_impl"):
+        TableStore(spark, tmp_path / "c", backend="delta", delta_impl="nope")
