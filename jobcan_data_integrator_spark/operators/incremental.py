@@ -56,6 +56,31 @@ from jobcan_data_integrator_spark.storage import TableStore
 #: the index's table names, in commit-manifest order
 INDEX_TABLES = ("mh_bands", "mh_shingles", "mh_sizes", "mh_pairs")
 
+#: merge-on-read retraction tables for out-of-order ingest
+#: (operators/ingest.py, allow_out_of_order=True) — the lakehouse
+#: tombstone pattern applied to the MinHash family itself:
+#:
+#: - ``mh_doc_drops``  (doc_id): docs RETIRED from the family (an exact
+#:   keeper demoted by a late smaller-id twin, or a repaired doc that
+#:   fell under the length floor).  Never resurrected — a retired id
+#:   never re-enters the corpus, so a plain anti-join is version-safe.
+#: - ``mh_band_drops`` (doc_id, band_idx, band_key): superseded band
+#:   rows of REPAIRED docs (text changed by retroactive span flags).
+#:   The replacement rows land under new band keys — in other bucket
+#:   dirs, where a keyed merge cannot reach the stale rows — so the
+#:   stale rows are masked at read instead of rewritten.  Row-exact
+#:   (all three columns), so an unchanged band is neither dropped nor
+#:   duplicated, and a later repair re-creating a dropped key deletes
+#:   the drop row (see ``resign_minhash``).
+#: - ``mh_pair_drops`` (doc_a, doc_b): retracted pair rows — pairs a
+#:   repair recomputation no longer produces, or pairs touching retired
+#:   docs.  ``read_pairs`` is the corpus-pair read that applies them.
+#:
+#: All three are bounded by out-of-order REPAIR volume, not the corpus;
+#: a monotone-id store never creates them and every read path checks
+#: existence first (zero cost when absent).
+OOO_DROP_TABLES = ("mh_doc_drops", "mh_band_drops", "mh_pair_drops")
+
 #: the bucketing layout that makes every index probe below PRUNED: pass
 #: ``TableStore(..., bucketed=minhash_index_buckets(n))`` and the
 #: increment's corpus-side reads scan only the bucket dirs its keys hash
@@ -195,6 +220,19 @@ def dedup_increment(
     new_ids = new_sh.select("doc_id").distinct()
     new_bands = band_rows(new_hashed, n_hashes, band_size).localCheckpoint(eager=True)
     corpus_bands = store.read_for_keys("mh_bands", new_bands.select("band_key"))
+    # out-of-order stores mask retired docs and superseded band rows at
+    # read (merge-on-read; see OOO_DROP_TABLES) — both drop sets are
+    # bounded by repair volume, hence broadcast
+    if store.exists("mh_doc_drops"):
+        corpus_bands = corpus_bands.join(
+            F.broadcast(store.read("mh_doc_drops")), "doc_id", "left_anti"
+        )
+    if store.exists("mh_band_drops"):
+        corpus_bands = corpus_bands.join(
+            F.broadcast(store.read("mh_band_drops")),
+            ["doc_id", "band_idx", "band_key"],
+            "left_anti",
+        )
     cands = candidate_pairs(new_bands, corpus_bands).unionByName(
         candidate_pairs(new_bands)
     ).distinct()
@@ -213,6 +251,10 @@ def dedup_increment(
         corpus_sz = store.read("mh_sizes")
     corpus_sh = corpus_sh.join(F.broadcast(new_ids), "doc_id", "left_anti")
     corpus_sz = corpus_sz.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    if store.exists("mh_doc_drops"):
+        drops = F.broadcast(store.read("mh_doc_drops"))
+        corpus_sh = corpus_sh.join(drops, "doc_id", "left_anti")
+        corpus_sz = corpus_sz.join(drops, "doc_id", "left_anti")
     shingles = corpus_sh.unionByName(new_sh)
     sizes = corpus_sz.unionByName(shingle_sizes(new_sh))
     return verify_candidate_pairs(cands, shingles, sizes)
@@ -246,6 +288,165 @@ def extend_index(
     store.merge_insert_missing("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
     store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
     store.end_commit()
+
+
+def read_pairs(store: TableStore) -> DataFrame:
+    """The LIVE corpus pair set: ``mh_pairs`` with out-of-order
+    retractions applied (pairs a repair no longer produces, pairs
+    touching retired docs) — the read every consumer of the corpus
+    pair set should use.  On a monotone-id store the drop tables do
+    not exist and this is exactly ``store.read("mh_pairs")``."""
+    pairs = store.read("mh_pairs")
+    if store.exists("mh_pair_drops"):
+        pairs = pairs.join(
+            F.broadcast(store.read("mh_pair_drops")),
+            ["doc_a", "doc_b"],
+            "left_anti",
+        )
+    if store.exists("mh_doc_drops"):
+        drops = store.read("mh_doc_drops").select(
+            F.col("doc_id").alias("_drop_id")
+        )
+        b = F.broadcast(drops)
+        pairs = pairs.join(
+            b, pairs["doc_a"] == F.col("_drop_id"), "left_anti"
+        ).join(b, pairs["doc_b"] == F.col("_drop_id"), "left_anti")
+    return pairs
+
+
+def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
+    """Retire docs from the MinHash family via merge-on-read drops:
+    their band/shingle/size rows are masked from every future probe and
+    their accumulated pairs from every ``read_pairs`` — without
+    rewriting the bucketed tables they live in.  ``doc_ids`` (doc_id)
+    must be ids that will never re-enter the corpus (out-of-order
+    ingest's demoted exact keepers and floor-failed repairs are, by
+    construction: a doc id is unique for all time).
+
+    Returns the retracted pair rows (doc_a, doc_b, jaccard) — the
+    caller relabels any cluster a ≥-threshold retraction touched
+    (operators/ingest._relabel_after_retraction)."""
+    spark = doc_ids.sparkSession
+    ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    store.merge_insert_missing("mh_doc_drops", ids, ["doc_id"])
+    touched = spark.createDataFrame(
+        [], "doc_a bigint, doc_b bigint, jaccard double"
+    )
+    if store.exists("mh_pairs"):
+        b = F.broadcast(ids.select(F.col("doc_id").alias("_rid")))
+        touched = (
+            store.read("mh_pairs")
+            .select("doc_a", "doc_b", "jaccard")
+            .join(
+                b,
+                (F.col("doc_a") == F.col("_rid"))
+                | (F.col("doc_b") == F.col("_rid")),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        store.merge_insert_missing(
+            "mh_pair_drops", touched.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+        )
+    return touched
+
+
+def resign_minhash(
+    store: TableStore,
+    new_hashed_shingles: DataFrame,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-signature REPAIRED docs (text changed by a retroactive span
+    flag) and rewrite their pair rows; returns ``(new_pairs,
+    stale_pairs)`` — the docs' recomputed verified pairs (the caller
+    feeds the ≥-threshold subset to ``extend_clusters``) and the
+    retracted old rows WITH their old jaccard (the caller relabels the
+    components a ≥-threshold retraction touched).
+
+    Mechanics, per table:
+
+    - ``mh_shingles``: full per-doc replace (``sync_children`` scoped by
+      doc_id — the table is bucketed by doc_id, so the scope never
+      migrates buckets and the replace is partition-local).
+    - ``mh_sizes``: keyed upsert.
+    - ``mh_bands``: the stale rows live in the OLD band keys' buckets, a
+      keyed merge can't reach them — superseded rows (old minus new,
+      row-exact) go to ``mh_band_drops``; new rows are inserted keyed by
+      all three columns so unchanged bands neither duplicate nor drop;
+      re-created keys are removed from the drop table (version safety).
+    - ``mh_pairs``: the docs' pairs are recomputed with the SAME probe a
+      new increment uses (``dedup_increment`` — the repaired docs are
+      authoritative for themselves, drops already masked), then stale
+      old pairs (old minus recomputed) go to ``mh_pair_drops``, the
+      recomputed set is upserted, and re-created pairs leave the drop
+      table.
+
+    Cost: the old-row reads scan ``mh_bands``/``mh_pairs`` filtered by a
+    broadcast of the repaired id set — linear in those index tables (4
+    rows/doc and the pair set), never in the corpus text; everything
+    else is the increment-linear probe."""
+    hashed = new_hashed_shingles.localCheckpoint(eager=True)
+    ids = hashed.select("doc_id").distinct().localCheckpoint(eager=True)
+    b_ids = F.broadcast(ids)
+
+    # pairs are recomputed BEFORE any table rewrite (the probe scans
+    # them), but AFTER computing band drops would be wrong the other
+    # way — the probe must NOT see the docs' stale bands, so drops go
+    # first and the probe's corpus read masks them.
+    old_bands = (
+        store.read("mh_bands").join(b_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    new_bands = band_rows(hashed, n_hashes, band_size).localCheckpoint(
+        eager=True
+    )
+    superseded = old_bands.join(
+        new_bands, ["doc_id", "band_idx", "band_key"], "left_anti"
+    )
+    store.merge_insert_missing(
+        "mh_band_drops", superseded, ["doc_id", "band_idx", "band_key"]
+    )
+    store.delete_scope(
+        "mh_band_drops", new_bands, ["doc_id", "band_idx", "band_key"]
+    )
+
+    b_rid = F.broadcast(ids.select(F.col("doc_id").alias("_rid")))
+    old_pairs = (
+        store.read("mh_pairs")
+        .select("doc_a", "doc_b", "jaccard")
+        .join(
+            b_rid,
+            (F.col("doc_a") == F.col("_rid"))
+            | (F.col("doc_b") == F.col("_rid")),
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_sh = hashed.select("doc_id", "shingle").distinct()
+    new_pairs = dedup_increment(store, hashed, n_hashes, band_size)
+    new_pairs = new_pairs.localCheckpoint(eager=True)
+
+    store.begin_commit("mh-resign", list(INDEX_TABLES) + ["mh_pair_drops"])
+    store.sync_children("mh_shingles", new_sh, ["doc_id"])
+    store.merge_upsert("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
+    store.merge_insert_missing(
+        "mh_bands", new_bands, ["doc_id", "band_idx", "band_key"]
+    )
+    stale_pairs = old_pairs.join(
+        new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).localCheckpoint(eager=True)
+    store.merge_insert_missing(
+        "mh_pair_drops", stale_pairs.select("doc_a", "doc_b"),
+        ["doc_a", "doc_b"],
+    )
+    store.delete_scope(
+        "mh_pair_drops", new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+    )
+    store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.end_commit()
+    return new_pairs, stale_pairs
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,10 @@ CURATED = "cur_docs"
 TOMBSTONES = "cur_drops"
 CHUNKS = "cur_chunks"
 SHARDS = "cur_shards"
+#: out-of-order mode only: each kept doc's PRE-span (post-PII) text —
+#: the input retroactive span flags apply to.  Monotone stores never
+#: need it (flags never reach back into absorbed docs there).
+CURATED_PRE = "cur_pre"
 
 
 @dataclass
@@ -127,12 +131,17 @@ def ingest_tables(
     pack_budget: int | None = None,
     new_emb: bool = False,
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
+    allow_out_of_order: bool = False,
 ) -> list[str]:
     """The manifest table list a given configuration touches (the outer
     ``batch_commit``'s scope)."""
     from jobcan_data_integrator_spark.operators import incremental as inc
 
     tables = [LEDGER, CURATED, TOMBSTONES, "ex_docs", "ex_groups"]
+    if allow_out_of_order:
+        tables += [CURATED_PRE]
+        if minhash:
+            tables += list(inc.OOO_DROP_TABLES)
     if line_clean and line_max_doc_freq is not None:
         tables += list(inc.LINE_TABLES)
     if span is not None:
@@ -155,6 +164,271 @@ def ingest_tables(
         if "pq" in emb_families:
             tables += list(inc.PQ_TABLES)
     return sorted(set(tables))
+
+
+def _pair_endpoints(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id) — both endpoints of every ≥-threshold pair (retractions
+    below the cluster threshold never had a cluster edge to undo)."""
+    th = pairs.filter(F.col("jaccard") >= threshold)
+    return (
+        th.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(th.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+
+
+def _tombstone(
+    store: TableStore,
+    ids: DataFrame,
+    batch_id: str,
+    cause: str,
+    ooo: bool,
+    permanent: bool = False,
+) -> None:
+    """Insert ``cur_drops`` tombstones.  Out-of-order stores carry a
+    ``cause`` column ('exact'/'floor' are PERMANENT — the doc can never
+    re-qualify; 'cluster' is revocable — a later pair retraction can
+    resurrect it).  Permanent causes UPSERT so they are never shadowed
+    by an earlier revocable row; revocable causes insert-if-missing so
+    they never downgrade a permanent one.  Monotone stores keep the
+    round-5 two-column schema (their demotions never retract)."""
+    rows = ids.select("doc_id").withColumn("batch_id", F.lit(batch_id))
+    if ooo:
+        rows = rows.withColumn("cause", F.lit(cause))
+        if permanent:
+            store.merge_upsert(TOMBSTONES, rows, ["doc_id"])
+            return
+    store.merge_insert_missing(TOMBSTONES, rows, ["doc_id"])
+
+
+def _relabel_after_retraction(
+    store: TableStore,
+    seeds: DataFrame,
+    threshold: float,
+    rebuild_cb=None,
+) -> None:
+    """Component-local cluster relabel after a pair RETRACTION (a doc
+    retired from the MinHash family, or a repair that no longer
+    produces a formerly ≥-threshold pair).  Min-label propagation
+    cannot un-merge, so the components the retraction touched are
+    recomputed from scratch — over the LIVE pair set (``read_pairs``,
+    drops applied) restricted to those components' members, a graph
+    bounded by near-dup cluster size, never the corpus.
+
+    Members whose demotion no longer holds (now their component's
+    minimum, or singletons) are RESURRECTED: a revocable
+    ('cluster'-cause) tombstone is deleted, so ``read_curated``
+    surfaces the still-present ``cur_docs`` row again — the
+    merge-on-read payoff.  A member demoted at its OWN batch has no
+    tombstone and no curated row at all; ``rebuild_cb`` (when given)
+    reconstructs those from their persisted pre-span text.  Permanent
+    tombstones ('exact'/'floor') are never resurrected, and a nested
+    relabel (from inside a rebuild) passes no callback — one reinsert
+    level per batch, deeper cascades are caught by the next batch's
+    sweep."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+    )
+
+    if not store.exists("cc_labels"):
+        return
+    seeds = seeds.select("doc_id").distinct().localCheckpoint(eager=True)
+    if not seeds.head(1):
+        return
+    labels = store.read("cc_labels").localCheckpoint(eager=True)
+    comp = (
+        labels.join(F.broadcast(seeds), "doc_id", "leftsemi")
+        .select("cluster_id")
+        .distinct()
+    )
+    nodes = labels.join(
+        F.broadcast(comp), "cluster_id", "leftsemi"
+    ).localCheckpoint(eager=True)
+    if not nodes.head(1):
+        return
+    na = nodes.select(F.col("doc_id").alias("_na"))
+    nb = nodes.select(F.col("doc_id").alias("_nb"))
+    live = inc.read_pairs(store).filter(F.col("jaccard") >= threshold)
+    live = live.join(
+        F.broadcast(na), live["doc_a"] == F.col("_na"), "left_semi"
+    )
+    live = live.join(
+        F.broadcast(nb), live["doc_b"] == F.col("_nb"), "left_semi"
+    )
+    fresh = connected_components(
+        live.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ).select("doc_id", "cluster_id")
+    updated = labels.join(
+        F.broadcast(nodes.select("doc_id")), "doc_id", "left_anti"
+    ).unionByName(fresh)
+    store.overwrite("cc_labels", updated)
+    # resurrection: demoted-before, keeper-or-singleton now
+    old_demoted = nodes.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    new_demoted = fresh.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    revived = old_demoted.join(new_demoted, "doc_id", "left_anti")
+    if store.exists(TOMBSTONES):
+        tomb = store.read(TOMBSTONES)
+        if "cause" in tomb.columns:
+            revived = revived.join(
+                tomb.filter(F.col("cause") != "cluster").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+        else:  # pre-ooo store: unreachable from ingest, best-effort
+            pass
+        revived = revived.localCheckpoint(eager=True)
+        tomb_del = revived.join(
+            tomb.select("doc_id"), "doc_id", "leftsemi"
+        ).localCheckpoint(eager=True)
+        if tomb_del.head(1):
+            store.delete_scope(TOMBSTONES, tomb_del, ["doc_id"])
+    else:
+        revived = revived.localCheckpoint(eager=True)
+    if rebuild_cb is not None and revived.head(1):
+        missing = revived.join(
+            store.read(CURATED).select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if missing.head(1):
+            rebuild_cb(missing)
+
+
+def _sweep_cluster_demotions(
+    store: TableStore, batch_id: str
+) -> DataFrame | None:
+    """Out-of-order mode's general cluster-demotion pass: tombstone
+    EVERY live curated doc that is no longer its cluster's minimum.
+    Subsumes the monotone path's remap-based demotion (which only sees
+    label CHANGES — a late smaller-id doc founding a cluster around a
+    stored keeper changes no existing label, yet demotes it).  Cost:
+    the non-keeper label set joined against the curated table on
+    doc_id — linear, no corpus text touched."""
+    if not store.exists("cc_labels") or not store.exists(CURATED):
+        return None
+    nonkeep = (
+        store.read("cc_labels")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .join(store.read(CURATED).select("doc_id"), "doc_id", "leftsemi")
+    )
+    if store.exists(TOMBSTONES):
+        nonkeep = nonkeep.join(
+            F.broadcast(store.read(TOMBSTONES).select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+    nonkeep = nonkeep.localCheckpoint(eager=True)
+    if not nonkeep.head(1):
+        return None
+    _tombstone(store, nonkeep, batch_id, "cluster", ooo=True)
+    return nonkeep
+
+
+def _rebuild_docs(
+    store: TableStore,
+    ids: DataFrame,
+    stages: list,
+    *,
+    span: int | None,
+    min_tokens: int,
+    minhash: bool,
+    n_hashes: int,
+    band_size: int,
+    cluster_threshold: float,
+    batch_id: str,
+) -> None:
+    """Out-of-order ingest's doc reconstruction: recompute the curated
+    row for every id from its persisted pre-span text (``cur_pre``)
+    under the CURRENT accumulated ``sp_flags``, then upsert it (under
+    its ORIGINAL batch id, so a redelivery of that batch returns the
+    repaired text) — or tombstone it permanently (and retire it from
+    the MinHash family) if it falls under the ``min_tokens`` floor.
+    Serves both retroactive-span REPAIRS (live docs whose stored flags
+    just grew) and RESURRECTIONS (docs demoted at their own batch whose
+    demoter was later retracted — no curated row exists; the upsert
+    inserts one).
+
+    Surviving rebuilds are re-signed (``resign_minhash``); components
+    touched by a ≥-threshold pair retraction are relabeled (WITHOUT a
+    nested reinsert level); the recomputed ≥-threshold pairs merge into
+    the cluster labels; and the demotion sweep tombstones any rebuilt
+    doc that is not its cluster's minimum — exactly the batch path's
+    endgame.
+
+    Cost: bounded by the rebuild set (retro flags are bounded by the
+    increment's span-hash fan-out), plus ``resign_minhash``'s
+    broadcast-filtered scans of the band/pair tables."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.dedup import (
+        remove_flagged_spans,
+    )
+    from jobcan_data_integrator_spark.operators.minhash import (
+        hashed_shingle_rows,
+    )
+
+    pre = (
+        store.read(CURATED_PRE)
+        .join(ids.select("doc_id").distinct(), "doc_id", "leftsemi")
+        .localCheckpoint(eager=True)
+    )
+    if not pre.head(1):
+        return
+    if span is not None and store.exists("sp_flags"):
+        rep_flags = store.read("sp_flags").join(
+            pre.select("doc_id"), "doc_id", "leftsemi"
+        )
+        repaired = (
+            remove_flagged_spans(
+                pre.select("doc_id", "text"), rep_flags, span=span
+            )
+            .select("doc_id", F.col("deduped_text").alias("text"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        repaired = pre.select("doc_id", "text").localCheckpoint(eager=True)
+    ok = repaired.filter(
+        F.size(F.split(F.col("text"), " ")) >= min_tokens
+    ).localCheckpoint(eager=True)
+    floored = repaired.join(ok.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id"
+    ).localCheckpoint(eager=True)
+
+    if floored.head(1):
+        _tombstone(store, floored, batch_id, "floor", ooo=True, permanent=True)
+        if minhash and store.exists("mh_bands"):
+            touched = inc.retire_from_minhash(store, floored)
+            _relabel_after_retraction(
+                store,
+                floored.unionByName(
+                    _pair_endpoints(touched, cluster_threshold)
+                ),
+                cluster_threshold,
+            )
+    if not ok.head(1):
+        return
+    ok_rows = ok.join(
+        store.read(CURATED_PRE).select("doc_id", "batch_id"), "doc_id"
+    )
+    store.merge_upsert(CURATED, ok_rows, ["doc_id"])
+    stages.append(("span_repaired", ok))
+
+    if minhash and store.exists("mh_bands"):
+        new_pairs, stale = inc.resign_minhash(
+            store, hashed_shingle_rows(ok), n_hashes, band_size
+        )
+        _relabel_after_retraction(
+            store, _pair_endpoints(stale, cluster_threshold), cluster_threshold
+        )
+        edges = new_pairs.filter(F.col("jaccard") >= cluster_threshold)
+        if store.exists("cc_labels"):
+            inc.extend_clusters(store, edges)
+        else:
+            inc.build_cluster_index(store, edges)
+        _sweep_cluster_demotions(store, batch_id)
 
 
 def ingest_increment(
@@ -184,6 +458,7 @@ def ingest_increment(
     chunk_overlap: int = 8,
     new_emb: DataFrame | None = None,
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
+    allow_out_of_order: bool = False,
 ) -> IngestResult:
     """Curate one arriving (doc_id, text) batch against — and into —
     the persisted index families.  Knobs mirror ``curate_corpus``:
@@ -215,7 +490,42 @@ def ingest_increment(
 
     First batch against an empty store BUILDS each family; later
     batches increment.  Raises on out-of-order doc ids (see module
-    docstring).
+    docstring) unless ``allow_out_of_order`` is set.
+
+    ``allow_out_of_order``: accept batches whose doc ids interleave
+    with already-absorbed ones — the analog of the reference's own
+    late-data reality (open-status re-pull + canceled-after-completion
+    second pass, api_client.py:585-595).  Three retroactive effects are
+    repaired, in addition to the cluster-merge demotion monotone mode
+    already handles:
+
+    - **Exact keeper re-election**: a late doc with a smaller id than
+      its content-hash's stored keeper wins the group; the demoted
+      stored keeper becomes a ``cur_drops`` tombstone and is RETIRED
+      from the MinHash family (merge-on-read drops — its replacement
+      flows through the pipeline as an ordinary batch survivor with
+      identical text).
+    - **Retroactive span flags**: a late doc's smaller occurrence keys
+      can demote stored occurrences (``span_increment`` already emits
+      those flags — they are monotone, so the accumulated ``sp_flags``
+      converges to the one-shot flag set in any batch order).  Affected
+      LIVE curated docs are REPAIRED: their pre-span text (persisted in
+      ``cur_pre``, which this mode maintains — hence required from the
+      store's FIRST batch) is re-deduped under the full flag set, the
+      curated row upserted (or tombstoned if it falls under the
+      ``min_tokens`` floor), and their MinHash rows re-signed
+      (``resign_minhash``) so cross-batch pair discovery keeps matching
+      the one-shot pair set.
+    - **Pair/label maintenance** stays merge-monotone: repairs that ADD
+      pair mass merge clusters exactly (keeper demotions tombstoned as
+      usual); a repair that would WEAKEN a formerly-clustering pair
+      retracts the pair row (``read_pairs``) but leaves the
+      conservative merged labels — the same as-of-ingest stance as the
+      boilerplate line stats.
+
+    ``simhash=True`` is rejected in this mode (that family has no
+    retraction path yet).  Batch-order equivalence with the one-shot
+    curation (docs + pairs + labels) is pinned in tests/test_ingest.py.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.dedup import (
@@ -227,6 +537,27 @@ def ingest_increment(
     from jobcan_data_integrator_spark.operators.pii import scrub_pii
 
     spark = new_docs.sparkSession
+
+    if allow_out_of_order:
+        if simhash:
+            raise ValueError(
+                "allow_out_of_order does not support the simhash family "
+                "(no retraction path); run it separately via the "
+                "per-family APIs"
+            )
+        if store.exists(CURATED) and not store.exists(CURATED_PRE):
+            raise ValueError(
+                "allow_out_of_order needs the pre-span text table "
+                f"({CURATED_PRE}) from the store's FIRST batch — this "
+                "store was ingested in monotone mode; rebuild it with "
+                "allow_out_of_order=True throughout"
+            )
+    elif store.exists(CURATED_PRE):
+        raise ValueError(
+            "store was ingested with allow_out_of_order=True — later "
+            "batches must keep the flag (a monotone batch is a valid "
+            "out-of-order batch, but it must maintain the repair tables)"
+        )
 
     # ONE ledger pass answers both questions: was this batch already
     # absorbed (redelivery), and what is the absorbed id high-water mark
@@ -255,15 +586,16 @@ def ingest_increment(
         F.count("*").alias("n"),
     ).first()
     if (
-        prev_hi is not None
+        not allow_out_of_order
+        and prev_hi is not None
         and bounds["lo"] is not None
         and bounds["lo"] <= prev_hi
     ):
         raise ValueError(
             f"out-of-order batch: doc_id {bounds['lo']} <= absorbed "
             f"max {prev_hi}; the ≡-one-shot contract needs monotone "
-            "ids — use the per-family incremental APIs for "
-            "out-of-order ingest"
+            "ids — pass allow_out_of_order=True (from the store's "
+            "first batch) for the repairing ingest path"
         )
 
     tables = ingest_tables(
@@ -276,6 +608,7 @@ def ingest_increment(
         pack_budget=pack_budget,
         new_emb=new_emb is not None,
         emb_families=emb_families,
+        allow_out_of_order=allow_out_of_order,
     )
     ledger_row = spark.createDataFrame(
         [(batch_id, bounds["lo"], bounds["hi"], bounds["n"])],
@@ -337,12 +670,31 @@ def ingest_increment(
 
         # 2. exact dedup vs the ex_docs family: a batch doc survives iff
         # it is its content hash's keeper (min id over corpus ∪ batch —
-        # with monotone ids a corpus copy always wins)
+        # with monotone ids a corpus copy always wins; out-of-order, a
+        # smaller-id late twin WINS and the stored keeper is demoted)
+        retired: DataFrame | None = None
         if not store.exists("ex_docs"):
             inc.build_exact_index(store, scrubbed)
             groups, first_exact = store.read("ex_groups"), True
         else:
-            groups, first_exact = inc.exact_increment(store, scrubbed), False
+            groups = inc.exact_increment(store, scrubbed).localCheckpoint(
+                eager=True
+            )
+            first_exact = False
+            if allow_out_of_order:
+                # keeper re-election: stored keepers outvoted by a
+                # smaller batch id — computed against the PRE-extend
+                # group table, bounded by the batch's hash fan-out
+                retired = (
+                    store.read("ex_groups")
+                    .withColumnRenamed("keep_doc_id", "old_keep")
+                    .join(F.broadcast(groups), "text_md5")
+                    .filter(F.col("old_keep") != F.col("keep_doc_id"))
+                    .select(F.col("old_keep").alias("doc_id"))
+                    .localCheckpoint(eager=True)
+                )
+                if not retired.head(1):
+                    retired = None
         survivors = scrubbed.join(
             groups.select(F.col("keep_doc_id").alias("doc_id")),
             "doc_id",
@@ -350,11 +702,58 @@ def ingest_increment(
         ).localCheckpoint(eager=True)
         if not first_exact:
             inc.extend_exact_index(store, scrubbed, groups)
+        if retired is not None:
+            _tombstone(
+                store, retired, batch_id, "exact", ooo=True, permanent=True
+            )
+            if minhash and store.exists("mh_bands"):
+                touched = inc.retire_from_minhash(store, retired)
+
+                # relabel the retired docs' components over the live
+                # pair set: mates demoted only THROUGH a retired doc
+                # resurrect (their exact twin re-pairs on its own merit
+                # as an ordinary batch survivor); a mate that never got
+                # a curated row is rebuilt from cur_pre
+                def _reinsert(missing: DataFrame) -> None:
+                    _rebuild_docs(
+                        store,
+                        missing,
+                        stages,
+                        span=span,
+                        min_tokens=min_tokens,
+                        minhash=minhash,
+                        n_hashes=n_hashes,
+                        band_size=band_size,
+                        cluster_threshold=cluster_threshold,
+                        batch_id=batch_id,
+                    )
+
+                _relabel_after_retraction(
+                    store,
+                    retired.unionByName(
+                        _pair_endpoints(touched, cluster_threshold)
+                    ),
+                    cluster_threshold,
+                    rebuild_cb=_reinsert,
+                )
         stages.append(("exact_deduped", survivors))
 
+        # out-of-order mode persists every survivor's pre-span text —
+        # the input a later batch's retroactive span flags re-dedup
+        if allow_out_of_order:
+            store.merge_insert_missing(
+                CURATED_PRE,
+                survivors.withColumn("batch_id", F.lit(batch_id)),
+                ["doc_id"],
+            )
+
         # 3. ExactSubstr span removal vs the sp_occs family + length
-        # floor (monotone ids -> the flag set never reaches back into
-        # stored docs, so applying the batch's own flags suffices)
+        # floor.  Monotone ids -> the flag set never reaches back into
+        # stored docs, so applying the batch's own flags suffices;
+        # out-of-order, the increment's smaller keys can demote stored
+        # occurrences — those retro flags repair the affected LIVE
+        # curated docs below (flags are MONOTONE, so the accumulated
+        # sp_flags converges to the one-shot flag set in any order).
         if span is not None:
             sp_groups = None
             if not store.exists("sp_occs"):
@@ -367,6 +766,20 @@ def ingest_increment(
             batch_flags = flags.join(
                 survivors.select("doc_id"), "doc_id", "leftsemi"
             )
+            retro = None
+            if allow_out_of_order and sp_groups is not None:
+                # flags the stored corpus has not seen yet, for docs
+                # outside the batch — pinned BEFORE the extend below
+                # rewrites the tables they scan
+                retro = (
+                    flags.join(
+                        survivors.select("doc_id"), "doc_id", "left_anti"
+                    )
+                    .join(
+                        store.read("sp_flags"), ["doc_id", "pos"], "left_anti"
+                    )
+                    .localCheckpoint(eager=True)
+                )
             kept = (
                 remove_flagged_spans(survivors, batch_flags, span=span)
                 .select("doc_id", F.col("deduped_text").alias("text"))
@@ -377,6 +790,37 @@ def ingest_increment(
             if sp_groups is not None:
                 inc.extend_span_index(
                     store, survivors, sp_groups, flags, span=span
+                )
+            if retro is not None and retro.head(1):
+                # repair LIVE curated docs only (a tombstoned or
+                # never-inserted doc has no curated row to fix; a later
+                # resurrection rebuilds it from cur_pre then)
+                live_retro = (
+                    store.read(CURATED)
+                    .join(
+                        retro.select("doc_id").distinct(),
+                        "doc_id",
+                        "leftsemi",
+                    )
+                    .select("doc_id")
+                )
+                if store.exists(TOMBSTONES):
+                    live_retro = live_retro.join(
+                        F.broadcast(store.read(TOMBSTONES).select("doc_id")),
+                        "doc_id",
+                        "left_anti",
+                    )
+                _rebuild_docs(
+                    store,
+                    live_retro,
+                    stages,
+                    span=span,
+                    min_tokens=min_tokens,
+                    minhash=minhash,
+                    n_hashes=n_hashes,
+                    band_size=band_size,
+                    cluster_threshold=cluster_threshold,
+                    batch_id=batch_id,
                 )
         else:
             kept = survivors.filter(
@@ -411,7 +855,13 @@ def ingest_increment(
                 "left_anti",
             ).localCheckpoint(eager=True)
             stages.append(("near_deduped", kept))
-            if remap is not None:
+            if allow_out_of_order:
+                # general demotion sweep: any LIVE curated doc no longer
+                # its cluster's minimum (a late smaller-id doc founding
+                # a cluster around a stored keeper changes no label, so
+                # the monotone remap check below would miss it)
+                demoted = _sweep_cluster_demotions(store, batch_id)
+            elif remap is not None:
                 # a merge's old keeper (old cluster minimum) is demoted;
                 # batch-local labels are excluded (handled above)
                 demoted = (

@@ -336,3 +336,149 @@ def test_streaming_ingest_equals_one_shot(spark, tmp_path):
         "text",
     )
     assert _rows(read_curated(store), "doc_id", "text") == want
+
+
+# -- out-of-order ingest (allow_out_of_order=True) -------------------------
+
+
+def _ingest_ooo(spark, root, order, names=None):
+    store = TableStore(
+        spark, root, write_partitions=2, snapshot_isolation=True
+    )
+    results = []
+    for i, rows in enumerate(order, 1):
+        results.append(
+            ingest_increment(
+                store,
+                _mk(spark, rows),
+                (names or [f"o{j}" for j in range(1, len(order) + 1)])[i - 1],
+                span=SPAN,
+                min_tokens=MIN_TOKENS,
+                n_hashes=NH,
+                band_size=BS,
+                cluster_threshold=THRESH,
+                allow_out_of_order=True,
+            )
+        )
+    return store, results
+
+
+def _assert_equals_one_shot(spark, store):
+    from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+    from jobcan_data_integrator_spark.operators.incremental import read_pairs
+
+    one = _one_shot(spark)
+    assert _rows(read_curated(store), "doc_id", "text") == _rows(
+        one.kept, "doc_id", "text"
+    )
+    full_pairs = _near_dup_cb(dict(one.stages)["span_deduped"])
+    assert _rows(
+        read_pairs(store).filter(F.col("jaccard") >= THRESH), "doc_a", "doc_b"
+    ) == _rows(full_pairs, "doc_a", "doc_b")
+    assert _rows(store.read("cc_labels"), "doc_id", "cluster_id") == _rows(
+        dup_clusters(full_pairs).select("doc_id", "cluster_id"),
+        "doc_id",
+        "cluster_id",
+    )
+
+
+@pytest.mark.parametrize(
+    "order",
+    [
+        (BATCH2, BATCH3, BATCH1),  # exact demotion of 21 by 1, retro span
+        (BATCH3, BATCH2, BATCH1),  # retro span repair of 31 by 21's arrival
+        (BATCH3, BATCH1, BATCH2),  # repair at mid-batch, late near-dups
+    ],
+    ids=["231", "321", "312"],
+)
+def test_shuffled_batches_equal_one_shot(spark, tmp_path, order):
+    """The out-of-order contract: ingesting the SAME batches in any
+    order leaves docs + pairs + labels ≡ the one-shot curation — via
+    exact keeper re-election (late smaller-id twin demotes the stored
+    keeper), retroactive span flags repairing stored curated texts from
+    cur_pre, MinHash re-signing, and the cluster demotion sweep."""
+    store, _ = _ingest_ooo(spark, tmp_path, order)
+    _assert_equals_one_shot(spark, store)
+
+
+def test_ooo_monotone_order_also_works(spark, tmp_path):
+    """allow_out_of_order is a superset: the natural order converges
+    identically (and maintains cur_pre throughout)."""
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH1, BATCH2, BATCH3))
+    _assert_equals_one_shot(spark, store)
+    assert store.exists("cur_pre")
+
+
+def test_ooo_exact_demotion_tombstones_and_retires(spark, tmp_path):
+    """A late smaller-id exact twin demotes the stored keeper: the old
+    keeper is tombstoned with a PERMANENT cause and masked from the
+    MinHash family, and the twin takes its place in the curated set."""
+    store, _ = _ingest_ooo(
+        spark, tmp_path, ([(21, _t("u", 0, 10))], [(1, _t("u", 0, 10))])
+    )
+    tomb = {
+        (r["doc_id"], r["cause"]) for r in store.read(TOMBSTONES).collect()
+    }
+    assert tomb == {(21, "exact")}
+    assert _rows(store.read("mh_doc_drops"), "doc_id") == {(21,)}
+    got = _rows(read_curated(store), "doc_id")
+    assert got == {(1,)}
+
+
+def test_ooo_retro_span_repair_rewrites_stored_text(spark, tmp_path):
+    """A late smaller-id doc sharing a SPAN-token run demotes the stored
+    occurrence: the stored doc's curated text is rebuilt from cur_pre
+    with the span removed."""
+    big = (31, _t("u", 3, 10) + " " + _t("z", 0, 8))
+    small = (1, _t("u", 0, 10))
+    store, _ = _ingest_ooo(spark, tmp_path, ([big], [small]))
+    got = dict(read_curated(store).select("doc_id", "text").collect())
+    assert got[31] == _t("z", 0, 8)       # span u3..u9 removed
+    assert got[1] == _t("u", 0, 10)       # the new min keeps its text
+
+
+def test_ooo_resurrection_after_demoter_retires(spark, tmp_path):
+    """A doc demoted by a cluster pair RESURRECTS when its only demoter
+    is retired: 41 is a near-dup of stored 40 (40 < 41 -> 41 demoted,
+    tombstoned cause 'cluster'); then 40's exact twin 4 (4 < 40)
+    arrives, 40 is retired — and the relabel re-elects within the
+    component, where the twin reproduces the pair and keeps 41 demoted
+    under the NEW keeper 4 (one-shot agrees: cluster {4, 41})."""
+    T40 = _t("q", 0, 5) + " X " + _t("q", 5, 10)
+    T41 = _t("q", 0, 10)
+    store, _ = _ingest_ooo(
+        spark, tmp_path, ([(40, T40)], [(41, T41)], [(4, T40)])
+    )
+    one = curate_corpus(
+        _mk(spark, [(40, T40), (41, T41), (4, T40)]),
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        near_dup_pairs=_near_dup_cb,
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == _rows(
+        one.kept, "doc_id", "text"
+    )
+
+
+def test_ooo_mode_must_be_consistent(spark, tmp_path):
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH1,))
+    with pytest.raises(ValueError, match="allow_out_of_order"):
+        ingest_increment(store, _mk(spark, BATCH2), "m", span=SPAN)
+    store2 = TableStore(
+        spark, tmp_path / "mono", write_partitions=2, snapshot_isolation=True
+    )
+    ingest_increment(store2, _mk(spark, BATCH1), "b1", span=SPAN)
+    with pytest.raises(ValueError, match="cur_pre"):
+        ingest_increment(
+            store2, _mk(spark, BATCH2), "b2", span=SPAN,
+            allow_out_of_order=True,
+        )
+
+
+def test_ooo_rejects_simhash(spark, tmp_path):
+    store = TableStore(spark, tmp_path, snapshot_isolation=True)
+    with pytest.raises(ValueError, match="simhash"):
+        ingest_increment(
+            store, _mk(spark, BATCH1), "b1",
+            simhash=True, allow_out_of_order=True,
+        )
