@@ -173,7 +173,7 @@ def _decode(payload: bytes) -> dict[str, Any]:
                 }
         except Exception:
             pass  # not an image PIL knows — try the header parsers
-    for parse in (_parse_png, _parse_gif, _parse_jpeg):
+    for parse in (_parse_png, _parse_gif, _parse_jpeg, _parse_mp4_video):
         meta = parse(payload)
         if meta is not None:
             return {"sha256": sha, **meta}
@@ -227,6 +227,72 @@ def _mp4_boxes(b: bytes, start: int, end: int):
             return
         yield btype, pos + hdr, pos + size
         pos += size
+
+
+def _parse_mp4_video(b: bytes) -> dict[str, Any] | None:
+    """MP4 frame-grid metadata via the REAL sample tables: walk
+    ``moov/trak/mdia/minf/stbl`` and count frames from ``stts`` (sum of
+    entry sample counts) or, failing that, ``stsz``'s sample_count —
+    so ``sample_frames`` gets true MP4 frame counts the way PNG/GIF get
+    true dimensions (and GIF gets true frame counts) from their
+    containers.  Dimensions from the track's ``tkhd`` (16.16 fixed
+    point).  Prefers the first track with nonzero dimensions (the video
+    track); falls back to any track with a sample table.  Returns None
+    unless the payload is ISO-BMFF with at least one of those."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    for btype, s, e in _mp4_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        tracks: list[tuple[int | None, int | None, int | None]] = []
+        for ctype, cs, ce in _mp4_boxes(b, s, e):
+            if ctype != b"trak":
+                continue
+            t_w = t_h = t_n = None
+            for ttype, ts, te in _mp4_boxes(b, cs, ce):
+                if ttype == b"tkhd" and te - ts >= 8:
+                    w, h = struct.unpack(">II", b[te - 8 : te])
+                    if w and h:
+                        t_w, t_h = w >> 16, h >> 16
+                elif ttype == b"mdia":
+                    for mtype, ms, me in _mp4_boxes(b, ts, te):
+                        if mtype != b"minf":
+                            continue
+                        for ntype, ns, ne in _mp4_boxes(b, ms, me):
+                            if ntype != b"stbl":
+                                continue
+                            for sbt, ss, se in _mp4_boxes(b, ns, ne):
+                                if sbt == b"stts" and se - ss >= 8:
+                                    cnt = struct.unpack(
+                                        ">I", b[ss + 4 : ss + 8]
+                                    )[0]
+                                    total = 0
+                                    for i in range(cnt):
+                                        o = ss + 8 + 8 * i
+                                        if o + 8 > se:
+                                            break
+                                        total += struct.unpack(
+                                            ">I", b[o : o + 4]
+                                        )[0]
+                                    t_n = total
+                                elif (
+                                    sbt == b"stsz"
+                                    and se - ss >= 12
+                                    and t_n is None
+                                ):
+                                    t_n = struct.unpack(
+                                        ">I", b[ss + 8 : ss + 12]
+                                    )[0]
+            tracks.append((t_w, t_h, t_n))
+        video = next((t for t in tracks if t[0]), None)
+        sampled = next((t for t in tracks if t[2] is not None), None)
+        if video is None and sampled is None:
+            return None
+        w, h, n = video or (None, None, None)
+        if n is None and sampled is not None:
+            n = sampled[2]
+        return {"width": w, "height": h, "n_frames": max(n or 1, 1)}
+    return None
 
 
 def _parse_mp4(b: bytes) -> dict[str, Any] | None:
@@ -461,8 +527,10 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame sampling for video payloads: emit every ``every_n``-th frame
-    (decode stubbed — frame count comes from the fake decoder; each frame
-    payload is a deterministic slice hash).
+    (frame decode stubbed — each frame payload is a deterministic slice
+    hash — but the frame COUNT is real for recognized containers: GIF
+    image descriptors and MP4 ``stbl/stts``/``stsz`` sample tables;
+    only unrecognized payloads fall back to the sha256 fake count).
 
     1:N mapInPandas — the output batch is built column-wise from the
     exploded index, so Arrow never sees Python row loops over frames.

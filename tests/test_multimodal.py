@@ -200,8 +200,19 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
 
-def _mp4_bytes(duration=3000, timescale=1000, w=640, h=360, n_trak=2) -> bytes:
-    """A minimal REAL ISO-BMFF structure: ftyp + moov(mvhd, trak(tkhd)xN)."""
+def _mp4_bytes(
+    duration=3000,
+    timescale=1000,
+    w=640,
+    h=360,
+    n_trak=2,
+    stts_entries=None,
+    stsz_count=None,
+) -> bytes:
+    """A minimal REAL ISO-BMFF structure: ftyp + moov(mvhd,
+    trak(tkhd[, mdia/minf/stbl(stts[, stsz])])xN).  ``stts_entries``
+    is a list of (sample_count, sample_delta) runs; ``stsz_count`` a
+    default-size sample count — both land in the FIRST track."""
     import struct
 
     mvhd = _box(
@@ -215,8 +226,25 @@ def _mp4_bytes(duration=3000, timescale=1000, w=640, h=360, n_trak=2) -> bytes:
         b"\x00" + b"\x00" * 3 + b"\x00" * 72  # v0 header + fields
         + struct.pack(">II", w << 16, h << 16)  # 16.16 fixed width/height
     )
+    stbl = b""
+    if stts_entries is not None:
+        stbl += _box(
+            b"stts",
+            struct.pack(">II", 0, len(stts_entries))
+            + b"".join(struct.pack(">II", c, d) for c, d in stts_entries),
+        )
+    if stsz_count is not None:
+        stbl += _box(b"stsz", struct.pack(">III", 0, 512, stsz_count))
+    media = (
+        _box(b"mdia", _box(b"minf", _box(b"stbl", stbl))) if stbl else b""
+    )
     traks = b"".join(
-        _box(b"trak", _box(b"tkhd", tkhd_body if i == 0 else b"\x00" * 80))
+        _box(
+            b"trak",
+            (_box(b"tkhd", tkhd_body) + media)
+            if i == 0
+            else _box(b"tkhd", b"\x00" * 80),
+        )
         for i in range(n_trak)
     )
     return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(
@@ -277,3 +305,33 @@ def test_av_parsers_reject_truncated_containers():
     assert _parse_wav(wav[:10]) is None
     assert _parse_mp4(mp4[:6]) is None
     assert _parse_mp4(mp4[: len(mp4) // 2]) in (None, _parse_mp4(mp4[: len(mp4) // 2]))
+
+
+def test_mp4_frame_count_from_sample_tables(spark):
+    """sample_frames uses REAL MP4 frame counts via the stbl/stts walk
+    (sum of run sample_counts), fixing the sha256-fake count for
+    ISO-BMFF payloads; stsz's sample_count is the fallback when stts is
+    absent.  The frame payload itself stays a deterministic stub."""
+    from jobcan_data_integrator_spark.operators.multimodal import (
+        _parse_mp4_video,
+        sample_frames,
+    )
+
+    stts_mp4 = _mp4_bytes(stts_entries=[(10, 100), (3, 200)])  # 13 frames
+    stsz_mp4 = _mp4_bytes(stsz_count=7)
+    assert _parse_mp4_video(stts_mp4) == {
+        "width": 640, "height": 360, "n_frames": 13,
+    }
+    assert _parse_mp4_video(stsz_mp4)["n_frames"] == 7
+    # no sample table at all: dimensions still real, count floors at 1
+    assert _parse_mp4_video(_mp4_bytes())["n_frames"] == 1
+    assert _parse_mp4_video(b"\x00\x00\x00\x08freeXXXX") is None
+
+    media = spark.createDataFrame(
+        [(1, bytearray(stts_mp4), "video/mp4")],
+        "doc_id long, payload binary, mime string",
+    )
+    got = sorted(
+        r.frame_idx for r in sample_frames(media, every_n=5).collect()
+    )
+    assert got == [0, 5, 10]  # every 5th of 13 REAL frames
