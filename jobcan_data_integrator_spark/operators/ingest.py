@@ -120,6 +120,62 @@ def read_curated(store: TableStore) -> DataFrame:
     return docs
 
 
+def repack_corpus(
+    store: TableStore,
+    budget: int,
+    *,
+    chunk_tokens: int = 32,
+    chunk_overlap: int = 8,
+    shuffle_salt: str = "repack",
+) -> DataFrame:
+    """Globally reshard the curated corpus: chunk ``read_curated`` and
+    pack into GLOBALLY shuffled shards, replacing the batch-scoped
+    ``cur_chunks``/``cur_shards`` under one commit.
+
+    Per-batch packing is batch-scoped by design (shard boundaries never
+    span batches, ingest.py module docstring) — fine for continuous
+    training consumption, but a fresh training run wants shards whose
+    deterministic shuffled order mixes the WHOLE corpus so no shard
+    concentrates one arrival batch.  One call does exactly what running
+    ``chunk_documents`` + ``pack_shards`` one-shot over the curated
+    corpus would (pinned by test), and the overwrite publishes
+    atomically: on a snapshot store the old shard layout stays readable
+    until the pointer swap; a crash publishes nothing.
+
+    Vary ``shuffle_salt`` per epoch to re-draw the global order without
+    re-chunking logic changes.  Returns the packed frame.
+    """
+    from jobcan_data_integrator_spark.operators.packing import (
+        chunk_documents,
+        pack_shards,
+    )
+
+    docs = read_curated(store).select("doc_id", "text")
+    chunks = (
+        chunk_documents(
+            docs, max_tokens=chunk_tokens, overlap=chunk_overlap
+        )
+        .withColumn(
+            "chunk_id",
+            (F.col("doc_id") * 1_048_576 + F.col("chunk_idx")).cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    batch_tag = f"repack-{shuffle_salt}"
+    packed = pack_shards(
+        chunks.select("chunk_id", "n_tokens"),
+        budget=budget,
+        id_col="chunk_id",
+        shuffle_salt=shuffle_salt,
+    ).withColumn("batch_id", F.lit(batch_tag)).localCheckpoint(eager=True)
+    with store.batch_commit(batch_tag, [CHUNKS, SHARDS]):
+        store.overwrite(
+            CHUNKS, chunks.withColumn("batch_id", F.lit(batch_tag))
+        )
+        store.overwrite(SHARDS, packed)
+    return packed
+
+
 def ingest_tables(
     *,
     line_clean: bool = False,
