@@ -27,10 +27,16 @@ assumption), after N ``ingest_increment`` calls
     mh_pairs             ≡  the full-corpus verified pair set
     cc_labels            ≡  dup_clusters(full pairs) labels
 
-Monotonicity is ENFORCED (a ledger of absorbed id ranges; out-of-order
-batches raise — ingest them through the per-family APIs, which handle
-retroactive flags, and rebuild the curated table).  One genuinely
-retroactive effect survives even monotone ingest: a new doc can pair
+Monotonicity is ENFORCED by default (a ledger of absorbed id ranges;
+out-of-order batches raise) — OR relaxed with
+``allow_out_of_order=True``, which extends the SAME ≡ contract to ANY
+batch order via exact keeper re-election, retroactive span-flag
+repairs from a persisted pre-span text table, MinHash re-signing with
+merge-on-read retraction, component-local cluster relabeling, and
+tombstone resurrection (see ``ingest_increment``'s docstring;
+shuffled-order ≡ one-shot is pinned in tests/test_ingest.py).  One
+genuinely retroactive effect survives even monotone ingest: a new doc
+can pair
 with members of TWO existing clusters and merge them, demoting the
 larger cluster's old keeper.  ``extend_clusters`` returns exactly that
 remap, and the demoted ids become TOMBSTONES (``cur_drops``) —
@@ -43,8 +49,9 @@ corpus-boilerplate in batch 9 was not removed from batch 1's docs —
 true of ANY streaming pipeline); the per-batch contract is
 ``clean_increment``'s (tests/test_incremental_lines.py), and the strict
 ≡ gate runs with line cleaning off.  Per-batch packing is batch-scoped:
-shard boundaries never span batches (repack ``read_curated`` one-shot
-for a globally shuffled order).
+shard boundaries never span batches; ``repack_corpus`` is the one-call
+global reshard (chunk + pack ``read_curated`` in deterministic shuffled
+order, swapped in under one snapshot commit).
 
 Atomicity: every family write lands inside ONE ``store.batch_commit``
 — on a snapshot-isolation store the whole batch (all ten families, the
@@ -101,7 +108,12 @@ class IngestResult:
     demoted: DataFrame | None = None
 
     def audit(self) -> dict[str, int]:
-        """Per-stage surviving-row counts (curate_corpus's audit)."""
+        """Per-stage surviving-row counts (curate_corpus's audit).
+
+        Safe to call at any time after ``ingest_increment`` returns:
+        every stage frame was localCheckpointed during the batch, so
+        each count is one job over pinned blocks — nothing upstream
+        re-runs and no since-rewritten index table is re-scanned."""
         return {name: df.count() for name, df in self.stages}
 
 

@@ -83,6 +83,10 @@ def ensure_engine_confs(spark: SparkSession) -> None:
                 str(spark.sparkContext.defaultParallelism),
             )
     except Exception:
+        # conf read/set can fail on a foreign session (e.g. conf marked
+        # non-runtime-settable by the driver's build); the tuning above
+        # is best-effort — correctness never depends on it, so a locked
+        # session proceeds with whatever partitioning it has
         pass
 
 
