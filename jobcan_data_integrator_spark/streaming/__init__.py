@@ -605,8 +605,10 @@ def ingest_documents_stream(
     so the retry recomputes against the pre-batch state).  Micro-batch
     order satisfies the orchestrator's monotone-id contract whenever
     the source assigns ids monotonically — the same assumption as the
-    reference's request-id cursor.  ``ingest_kwargs`` pass through to
-    ``ingest_increment`` (span, minhash, lm_filter, pack_budget, ...).
+    reference's request-id cursor; a source that can deliver late ids
+    passes ``allow_out_of_order=True`` through for the repairing path.
+    ``ingest_kwargs`` pass through to ``ingest_increment`` (span,
+    minhash, lm_filter, pack_budget, allow_out_of_order, ...).
     """
     from jobcan_data_integrator_spark.operators.ingest import (
         ingest_increment,

@@ -335,3 +335,42 @@ def test_mp4_frame_count_from_sample_tables(spark):
         r.frame_idx for r in sample_frames(media, every_n=5).collect()
     )
     assert got == [0, 5, 10]  # every 5th of 13 REAL frames
+
+
+def test_audio_segments_slice_real_pcm(spark):
+    """sample_audio_segments emits the ACTUAL data-chunk byte slices for
+    WAV payloads — exact sample counts, exact start times, whole sample
+    frames — and the sha256 fake only for unrecognized payloads."""
+    import struct
+
+    from jobcan_data_integrator_spark.operators.multimodal import (
+        AUDIO_SEGMENT_SCHEMA,
+        sample_audio_segments,
+    )
+
+    rate, n_samples = 1000, 2500  # 2.5 s at 1 kHz mono PCM16
+    data = b"".join(struct.pack("<h", i % 32768) for i in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    out = sample_audio_segments(df, segment_ms=1000)
+    assert out.schema == AUDIO_SEGMENT_SCHEMA
+    rows = sorted(
+        (r for r in out.collect() if r.doc_id == 1),
+        key=lambda r: r.segment_idx,
+    )
+    assert [(r.segment_idx, r.start_ms, r.n_samples) for r in rows] == [
+        (0, 0, 1000), (1, 1000, 1000), (2, 2000, 500),
+    ]
+    # the payload IS the real PCM slice
+    assert bytes(rows[0].payload) == data[:2000]
+    assert bytes(rows[2].payload) == data[4000:]
+    # unrecognized payload keeps the deterministic fake contract
+    fake = [r for r in out.collect() if r.doc_id == 2]
+    assert len(fake) >= 1 and all(len(bytes(r.payload)) == 32 for r in fake)
