@@ -1891,20 +1891,32 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = TableStore(
         spark, root, write_partitions=4, snapshot_isolation=True
     )
-    # two batches (80% build / 20% increment, the dd_incremental_dedup
-    # split): the gate's cost is almost pure per-job scheduling overhead
-    # (flat from sf0.001 to sf0.1), so batch count IS the cost knob —
-    # two proves the same build-then-increment contract as three, and
-    # tests/test_ingest.py pins the 3-batch + keeper-demotion matrix
-    cuts = [(0, (hi * 4) // 5), ((hi * 4) // 5 + 1, hi)]
-    for i, (lo, hi2) in enumerate(cuts):
+    # two batches under allow_out_of_order=True: the 90% bulk first,
+    # then a 10% COMB through the whole id space (doc_id % 10 == 3) —
+    # a late batch whose ids interleave below the absorbed high-water
+    # mark everywhere.  The oracle is order-independent (the one-shot
+    # curation of the union), so a green hash drives the whole
+    # out-of-order repair machinery — exact keeper re-election demoting
+    # already-curated higher-id twins, retroactive span flags
+    # rebuilding stored texts from cur_pre, MinHash re-signing with
+    # merge-on-read retraction, component relabeling + resurrection,
+    # and the cluster demotion sweep — and proves it lands EXACTLY on
+    # the one-shot result.  The monotone path (a strict subset of this
+    # mode) stays pinned by the test matrix in tests/test_ingest.py;
+    # the comb split bounds repair volume at ~10% of the corpus's
+    # cross-batch interactions, keeping the gate's cost per-job
+    # scheduling overhead x stages x batches (flat from sf0.001 to
+    # sf0.1) rather than repair-volume-bound.
+    comb = F.pmod(F.col("doc_id"), F.lit(10)) == 3
+    for i, part in enumerate((docs.filter(~comb), docs.filter(comb))):
         ingest_increment(
             store,
-            docs.filter(F.col("doc_id").between(lo, hi2)),
+            part,
             f"ing-{i}",
             span=8,
             min_tokens=10,
             minhash=True,
+            allow_out_of_order=True,
         )
     return read_curated(store).select("doc_id", "text")
 
