@@ -328,6 +328,70 @@ def ingest_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> floa
     return round(sorted(times)[1], 3)
 
 
+#: out-of-order ingest probe: a FIXED ~20-doc LATE batch (ids
+#: interleaved below the absorbed high-water mark, so the whole repair
+#: machinery — keeper re-election, retro span rebuilds, MinHash
+#: retraction + re-sign, relabel, sweep — runs) against the 10x-seeded
+#: store must cost ~flat vs the sf0.1-seeded store: repairs are bounded
+#: by the increment's interactions, not the corpus.
+INGEST_OOO_BUDGET = 3.0
+
+
+def ingest_ooo_experiment(
+    spark, sf_dir: str, n_buckets: int, workdir: Path
+) -> float:
+    """Median seconds for one fixed ~20-doc OUT-OF-ORDER batch through
+    ``ingest_increment(allow_out_of_order=True)`` against a store
+    seeded (same mode) with the rest of ``sf_dir``'s corpus.
+
+    The corpus minus three id-combs (doc_id % 250 ∈ {13, 14, 15})
+    seeds the store; each comb then arrives as a late batch capped at
+    20 docs, its ids interleaved below the absorbed max everywhere —
+    so exact demotions and retroactive span flags genuinely fire
+    against the big store while batch size stays FIXED as the corpus
+    grows 10x.  Median of the three batch times."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        exact_index_buckets,
+        index_layout,
+        minhash_index_buckets,
+        minhash_pair_bands,
+        span_index_buckets,
+    )
+    from jobcan_data_integrator_spark.operators.ingest import ingest_increment
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    buckets = (
+        minhash_index_buckets(n_buckets)
+        | exact_index_buckets(n_buckets)
+        | span_index_buckets(n_buckets)
+    )
+    store = TableStore(
+        spark, workdir, write_partitions=1,
+        **index_layout(buckets, minhash_pair_bands(1 << 20)),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    held = F.pmod(F.col("doc_id"), F.lit(250)).isin(13, 14, 15)
+    ingest_increment(
+        store, docs.filter(~held), "base", span=8, minhash=True,
+        allow_out_of_order=True,
+    )
+    times = []
+    for i, residue in enumerate((13, 14, 15)):
+        batch = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(250)) == residue)
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        ingest_increment(
+            store, batch, f"late-{i}", span=8, minhash=True,
+            allow_out_of_order=True,
+        )
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
 #: BPE batched-training smoke: learn a production-ish merge count with
 #: batch=32 and assert the round count tracks ~n_merges/32, not
 #: n_merges — the difference between minutes and hours of scheduler
@@ -506,6 +570,16 @@ def main() -> None:
     )
     ing_ratio = round(ing1 / ing01, 2) if ing01 else None
 
+    # out-of-order ingest: fixed ~20-doc LATE batches, repair machinery
+    # live, sf0.1-seeded vs 10x-seeded store
+    ooo01 = ingest_ooo_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_oooidx01"
+    )
+    ooo1 = ingest_ooo_experiment(
+        spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_oooidx1"
+    )
+    ooo_ratio = round(ooo1 / ooo01, 2) if ooo01 else None
+
     # BPE batched training at a production-ish merge count
     bpe = bpe_experiment(spark, str(out_dir))
 
@@ -540,6 +614,8 @@ def main() -> None:
         flagged["dedup_increment@10x"] = inc_ratio
     if ing_ratio and ing_ratio > INGEST_BUDGET:
         flagged["ingest_increment@10x"] = ing_ratio
+    if ooo_ratio and ooo_ratio > INGEST_OOO_BUDGET:
+        flagged["ingest_increment@ooo10x"] = ooo_ratio
     if bpe["rounds"] > BPE_ROUND_SLACK * bpe["ideal_rounds"]:
         flagged["train_bpe@rounds"] = bpe["rounds"]
     if lay_ratio and lay_ratio > LAYER_BUDGET:
@@ -572,6 +648,17 @@ def main() -> None:
                                  "families, curated merge, ledger) vs a "
                                  "store seeded with the whole corpus; "
                                  "buckets 64 -> 640 (median of 3)"},
+                      "ingest_ooo": {"op": "ingest_increment@out-of-order",
+                                     "sf01_sec": ooo01, "sf1_sec": ooo1,
+                                     "ratio": ooo_ratio,
+                                     "budget": INGEST_OOO_BUDGET,
+                                     "note": "fixed ~20-doc LATE batch "
+                                     "(ids interleaved below the absorbed "
+                                     "max: keeper re-election, retro span "
+                                     "rebuilds, MinHash retraction all "
+                                     "fire) vs an out-of-order-mode store "
+                                     "seeded with the rest of the corpus; "
+                                     "buckets 64 -> 640 (median of 3)"},
                       "bpe": bpe,
                       "temporal": {"op": "asof_join_errors_signups",
                                    "sf01_sec": tmp01, "sf1_sec": tmp1,
@@ -611,6 +698,9 @@ def main() -> None:
           file=sys.stderr)
     print(f"# ingest: ingest_increment {ing01:.2f} @sf0.1-store -> "
           f"{ing1:.2f} @sf1-store ({ing_ratio}x, budget {INGEST_BUDGET}x)",
+          file=sys.stderr)
+    print(f"# ingest ooo: {ooo01:.2f} @sf0.1-store -> {ooo1:.2f} "
+          f"@sf1-store ({ooo_ratio}x, budget {INGEST_OOO_BUDGET}x)",
           file=sys.stderr)
     print(f"# bpe: {bpe['learned_merges']} merges in {bpe['rounds']} rounds "
           f"(ideal {bpe['ideal_rounds']}, batch {BPE_BATCH}) in "
