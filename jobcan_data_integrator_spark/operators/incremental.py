@@ -314,6 +314,60 @@ def read_pairs(store: TableStore) -> DataFrame:
     return pairs
 
 
+def compact_minhash_drops(store: TableStore) -> None:
+    """Fold the accumulated out-of-order retraction masks into the base
+    tables — the OPTIMIZE/compaction analog for the merge-on-read drop
+    tables: rewrite ``mh_bands``/``mh_shingles``/``mh_sizes``/
+    ``mh_pairs`` minus their masked rows, then clear the drop tables,
+    all under one commit.
+
+    Merge-on-read keeps per-batch repair cost bounded by the repair
+    volume, but the masks are broadcast at every probe — run this when
+    their total size approaches the broadcast threshold (amortized
+    across many batches, exactly like the layered store's fold).  Reads
+    before/after are identical by construction: the rewrite applies the
+    same anti-joins the probes were applying (pinned in
+    tests/test_ingest.py)."""
+    drops = [t for t in OOO_DROP_TABLES if store.exists(t)]
+    if not drops:
+        return
+    store.begin_commit(
+        "mh-drops-compact", list(INDEX_TABLES) + list(OOO_DROP_TABLES)
+    )
+    if store.exists("mh_doc_drops"):
+        doc_drops = F.broadcast(store.read("mh_doc_drops"))
+        for t in ("mh_shingles", "mh_sizes"):
+            if store.exists(t):
+                store.overwrite(
+                    t, store.read(t).join(doc_drops, "doc_id", "left_anti")
+                )
+        if store.exists("mh_bands"):
+            bands = store.read("mh_bands").join(
+                doc_drops, "doc_id", "left_anti"
+            )
+            if store.exists("mh_band_drops"):
+                bands = bands.join(
+                    F.broadcast(store.read("mh_band_drops")),
+                    ["doc_id", "band_idx", "band_key"],
+                    "left_anti",
+                )
+            store.overwrite("mh_bands", bands)
+    elif store.exists("mh_band_drops") and store.exists("mh_bands"):
+        store.overwrite(
+            "mh_bands",
+            store.read("mh_bands").join(
+                F.broadcast(store.read("mh_band_drops")),
+                ["doc_id", "band_idx", "band_key"],
+                "left_anti",
+            ),
+        )
+    if store.exists("mh_pairs"):
+        store.overwrite("mh_pairs", read_pairs(store))
+    for t in drops:
+        store.overwrite(t, store.read(t).limit(0))
+    store.end_commit()
+
+
 def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
     """Retire docs from the MinHash family via merge-on-read drops:
     their band/shingle/size rows are masked from every future probe and

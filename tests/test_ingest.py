@@ -555,3 +555,45 @@ def test_repack_corpus_equals_one_shot_pack(spark, tmp_path):
         .count()
     )
     assert n_multi >= 1
+
+
+def test_compact_minhash_drops_preserves_reads(spark, tmp_path):
+    """compact_minhash_drops folds the merge-on-read retraction masks
+    into the base tables: read_pairs and a dedup probe are identical
+    before/after, and the drop tables come back empty — the OPTIMIZE
+    analog for out-of-order stores."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        OOO_DROP_TABLES,
+        compact_minhash_drops,
+        dedup_increment,
+        read_pairs,
+    )
+    from jobcan_data_integrator_spark.operators.minhash import (
+        hashed_shingle_rows,
+    )
+
+    # the 321 order exercises retirement (exact demotion of 21 by 1)
+    # and repair re-signing (31's text rebuilt) -> all three drop tables
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH3, BATCH2, BATCH1))
+    assert any(store.exists(t) for t in OOO_DROP_TABLES)
+    before_pairs = _rows(read_pairs(store), "doc_a", "doc_b", "jaccard")
+    probe = hashed_shingle_rows(
+        _mk(spark, [(99, _t("v", 0, 10))])  # near-dups 2 and 22
+    ).localCheckpoint(eager=True)
+    before_probe = _rows(
+        dedup_increment(store, probe, NH, BS), "doc_a", "doc_b", "jaccard"
+    )
+
+    compact_minhash_drops(store)
+
+    assert _rows(read_pairs(store), "doc_a", "doc_b", "jaccard") == before_pairs
+    assert _rows(
+        dedup_increment(store, probe, NH, BS), "doc_a", "doc_b", "jaccard"
+    ) == before_probe
+    for t in OOO_DROP_TABLES:
+        if store.exists(t):
+            assert store.read(t).count() == 0
+    # masked rows are physically gone from the base tables
+    assert (
+        store.read("mh_shingles").filter(F.col("doc_id") == 21).count() == 0
+    )
