@@ -175,10 +175,14 @@ def synthesize_skew(spark, skew_dir: Path) -> None:
 
 #: incremental-dedup probe: a FIXED increment against a 10x index must
 #: cost ~flat, not 10x — that is the whole point of the persisted index
-#: + bucket pruning.  Budget is loose (3x) because the corpus-side
-#: equi-join still touches 10x-bigger matching buckets at this small
-#: increment size.
-INC_BUDGET = 3.0
+#: + bucket pruning.  Budget is loose (4x): the corpus-side equi-join
+#: touches 10x-bigger matching buckets at this small increment size,
+#: the 640-bucket probe pays ~640-task scheduling overhead per stage,
+#: and repeated full-smoke runs of IDENTICAL code measured 2.25, 2.26,
+#: and 3.32 (isolated re-run of the 3.32 session's stores: 1.45) — the
+#: in-session spread is host/JVM-state noise, so the budget must sit
+#: above it to flag only real regressions.
+INC_BUDGET = 4.0
 
 
 def incremental_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
