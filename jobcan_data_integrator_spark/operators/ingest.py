@@ -415,10 +415,17 @@ def _rebuild_docs(
     its ORIGINAL batch id, so a redelivery of that batch returns the
     repaired text) — or tombstone it permanently (and retire it from
     the MinHash family) if it falls under the ``min_tokens`` floor.
-    Serves both retroactive-span REPAIRS (live docs whose stored flags
-    just grew) and RESURRECTIONS (docs demoted at their own batch whose
-    demoter was later retracted — no curated row exists; the upsert
-    inserts one).
+    Serves both retroactive-span REPAIRS (family members whose stored
+    flags just grew — LIVE OR NOT: a cluster-demoted doc's signature
+    must track its current text or its stale pairs survive forever) and
+    RESURRECTIONS (docs demoted at their own batch whose demoter was
+    later retracted — no curated row exists; the upsert inserts one).
+    Permanently-retired docs (exact/floor tombstones, ``mh_doc_drops``)
+    are excluded — they have no one-shot text to track.  Liveness is
+    managed purely by tombstones: every rebuilt doc's current text
+    lands in ``cur_docs``, the relabel deletes revocable tombstones of
+    docs whose demotion dissolved, and the demotion sweep tombstones
+    any that are (still) not their cluster's minimum.
 
     Surviving rebuilds are re-signed (``resign_minhash``); components
     touched by a ≥-threshold pair retraction are relabeled (WITHOUT a
@@ -438,9 +445,24 @@ def _rebuild_docs(
         hashed_shingle_rows,
     )
 
+    targets = ids.select("doc_id").distinct()
+    if store.exists(TOMBSTONES):
+        tomb = store.read(TOMBSTONES)
+        if "cause" in tomb.columns:
+            targets = targets.join(
+                F.broadcast(
+                    tomb.filter(F.col("cause") != "cluster").select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+    if store.exists("mh_doc_drops"):
+        targets = targets.join(
+            F.broadcast(store.read("mh_doc_drops")), "doc_id", "left_anti"
+        )
     pre = (
         store.read(CURATED_PRE)
-        .join(ids.select("doc_id").distinct(), "doc_id", "leftsemi")
+        .join(targets, "doc_id", "leftsemi")
         .localCheckpoint(eager=True)
     )
     if not pre.head(1):
@@ -860,27 +882,15 @@ def ingest_increment(
                     store, survivors, sp_groups, flags, span=span
                 )
             if retro is not None and retro.head(1):
-                # repair LIVE curated docs only (a tombstoned or
-                # never-inserted doc has no curated row to fix; a later
-                # resurrection rebuilds it from cur_pre then)
-                live_retro = (
-                    store.read(CURATED)
-                    .join(
-                        retro.select("doc_id").distinct(),
-                        "doc_id",
-                        "leftsemi",
-                    )
-                    .select("doc_id")
-                )
-                if store.exists(TOMBSTONES):
-                    live_retro = live_retro.join(
-                        F.broadcast(store.read(TOMBSTONES).select("doc_id")),
-                        "doc_id",
-                        "left_anti",
-                    )
+                # rebuild EVERY retro-flagged family member, live or
+                # not — a doc demoted at its own batch via pairs
+                # computed from its pre-repair text must be re-signed
+                # too, or its stale pairs survive forever and block its
+                # resurrection (_rebuild_docs excludes the permanently
+                # retired and manages liveness via tombstones)
                 _rebuild_docs(
                     store,
-                    live_retro,
+                    retro.select("doc_id").distinct(),
                     stages,
                     span=span,
                     min_tokens=min_tokens,

@@ -597,3 +597,72 @@ def test_compact_minhash_drops_preserves_reads(spark, tmp_path):
     assert (
         store.read("mh_shingles").filter(F.col("doc_id") == 21).count() == 0
     )
+
+
+def _random_corpus(seed: int) -> list[tuple[int, str]]:
+    """A randomized corpus mixing every retroactive hazard: unique docs,
+    exact duplicates, >= SPAN-token shared runs, near-duplicates (one
+    token swapped mid-doc, runs kept under SPAN), and sub-floor docs —
+    with ids sampled so any batch split interleaves."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [f"w{i}" for i in range(40)]
+    docs: list[str] = []
+    for _ in range(8):  # unique base docs
+        docs.append(" ".join(rng.choice(pool) for _ in range(rng.randint(9, 14))))
+    for _ in range(3):  # exact dups
+        docs.append(rng.choice(docs[:8]))
+    for _ in range(3):  # span dups: a >= SPAN run + fresh tail
+        src = rng.choice(docs[:8]).split(" ")
+        start = rng.randint(0, max(0, len(src) - SPAN))
+        run = src[start : start + SPAN]
+        tail = [f"t{seed}{i}" for i in range(rng.randint(4, 7))]
+        docs.append(" ".join(run + tail) if rng.random() < 0.5 else " ".join(tail + run))
+    for _ in range(3):  # near dups: swap one mid token
+        src = rng.choice(docs[:8]).split(" ")
+        p = rng.randint(4, len(src) - 4)
+        src[p] = f"x{seed}{p}"
+        docs.append(" ".join(src))
+    docs.append("too short")  # sub-floor
+    ids = rng.sample(range(1000), len(docs))
+    return list(zip(ids, docs))
+
+
+@pytest.mark.parametrize("seed", [3, 11, 23, 47, 89])
+def test_ooo_random_corpora_and_orders_equal_one_shot(spark, tmp_path, seed):
+    """Randomized hardening of the out-of-order contract: a random
+    corpus (exact/span/near dups with random interleaved ids) split
+    into random batches ingested in random order must still land
+    exactly on the one-shot curation — docs, pairs, and labels."""
+    import random
+
+    from jobcan_data_integrator_spark.operators.dedup import dup_clusters
+    from jobcan_data_integrator_spark.operators.incremental import read_pairs
+
+    rng = random.Random(seed * 7 + 1)
+    rows = _random_corpus(seed)
+    rng.shuffle(rows)
+    n = len(rows)
+    batches = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+    rng.shuffle(batches)
+    store, _ = _ingest_ooo(spark, tmp_path, batches)
+
+    one = curate_corpus(
+        _mk(spark, rows),
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        near_dup_pairs=_near_dup_cb,
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == _rows(
+        one.kept, "doc_id", "text"
+    )
+    full_pairs = _near_dup_cb(dict(one.stages)["span_deduped"])
+    assert _rows(
+        read_pairs(store).filter(F.col("jaccard") >= THRESH), "doc_a", "doc_b"
+    ) == _rows(full_pairs, "doc_a", "doc_b")
+    assert _rows(store.read("cc_labels"), "doc_id", "cluster_id") == _rows(
+        dup_clusters(full_pairs).select("doc_id", "cluster_id"),
+        "doc_id",
+        "cluster_id",
+    )
