@@ -611,16 +611,23 @@ def _random_corpus(seed: int) -> list[tuple[int, str]]:
     docs: list[str] = []
     for _ in range(8):  # unique base docs
         docs.append(" ".join(rng.choice(pool) for _ in range(rng.randint(9, 14))))
+    # derivatives draw from ANY existing doc (including other
+    # derivatives), so dup-of-span-dup / near-dup-of-exact-dup chains
+    # occur and the retroactive effects compose
     for _ in range(3):  # exact dups
-        docs.append(rng.choice(docs[:8]))
-    for _ in range(3):  # span dups: a >= SPAN run + fresh tail
-        src = rng.choice(docs[:8]).split(" ")
+        docs.append(rng.choice(docs))
+    for _ in range(4):  # span dups: a >= SPAN run + fresh tail
+        src = rng.choice(docs).split(" ")
+        if len(src) < SPAN:
+            src = docs[0].split(" ")
         start = rng.randint(0, max(0, len(src) - SPAN))
         run = src[start : start + SPAN]
-        tail = [f"t{seed}{i}" for i in range(rng.randint(4, 7))]
+        tail = [f"t{seed}{len(docs)}{i}" for i in range(rng.randint(4, 7))]
         docs.append(" ".join(run + tail) if rng.random() < 0.5 else " ".join(tail + run))
     for _ in range(3):  # near dups: swap one mid token
-        src = rng.choice(docs[:8]).split(" ")
+        src = rng.choice(docs).split(" ")
+        if len(src) < 9:
+            src = docs[1].split(" ")
         p = rng.randint(4, len(src) - 4)
         src[p] = f"x{seed}{p}"
         docs.append(" ".join(src))
@@ -643,8 +650,11 @@ def test_ooo_random_corpora_and_orders_equal_one_shot(spark, tmp_path, seed):
     rng = random.Random(seed * 7 + 1)
     rows = _random_corpus(seed)
     rng.shuffle(rows)
-    n = len(rows)
-    batches = [rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]
+    k = rng.randint(2, 4)
+    cuts = sorted(rng.sample(range(1, len(rows)), k - 1))
+    batches = [
+        rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])
+    ]
     rng.shuffle(batches)
     store, _ = _ingest_ooo(spark, tmp_path, batches)
 
