@@ -676,3 +676,62 @@ def test_ooo_random_corpora_and_orders_equal_one_shot(spark, tmp_path, seed):
         "doc_id",
         "cluster_id",
     )
+
+
+def test_streaming_ingest_out_of_order_drains(spark, tmp_path):
+    """The streaming face composes with allow_out_of_order: the SECOND
+    drain delivers ids interleaved below the first drain's — the repair
+    path runs inside foreachBatch and the result still equals the
+    one-shot curation."""
+    import json as _json
+
+    from jobcan_data_integrator_spark import streaming as S
+
+    store = TableStore(
+        spark, tmp_path / "store", write_partitions=2, snapshot_isolation=True
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        q = S.ingest_documents_stream(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            n_hashes=NH,
+            band_size=BS,
+            cluster_threshold=THRESH,
+            allow_out_of_order=True,
+        ).start()
+        q.awaitTermination()
+
+    # high ids first (exact dup 21, span-dup 31 ride along) ...
+    (src / "late.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in BATCH2 + BATCH3
+        )
+    )
+    _drain()
+    # ... then the low-id originals arrive and demote/repair them
+    (src / "early.json").write_text(
+        "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in BATCH1)
+    )
+    _drain()
+
+    want = _rows(
+        curate_corpus(
+            _mk(spark, ALL),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            near_dup_pairs=_near_dup_cb,
+        ).kept,
+        "doc_id",
+        "text",
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == want
