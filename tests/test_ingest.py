@@ -641,7 +641,11 @@ def test_ooo_random_corpora_and_orders_equal_one_shot(spark, tmp_path, seed):
     """Randomized hardening of the out-of-order contract: a random
     corpus (exact/span/near dups with random interleaved ids) split
     into random batches ingested in random order must still land
-    exactly on the one-shot curation — docs, pairs, and labels."""
+    exactly on the one-shot curation — docs, pairs, and labels.
+
+    CI runs five seeds; a 20-seed sweep of the same generator (seeds
+    100-119) also passed during round 6 — seed 47 of THIS list is the
+    one that exposed the dead-doc re-sign hole, so keep it."""
     import random
 
     from jobcan_data_integrator_spark.operators.dedup import dup_clusters
