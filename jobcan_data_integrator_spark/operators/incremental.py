@@ -81,6 +81,56 @@ INDEX_TABLES = ("mh_bands", "mh_shingles", "mh_sizes", "mh_pairs")
 #: existence first (zero cost when absent).
 OOO_DROP_TABLES = ("mh_doc_drops", "mh_band_drops", "mh_pair_drops")
 
+#: targeted-deletion masks (operators/ingest.retract_documents) — the
+#: same merge-on-read stance extended to the exact and span families,
+#: which out-of-order ingest never needs to retract (a demoted exact
+#: keeper always leaves a live identical-text twin, so its stale
+#: ex_docs/sp_occs rows can never change a live outcome — retraction
+#: removes docs with NO surviving twin, so their rows must be masked):
+#:
+#: - ``doc_retractions`` (doc_id): docs deleted from the corpus by
+#:   ``retract_documents``.  Masks the stored side of
+#:   ``exact_increment`` (a retracted doc must not win a future keeper
+#:   election) and ``span_increment`` (its occurrences must not inflate
+#:   ``n_occ`` or own ``min_key``).  Never resurrected — doc ids are
+#:   unique for all time.
+#: - ``sp_flag_drops`` (doc_id, pos): span flags RETRACTED because the
+#:   deleted doc was the duplicating occurrence (n_occ fell to 1) or
+#:   owned ``min_key`` (the new first occurrence unflags).  Applied by
+#:   ``read_flags`` — the flag read every repair path uses.  A later
+#:   batch re-duplicating the span re-asserts the flag, so
+#:   ``extend_span_index`` deletes re-asserted rows from the mask
+#:   (version safety, exactly like ``mh_band_drops``).
+#:
+#: Both are bounded by retraction volume and folded into the base
+#: tables by ``compact_store``.
+DOC_RETRACTIONS = "doc_retractions"
+FLAG_DROPS = "sp_flag_drops"
+RETRACT_MASK_TABLES = (DOC_RETRACTIONS, FLAG_DROPS)
+
+
+def _mask_retracted(store: TableStore, df: DataFrame) -> DataFrame:
+    """Anti-join the doc-retraction mask (no-op when absent)."""
+    if store.exists(DOC_RETRACTIONS):
+        df = df.join(
+            F.broadcast(store.read(DOC_RETRACTIONS)), "doc_id", "left_anti"
+        )
+    return df
+
+
+def read_flags(store: TableStore) -> DataFrame:
+    """The LIVE span-flag set: ``sp_flags`` with retraction masks
+    applied — the read every repair/retro consumer should use.  On a
+    store with no retractions this is exactly ``store.read("sp_flags")``."""
+    flags = store.read("sp_flags")
+    if store.exists(FLAG_DROPS):
+        flags = flags.join(
+            F.broadcast(store.read(FLAG_DROPS)),
+            ["doc_id", "pos"],
+            "left_anti",
+        )
+    return _mask_retracted(store, flags)
+
 #: the bucketing layout that makes every index probe below PRUNED: pass
 #: ``TableStore(..., bucketed=minhash_index_buckets(n))`` and the
 #: increment's corpus-side reads scan only the bucket dirs its keys hash
@@ -644,7 +694,9 @@ def exact_increment(store: TableStore, new_docs: DataFrame) -> DataFrame:
     bucket-pruned to the increment's hash buckets before the
     semi-join."""
     inc = _doc_hashes(new_docs).cache()
-    stored = store.read_for_keys("ex_docs", inc.select("text_md5"))
+    stored = _mask_retracted(
+        store, store.read_for_keys("ex_docs", inc.select("text_md5"))
+    )
     affected = stored.join(
         F.broadcast(inc.select("text_md5").distinct()), "text_md5", "leftsemi"
     )
@@ -1261,7 +1313,9 @@ def span_increment(
     buckets it by ``h``), then an equi-semi-join; cost is linear in the
     increment times its hash fan-out, never in the corpus."""
     inc = _span_occ_rows(new_docs, span).cache()
-    stored = store.read_for_keys("sp_occs", inc.select("h"))
+    stored = _mask_retracted(
+        store, store.read_for_keys("sp_occs", inc.select("h"))
+    )
     affected = stored.join(
         F.broadcast(inc.select("h").distinct()), "h", "leftsemi"
     )
@@ -1291,6 +1345,11 @@ def extend_span_index(
     )
     store.merge_upsert("sp_hashes", merged_hashes, ["h"])
     store.merge_insert_missing("sp_flags", flags, ["doc_id", "pos"])
+    if store.exists(FLAG_DROPS):
+        # a flag retracted by a past retraction and now re-asserted
+        # (the span re-duplicated) is present-but-masked in sp_flags —
+        # the insert above is a keyed no-op, so unmask it instead
+        store.delete_scope(FLAG_DROPS, flags, ["doc_id", "pos"])
     store.end_commit()
 
 

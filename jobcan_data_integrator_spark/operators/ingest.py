@@ -89,6 +89,9 @@ SHARDS = "cur_shards"
 #: the input retroactive span flags apply to.  Monotone stores never
 #: need it (flags never reach back into absorbed docs there).
 CURATED_PRE = "cur_pre"
+#: absorbed-retraction ledger (retract_documents): one row per
+#: retract_id, so a redelivered retraction is a no-op.
+RETRACTIONS = "cur_retractions"
 
 
 @dataclass
@@ -210,6 +213,10 @@ def ingest_tables(
         tables += [CURATED_PRE]
         if minhash:
             tables += list(inc.OOO_DROP_TABLES)
+        if span is not None:
+            # a store with retraction history can unmask re-asserted
+            # flags inside extend_span_index
+            tables += [inc.FLAG_DROPS]
     if line_clean and line_max_doc_freq is not None:
         tables += list(inc.LINE_TABLES)
     if span is not None:
@@ -408,6 +415,7 @@ def _rebuild_docs(
     band_size: int,
     cluster_threshold: float,
     batch_id: str,
+    revive_floor: bool = False,
 ) -> None:
     """Out-of-order ingest's doc reconstruction: recompute the curated
     row for every id from its persisted pre-span text (``cur_pre``)
@@ -436,7 +444,16 @@ def _rebuild_docs(
 
     Cost: bounded by the rebuild set (retro flags are bounded by the
     increment's span-hash fan-out), plus ``resign_minhash``'s
-    broadcast-filtered scans of the band/pair tables."""
+    broadcast-filtered scans of the band/pair tables.
+
+    ``revive_floor`` (retraction context only): under monotone-growing
+    flags a floored doc can never regrow, so 'floor' tombstones are
+    permanent — but ``retract_documents`` RETRACTS flags, so a doc
+    floored during a past repair may re-qualify.  When set, 'floor'
+    tombstones do not exclude targets; a rebuilt doc that now passes
+    the floor has its tombstone and its ``mh_doc_drops`` retirement
+    deleted and is re-signed UNCONDITIONALLY (its signature was
+    retired, so the unchanged-text fast path must not skip it)."""
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.dedup import (
         remove_flagged_spans,
@@ -446,17 +463,25 @@ def _rebuild_docs(
     )
 
     targets = ids.select("doc_id").distinct()
+    excluded_causes = (
+        ("exact", "retracted") if revive_floor else ("exact", "floor", "retracted")
+    )
     if store.exists(TOMBSTONES):
         tomb = store.read(TOMBSTONES)
         if "cause" in tomb.columns:
             targets = targets.join(
                 F.broadcast(
-                    tomb.filter(F.col("cause") != "cluster").select("doc_id")
+                    tomb.filter(F.col("cause").isin(*excluded_causes)).select(
+                        "doc_id"
+                    )
                 ),
                 "doc_id",
                 "left_anti",
             )
-    if store.exists("mh_doc_drops"):
+    if store.exists("mh_doc_drops") and not revive_floor:
+        # in revive mode the retirement set may contain floored docs
+        # that are about to re-qualify; exact/retracted retirements are
+        # already excluded via their tombstone causes above
         targets = targets.join(
             F.broadcast(store.read("mh_doc_drops")), "doc_id", "left_anti"
         )
@@ -468,7 +493,7 @@ def _rebuild_docs(
     if not pre.head(1):
         return
     if span is not None and store.exists("sp_flags"):
-        rep_flags = store.read("sp_flags").join(
+        rep_flags = inc.read_flags(store).join(
             pre.select("doc_id"), "doc_id", "leftsemi"
         )
         repaired = (
@@ -500,6 +525,62 @@ def _rebuild_docs(
             )
     if not ok.head(1):
         return
+    revived_floor = None
+    if revive_floor and store.exists(TOMBSTONES):
+        tomb = store.read(TOMBSTONES)
+        if "cause" in tomb.columns:
+            revived_floor = (
+                ok.select("doc_id")
+                .join(
+                    F.broadcast(
+                        tomb.filter(F.col("cause") == "floor").select("doc_id")
+                    ),
+                    "doc_id",
+                    "leftsemi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if revived_floor.head(1):
+                # the doc re-qualifies: the flag retraction regrew its
+                # text past the floor — resolve the tombstone and the
+                # MinHash retirement (its recomputed pairs re-enter via
+                # the resign below; still-valid dropped pairs are
+                # undropped there, the rest stay retracted)
+                store.delete_scope(TOMBSTONES, revived_floor, ["doc_id"])
+                if store.exists("mh_doc_drops"):
+                    store.delete_scope(
+                        "mh_doc_drops", revived_floor, ["doc_id"]
+                    )
+            else:
+                revived_floor = None
+    # Delta the rebuild set before the expensive half: a retro flag that
+    # lands inside an already-removed interval leaves the doc's repaired
+    # text IDENTICAL to its current curated text — its cur_docs row and
+    # its MinHash signature are both already current, so the upsert, the
+    # re-sign probe, and the cluster maintenance are all no-ops by value.
+    # cur_docs holds the current signed text for every rebuilt family
+    # member (live or demoted — liveness is tombstone-managed), so the
+    # anti-join on (doc_id, text) keeps exactly the genuinely-changed
+    # docs plus any member with no row yet (demoted at its own batch, or
+    # a resurrection insert) — conservative where we cannot prove the
+    # signature current.  This bounds repair cost by the CHANGED set,
+    # not the retro-flag fan-out (SCALE_SMOKE `ingest_ooo`).
+    if store.exists(CURATED):
+        delta = ok.join(
+            store.read(CURATED).select("doc_id", "text"),
+            ["doc_id", "text"],
+            "left_anti",
+        )
+        if revived_floor is not None:
+            # a revived doc's stale cur_docs row may coincidentally
+            # match the regrown text (flags returned to their old set)
+            # — but its signature was RETIRED, so it must re-sign
+            delta = delta.unionByName(
+                ok.join(F.broadcast(revived_floor), "doc_id", "leftsemi")
+            ).dropDuplicates(["doc_id"])
+        ok = delta.localCheckpoint(eager=True)
+        if not ok.head(1):
+            return
     ok_rows = ok.join(
         store.read(CURATED_PRE).select("doc_id", "batch_id"), "doc_id"
     )
@@ -549,6 +630,7 @@ def ingest_increment(
     new_emb: DataFrame | None = None,
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
     allow_out_of_order: bool = False,
+    auto_compact_bytes: int | None = 8 << 20,
 ) -> IngestResult:
     """Curate one arriving (doc_id, text) batch against — and into —
     the persisted index families.  Knobs mirror ``curate_corpus``:
@@ -616,6 +698,13 @@ def ingest_increment(
     ``simhash=True`` is rejected in this mode (that family has no
     retraction path yet).  Batch-order equivalence with the one-shot
     curation (docs + pairs + labels) is pinned in tests/test_ingest.py.
+
+    ``auto_compact_bytes``: after a successful publish, fold the
+    merge-on-read masks into their base tables (``compact_store``) once
+    their on-disk size crosses this many bytes (driver-side stat, no
+    job when under threshold) — the auto-trigger that keeps the
+    broadcast masks bounded under sustained repair/retraction traffic.
+    None disables.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.dedup import (
@@ -706,6 +795,17 @@ def ingest_increment(
     )
 
     docs = new_docs.select("doc_id", "text")
+    if store.exists(inc.DOC_RETRACTIONS):
+        # a doc deleted by retract_documents stays deleted: a late copy
+        # of a retracted id (redelivery, replayed source) must not
+        # re-enter the corpus, win a keeper election, or re-seed span
+        # occurrences — the ≡ contract becomes one-shot curation over
+        # (union of batches) ∖ retracted
+        docs = docs.join(
+            F.broadcast(store.read(inc.DOC_RETRACTIONS)),
+            "doc_id",
+            "left_anti",
+        )
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     pairs: DataFrame | None = None
     demoted: DataFrame | None = None
@@ -866,7 +966,13 @@ def ingest_increment(
                         survivors.select("doc_id"), "doc_id", "left_anti"
                     )
                     .join(
-                        store.read("sp_flags"), ["doc_id", "pos"], "left_anti"
+                        # the MASKED flag read: a flag retracted by
+                        # retract_documents and re-asserted by this
+                        # batch is present-but-masked in sp_flags, and
+                        # the repair must fire for it again
+                        inc.read_flags(store),
+                        ["doc_id", "pos"],
+                        "left_anti",
                     )
                     .localCheckpoint(eager=True)
                 )
@@ -1071,6 +1177,530 @@ def ingest_increment(
         # publishes atomically with everything else.
         store.merge_insert_missing(LEDGER, ledger_row, ["batch_id"])
 
-    return IngestResult(
+    result = IngestResult(
         batch_id, False, kept.select("doc_id", "text"), stages, pairs, demoted
     )
+    if auto_compact_bytes is not None:
+        maybe_compact_store(store, threshold_bytes=auto_compact_bytes)
+    return result
+
+
+@dataclass
+class RetractResult:
+    """One retraction's outcome.  ``retracted`` is the (doc_id) set
+    actually removed this call; ``promoted`` the exact-dup mates elected
+    keeper in the retracted keepers' place (now curated); ``repaired``
+    the stored docs whose curated text was rebuilt because a retracted
+    doc's span occurrences stopped duplicating theirs."""
+
+    retract_id: str
+    replayed: bool
+    retracted: DataFrame
+    promoted: DataFrame | None = None
+    repaired: DataFrame | None = None
+
+
+def retract_documents(
+    store: TableStore,
+    ids: DataFrame,
+    retract_id: str,
+    *,
+    span: int | None = 8,
+    min_tokens: int = 10,
+    minhash: bool = True,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    cluster_threshold: float = 0.5,
+    auto_compact_bytes: int | None = 8 << 20,
+) -> RetractResult:
+    """Targeted deletion: remove already-absorbed docs from the curated
+    corpus AND every index family, under one commit — the post-hoc
+    contamination-removal / takedown operator.  ``ids`` is a (doc_id)
+    frame; pass the same stage knobs the store was ingested with.
+
+    EQUIVALENCE CONTRACT (pinned in tests/test_ingest.py): after any
+    ingest history and ``retract_documents(ids)``,
+
+        read_curated / live pairs / cc_labels
+            ≡  one-shot curation over (union of batches) ∖ ids
+
+    including every second-order effect a true deletion implies:
+
+    - **Exact mate promotion**: a retracted content-hash keeper's
+      smallest surviving duplicate is RE-ELECTED and flows back into
+      the corpus as a first-class doc (its text is the keeper's
+      persisted pre-span text — identical by definition of exact dup):
+      span occurrences inserted under its own keys, curated row
+      materialized under the current flag set, MinHash-signed, cluster-
+      labeled, demotion-swept.
+    - **Span-flag retraction**: occurrences that duplicated ONLY the
+      retracted doc's spans are unflagged (``sp_flag_drops``,
+      merge-on-read) and the affected stored docs' curated texts are
+      rebuilt from ``cur_pre`` — text GROWS back, the one repair
+      direction out-of-order ingest never needs.  A later batch
+      re-duplicating the span re-asserts the flag (the drop row is
+      removed and the repair re-fires — pinned in tests).
+    - **Cluster mate resurrection**: docs demoted only by a retracted
+      near-dup keeper are revived via the component-local relabel; a
+      mate that never had a curated row is rebuilt from ``cur_pre``.
+    - **Permanence**: retracted ids get permanent ``cur_drops``
+      tombstones AND a ``doc_retractions`` mask consulted by every
+      exact/span probe, and ``ingest_increment`` drops them from any
+      future batch — a redelivered copy can never re-enter, win a
+      keeper election, or re-seed span occurrences.  Their ``cur_docs``
+      / ``cur_pre`` / chunk / shard rows are PHYSICALLY deleted in this
+      commit (the text is gone, not merely masked); index-side masks
+      are folded by ``compact_store``.
+
+    Requires a snapshot-isolation store ingested with
+    ``allow_out_of_order=True`` (the repair tables — ``cur_pre``,
+    retraction causes, merge-on-read drops — are this machinery).
+    Redelivery of the same ``retract_id`` is a no-op (``cur_retractions``
+    ledger); a crash publishes nothing and the replay converges.
+
+    Cost shape: one narrow broadcast-semi pass over the ``ex_docs`` hash
+    map (finding retracted keepers' groups), bucket-pruned probes of the
+    span/minhash families for the retracted docs' own keys, and rebuild
+    work bounded by the CHANGED doc set — never corpus-wide.  Batch ids
+    into one call to amortize the fixed cost.  Reference analog: the
+    reference's own delete-of-removed sync (users.py:129-134) — rows
+    absent from the authority disappear from every derived table; this
+    is that contract for the LLM-curation tier.
+
+    Packing note: retracted docs' chunk/shard rows are deleted, which
+    leaves the batch-scoped shard layout sparse (cum_before gaps);
+    ``repack_corpus`` re-densifies the whole corpus in one call.
+    """
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.incremental import (
+        _hash_groups,
+        _span_flags,
+        _span_hash_groups,
+        _span_occ_rows,
+    )
+
+    spark = ids.sparkSession
+    if not store.snapshot_isolation and store.backend != "delta":
+        raise ValueError(
+            "retract_documents needs a snapshot-isolation store: the "
+            "multi-family retraction must publish atomically (a plain "
+            "store's partial replay could resurrect a deleted doc)"
+        )
+    if store.exists(CURATED) and not store.exists(CURATED_PRE):
+        raise ValueError(
+            "retract_documents needs the repair tables "
+            f"({CURATED_PRE}) — ingest this store with "
+            "allow_out_of_order=True (any batch order, including "
+            "monotone) to enable targeted deletion"
+        )
+
+    if store.exists(RETRACTIONS):
+        seen = (
+            store.read(RETRACTIONS)
+            .filter(F.col("retract_id") == retract_id)
+            .head(1)
+        )
+        if seen:
+            return RetractResult(
+                retract_id,
+                True,
+                spark.createDataFrame([], "doc_id bigint"),
+            )
+
+    r_ids = ids.select("doc_id").distinct()
+    if store.exists(inc.DOC_RETRACTIONS):
+        r_ids = r_ids.join(
+            F.broadcast(store.read(inc.DOC_RETRACTIONS)),
+            "doc_id",
+            "left_anti",
+        )
+    r_ids = r_ids.localCheckpoint(eager=True)
+    n_ids = r_ids.count()
+    ledger_row = spark.createDataFrame(
+        [(retract_id, n_ids)], "retract_id string, n_ids bigint"
+    )
+
+    tables = [RETRACTIONS, TOMBSTONES, CURATED, CURATED_PRE]
+    tables += [inc.DOC_RETRACTIONS, "ex_docs", "ex_groups"]
+    if span is not None:
+        tables += list(inc.SPAN_TABLES) + [inc.FLAG_DROPS]
+    if minhash:
+        tables += list(inc.INDEX_TABLES) + list(inc.OOO_DROP_TABLES)
+        tables += ["cc_labels"]
+    if store.exists(CHUNKS):
+        tables += [CHUNKS, SHARDS]
+
+    stages: list[tuple[str, DataFrame]] = []
+    promoted: DataFrame | None = None
+    repaired: DataFrame | None = None
+
+    with store.batch_commit(retract_id, sorted(set(tables))):
+        if n_ids == 0:
+            store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+            return RetractResult(retract_id, False, r_ids)
+
+        # retracted docs' persisted pre-span texts (exact losers have
+        # none — they were never family members beyond their hash row)
+        pre_r = (
+            store.read(CURATED_PRE)
+            .join(F.broadcast(r_ids), "doc_id", "leftsemi")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+
+        # 1. permanence FIRST: the tombstone + mask make every step
+        # below see the retracted ids as gone (and a crash replay
+        # recomputes against the untouched pre-retraction snapshot)
+        _tombstone(
+            store, r_ids, retract_id, "retracted", ooo=True, permanent=True
+        )
+        store.merge_insert_missing(inc.DOC_RETRACTIONS, r_ids, ["doc_id"])
+
+        # 2. exact family: re-elect keepers for every hash group a
+        # retracted doc belonged to.  One narrow broadcast-semi pass
+        # over the hash map finds the groups; survivors re-group.
+        mate_docs = None
+        if store.exists("ex_docs"):
+            r_rows = (
+                store.read("ex_docs")
+                .join(F.broadcast(r_ids), "doc_id", "leftsemi")
+                .localCheckpoint(eager=True)
+            )
+            md5s = r_rows.select("text_md5").distinct()
+            remaining = (
+                store.read_for_keys("ex_docs", md5s)
+                .join(F.broadcast(md5s), "text_md5", "leftsemi")
+                .join(F.broadcast(r_ids), "doc_id", "left_anti")
+            )
+            if store.exists(inc.DOC_RETRACTIONS):
+                remaining = remaining.join(
+                    F.broadcast(store.read(inc.DOC_RETRACTIONS)),
+                    "doc_id",
+                    "left_anti",
+                )
+            new_groups = _hash_groups(
+                remaining.dropDuplicates(["doc_id"])
+            ).localCheckpoint(eager=True)
+            old_groups = (
+                store.read("ex_groups")
+                .join(F.broadcast(md5s), "text_md5", "leftsemi")
+                .localCheckpoint(eager=True)
+            )
+            vanished = old_groups.join(
+                new_groups.select("text_md5"), "text_md5", "left_anti"
+            ).select("text_md5")
+            mates = (
+                old_groups.withColumnRenamed("keep_doc_id", "old_keep")
+                .join(
+                    F.broadcast(r_ids),
+                    F.col("old_keep") == F.col("doc_id"),
+                    "left_semi",
+                )
+                .join(new_groups.select("text_md5", "keep_doc_id"), "text_md5")
+                .select("text_md5", "old_keep", "keep_doc_id")
+            )
+            # the promoted mate's text IS the retracted keeper's
+            # pre-span text (exact dup), captured before deletion
+            mate_docs = (
+                mates.join(
+                    pre_r.withColumnRenamed("doc_id", "old_keep"), "old_keep"
+                )
+                .select(F.col("keep_doc_id").alias("doc_id"), "text")
+                .localCheckpoint(eager=True)
+            )
+            if not mate_docs.head(1):
+                mate_docs = None
+            if store.exists("ex_groups"):
+                store.merge_upsert("ex_groups", new_groups, ["text_md5"])
+                store.delete_scope("ex_groups", vanished, ["text_md5"])
+
+        # 3. span family: remove the retracted docs' occurrences (mask)
+        # and recompute the affected hashes' stats + flags over the
+        # survivors PLUS the promoted mates' fresh occurrences — one
+        # one-shot-shaped recomputation, so flags are never dropped and
+        # immediately re-added.
+        rebuild = (
+            mate_docs.select("doc_id") if mate_docs is not None else None
+        )
+        if span is not None and store.exists("sp_occs") and pre_r.head(1):
+            occ_r = _span_occ_rows(pre_r, span)
+            hs = occ_r.select("h").distinct().localCheckpoint(eager=True)
+            stored_aff = (
+                store.read_for_keys("sp_occs", hs)
+                .join(F.broadcast(hs), "h", "leftsemi")
+                .join(F.broadcast(r_ids), "doc_id", "left_anti")
+            )
+            if store.exists(inc.DOC_RETRACTIONS):
+                stored_aff = stored_aff.join(
+                    F.broadcast(store.read(inc.DOC_RETRACTIONS)),
+                    "doc_id",
+                    "left_anti",
+                )
+            stored_aff = stored_aff.localCheckpoint(eager=True)
+            mate_occ = (
+                _span_occ_rows(mate_docs, span)
+                if mate_docs is not None
+                else None
+            )
+            after = (
+                stored_aff.unionByName(mate_occ)
+                if mate_occ is not None
+                else stored_aff
+            )
+            after = after.localCheckpoint(eager=True)
+            new_sp_groups = _span_hash_groups(after).localCheckpoint(
+                eager=True
+            )
+            new_flags = _span_flags(after, new_sp_groups).localCheckpoint(
+                eager=True
+            )
+            old_flags = inc.read_flags(store).join(
+                stored_aff.select("doc_id", "pos").distinct(),
+                ["doc_id", "pos"],
+                "leftsemi",
+            )
+            removed = old_flags.join(
+                new_flags, ["doc_id", "pos"], "left_anti"
+            ).localCheckpoint(eager=True)
+            added = new_flags.join(
+                inc.read_flags(store), ["doc_id", "pos"], "left_anti"
+            ).localCheckpoint(eager=True)
+            # hashes with no surviving occurrence: n_occ=0 sentinel
+            # rows (pruned by compact_store) — a keyed delete cannot
+            # reach a bucketed sp_hashes, and nothing probes the table
+            sentinels = (
+                hs.join(new_sp_groups.select("h"), "h", "left_anti")
+                .withColumn("n_occ", F.lit(0).cast("bigint"))
+                .withColumn("min_key", F.lit(None).cast("bigint"))
+            )
+            store.merge_upsert(
+                "sp_hashes", new_sp_groups.unionByName(sentinels), ["h"]
+            )
+            if mate_occ is not None:
+                store.merge_insert_missing(
+                    "sp_occs", mate_occ, ["doc_id", "pos"]
+                )
+            store.merge_insert_missing("sp_flags", added, ["doc_id", "pos"])
+            if removed.head(1):
+                store.merge_insert_missing(
+                    inc.FLAG_DROPS, removed, ["doc_id", "pos"]
+                )
+            if store.exists(inc.FLAG_DROPS) and added.head(1):
+                store.delete_scope(inc.FLAG_DROPS, added, ["doc_id", "pos"])
+            changed = removed.unionByName(added).select("doc_id").distinct()
+            repaired = changed.join(
+                F.broadcast(r_ids), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            rebuild = (
+                repaired
+                if rebuild is None
+                else rebuild.unionByName(repaired.select("doc_id"))
+            )
+
+        # 4. the retracted rows themselves: curated text, pre-span
+        # text, chunks and shards are PHYSICALLY deleted (takedown),
+        # not masked — all unmanaged tables, all inside this commit
+        if store.exists(CHUNKS):
+            r_chunks = (
+                store.read(CHUNKS)
+                .join(F.broadcast(r_ids), "doc_id", "leftsemi")
+                .select("chunk_id")
+                .localCheckpoint(eager=True)
+            )
+            store.delete_scope(CHUNKS, r_ids, ["doc_id"])
+            if store.exists(SHARDS):
+                store.delete_scope(SHARDS, r_chunks, ["chunk_id"])
+        if store.exists(CURATED):
+            store.delete_scope(CURATED, r_ids, ["doc_id"])
+        store.delete_scope(CURATED_PRE, r_ids, ["doc_id"])
+
+        # 5. MinHash retirement + component relabel: mates demoted only
+        # through a retracted doc resurrect; one whose curated row never
+        # existed is rebuilt from cur_pre
+        if minhash and store.exists("mh_bands"):
+            touched = inc.retire_from_minhash(store, r_ids)
+
+            def _reinsert(missing: DataFrame) -> None:
+                _rebuild_docs(
+                    store,
+                    missing,
+                    stages,
+                    span=span,
+                    min_tokens=min_tokens,
+                    minhash=minhash,
+                    n_hashes=n_hashes,
+                    band_size=band_size,
+                    cluster_threshold=cluster_threshold,
+                    batch_id=retract_id,
+                    revive_floor=True,
+                )
+
+            _relabel_after_retraction(
+                store,
+                r_ids.unionByName(_pair_endpoints(touched, cluster_threshold)),
+                cluster_threshold,
+                rebuild_cb=_reinsert,
+            )
+
+        # 6. promoted mates get cur_pre rows (they are family members
+        # now), then one rebuild pass covers mates + flag-repaired docs:
+        # current-flag span removal, length floor, curated upsert,
+        # MinHash (re-)signing, cluster maintenance, demotion sweep
+        if mate_docs is not None:
+            store.merge_insert_missing(
+                CURATED_PRE,
+                mate_docs.withColumn("batch_id", F.lit(retract_id)),
+                ["doc_id"],
+            )
+            promoted = mate_docs.select("doc_id")
+        if rebuild is not None:
+            rebuild = rebuild.distinct().localCheckpoint(eager=True)
+            if rebuild.head(1):
+                _rebuild_docs(
+                    store,
+                    rebuild,
+                    stages,
+                    span=span,
+                    min_tokens=min_tokens,
+                    minhash=minhash,
+                    n_hashes=n_hashes,
+                    band_size=band_size,
+                    cluster_threshold=cluster_threshold,
+                    batch_id=retract_id,
+                    revive_floor=True,
+                )
+        if minhash and store.exists("cc_labels"):
+            _sweep_cluster_demotions(store, retract_id)
+
+        # 7. ledger LAST (same stance as ingest_increment)
+        store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+
+    result = RetractResult(retract_id, False, r_ids, promoted, repaired)
+    if auto_compact_bytes is not None:
+        maybe_compact_store(store, threshold_bytes=auto_compact_bytes)
+    return result
+
+
+def compact_store(store: TableStore) -> None:
+    """Fold EVERY merge-on-read mask into its base table — the one-call
+    OPTIMIZE analog for a store that has absorbed out-of-order repairs
+    and/or retractions.  Extends ``compact_minhash_drops`` (the mh_*
+    masks) with:
+
+    - ``doc_retractions`` folded into ``ex_docs``/``sp_occs`` (the
+      retracted docs' rows physically leave the hash map and the
+      occurrence table) and the ``n_occ=0`` sentinel rows pruned from
+      ``sp_hashes``;
+    - ``sp_flag_drops`` folded into ``sp_flags`` (retracted flags
+      physically leave);
+    - ``cur_pre`` rows pruned and PERMANENT tombstones resolved: a doc
+      retired for cause 'exact'/'floor'/'retracted' can never re-enter
+      (its id is unique for all time and every probe now sees the
+      folded base tables), so its masked ``cur_docs`` row is deleted
+      and the tombstone row itself is dropped.  Revocable 'cluster'
+      tombstones stay — they are the ACTIVE demotion mask, bounded by
+      the live corpus's near-dup cluster structure, not by repair
+      traffic.
+
+    Reads before/after are identical by construction (each fold applies
+    exactly the anti-join its probes were applying — pinned in
+    tests/test_ingest.py).  Amortize like the layered fold: run when
+    mask bytes near the broadcast threshold (``maybe_compact_store``
+    does this check cheaply, driver-side)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    inc.compact_minhash_drops(store)
+
+    tables = [
+        t
+        for t in (
+            "ex_docs",
+            "sp_occs",
+            "sp_hashes",
+            "sp_flags",
+            inc.DOC_RETRACTIONS,
+            inc.FLAG_DROPS,
+            TOMBSTONES,
+            CURATED,
+            CURATED_PRE,
+        )
+        if store.exists(t)
+    ]
+    if not any(
+        store.exists(t)
+        for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS, TOMBSTONES)
+    ):
+        return
+    store.begin_commit("store-compact", tables)
+    if store.exists(inc.DOC_RETRACTIONS):
+        mask = F.broadcast(store.read(inc.DOC_RETRACTIONS))
+        for t in ("ex_docs", "sp_occs"):
+            if store.exists(t):
+                store.overwrite(
+                    t, store.read(t).join(mask, "doc_id", "left_anti")
+                )
+        if store.exists("sp_flags"):
+            store.overwrite(
+                "sp_flags",
+                store.read("sp_flags").join(mask, "doc_id", "left_anti"),
+            )
+    if store.exists(inc.FLAG_DROPS) and store.exists("sp_flags"):
+        store.overwrite(
+            "sp_flags",
+            store.read("sp_flags").join(
+                F.broadcast(store.read(inc.FLAG_DROPS)),
+                ["doc_id", "pos"],
+                "left_anti",
+            ),
+        )
+    if store.exists("sp_hashes"):
+        store.overwrite(
+            "sp_hashes", store.read("sp_hashes").filter(F.col("n_occ") > 0)
+        )
+    if store.exists(TOMBSTONES):
+        tomb = store.read(TOMBSTONES)
+        if "cause" in tomb.columns:
+            perm = (
+                tomb.filter(F.col("cause") != "cluster")
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            if perm.head(1):
+                b = F.broadcast(perm)
+                if store.exists(CURATED):
+                    store.overwrite(
+                        CURATED,
+                        store.read(CURATED).join(b, "doc_id", "left_anti"),
+                    )
+                if store.exists(CURATED_PRE):
+                    store.overwrite(
+                        CURATED_PRE,
+                        store.read(CURATED_PRE).join(b, "doc_id", "left_anti"),
+                    )
+                store.overwrite(
+                    TOMBSTONES, tomb.filter(F.col("cause") == "cluster")
+                )
+    for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS):
+        if store.exists(t):
+            store.overwrite(t, store.read(t).limit(0))
+    store.end_commit()
+
+
+def maybe_compact_store(
+    store: TableStore, threshold_bytes: int = 8 << 20
+) -> bool:
+    """Run ``compact_store`` iff the merge-on-read mask tables' on-disk
+    size crosses ``threshold_bytes`` — a driver-side stat, no Spark job.
+    Masks are broadcast at every probe, so the default threshold sits
+    under Spark's broadcast-join comfort zone; ``ingest_increment`` and
+    ``retract_documents`` call this after every successful commit (the
+    auto-trigger), and long-running pipelines can also cron it.  Returns
+    True when a compaction ran."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    mask_tables = list(inc.OOO_DROP_TABLES) + list(inc.RETRACT_MASK_TABLES)
+    total = sum(store.table_bytes(t) for t in mask_tables)
+    if total < threshold_bytes:
+        return False
+    compact_store(store)
+    return True

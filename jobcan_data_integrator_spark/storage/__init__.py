@@ -504,6 +504,32 @@ class TableStore:
             return self.read(table)
         return self.spark.createDataFrame([], like.schema)
 
+    def table_bytes(self, table: str) -> int:
+        """On-disk bytes of the table's CURRENT version (0 if absent) —
+        a driver-side filesystem stat, no Spark job.  The cheap size
+        probe behind auto-compaction triggers (a merge-on-read mask
+        table's footprint approximates its broadcast cost)."""
+        if not self.exists(table):
+            return 0
+        if self.snapshot_isolation and self._is_managed(table):
+            dirs = [
+                self.root / layer["dir"]
+                for layer in (self._effective_layers(table) or [])
+            ]
+        elif self.snapshot_isolation:
+            p = self._resolve(table)
+            dirs = [p] if p is not None else []
+        else:
+            dirs = [self.path(table)]
+        total = 0
+        for d in dirs:
+            for f in Path(d).rglob("*.parquet"):
+                try:
+                    total += f.stat().st_size
+                except OSError:
+                    continue
+        return total
+
     #: key-value pushdown cap for read_for_keys: an ``In`` filter with
     #: more literals than this stops helping (planning cost, and Parquet
     #: dictionary/row-group pruning saturates) — past it, only the
