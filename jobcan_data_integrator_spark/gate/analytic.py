@@ -571,19 +571,16 @@ def a6_json_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@gate(
-    "f_currency_roundtrip",
-    oracle="""
-    SELECT p_partkey,
-           format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || ' 円' AS amount_str,
-           CAST(regexp_replace(format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || ' 円',
-                               '[円, ]', '', 'g') AS BIGINT) AS amount_yen
-    FROM part
-    """,
-    doc="§2.8 (create_views.sql:441-443,554-556): '123,456 円' currency-string "
-    "parse — regexp_replace strip + cast, round-tripped through formatting.",
-)
 def f_currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 (create_views.sql:441-443,554-556): '123,456 円'
+    currency-string parse — regexp_replace strip + cast, round-tripped
+    through formatting.
+
+    ROTATED out of the 50-gate driver registry in round 7 (slot given
+    to ig_retract, like J1/J10 in rounds 4/5): a trivial two-scalar-
+    function gate whose semantics are also exercised inside the 21
+    dual-engine view goldens; the dual-engine value golden now lives in
+    tests/test_gate_oracle.py::test_f_currency_roundtrip_golden."""
     p = load_table(spark, sf_dir, "part")
     yen = F.floor(F.col("p_retailprice")).cast("bigint")
     amount_str = F.concat(F.format_number(yen, 0), F.lit(" 円"))

@@ -1648,17 +1648,23 @@ def tx_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: one-shot curation through the KEPT stage as DuckDB CTEs — PII scrub
-#: (value no-op on the proven letters-only gate corpus) -> doc-level
-#: exact dedup (min-id survivor per md5 group) -> span-level ExactSubstr
-#: removal (spans of 8, MATERIALIZED: surviving tokens are the ones
-#: outside every merged interval) -> 10-token length floor.  Shared by
-#: tx_shard_packing (which chains chunking + packing on top) and
-#: ig_incremental_curation (which stops at the kept text).
-_CURATE_KEPT_CTES = """base AS (
+def _curate_kept_ctes(src: str = "documents") -> str:
+    """One-shot curation through the KEPT stage as DuckDB CTEs — PII
+    scrub (value no-op on the proven letters-only gate corpus) ->
+    doc-level exact dedup (min-id survivor per md5 group) -> span-level
+    ExactSubstr removal (spans of 8, MATERIALIZED: surviving tokens are
+    the ones outside every merged interval) -> 10-token length floor.
+    Shared by tx_shard_packing (which chains chunking + packing on top),
+    ig_incremental_curation (which stops at the kept text), and
+    ig_retract (which re-roots ``src`` on the corpus MINUS the retracted
+    ids — the one-shot definition of targeted deletion)."""
+    return _CURATE_KEPT_TEMPLATE.replace("{src}", src)
+
+
+_CURATE_KEPT_TEMPLATE = """base AS (
       SELECT doc_id, text,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc
-      FROM documents
+      FROM {src}
     ), kept AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM base WHERE doc_id = keep_doc
@@ -1704,6 +1710,8 @@ _CURATE_KEPT_CTES = """base AS (
       GROUP BY t.doc_id
       HAVING count(*) >= 10
     )"""
+
+_CURATE_KEPT_CTES = _curate_kept_ctes()
 
 
 @gate(
@@ -1782,27 +1790,17 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "ig_incremental_curation",
-    # The oracle is the ONE-SHOT curation (same CTE chain as
-    # tx_shard_packing) through exact + span + floor, THEN the MinHash
-    # near-dup canonicalization over the kept set: the _VERIFIED_CTES
-    # machinery re-rooted on ded's post-span text (shingle window ->
-    # affine-minhash signatures -> 2-row LSH bands -> candidate
-    # equi-join -> exact Jaccard), edges at >= 0.5, connected components
-    # via the dd_dup_clusters recursive walk, and every non-minimum
-    # cluster member dropped.  The Spark side ingests the corpus in two
-    # monotone batches through operators/ingest.ingest_increment with
-    # minhash ON, so a green hash proves the FULL orchestration
-    # contract: per-batch curation against the persisted exact + span +
-    # MinHash + cluster families — including cross-batch pair
-    # discovery, keeper election, cluster-merge keeper demotion via
-    # cur_drops tombstones, and the read_curated anti-join — ≡ one-shot
-    # curation of the union.  (Through round 5 this gate ran minhash
-    # off and the near-dup path was pytest-only evidence;
-    # tests/test_ingest.py still pins the 3-batch + demotion matrix.)
-    oracle=f"""
-    WITH RECURSIVE {_CURATE_KEPT_CTES}, dtok AS (
+def _ig_oracle(src: str = "documents") -> str:
+    """The one-shot curation INCLUDING the MinHash near-dup collapse,
+    re-rootable on a filtered corpus: the _curate_kept_ctes chain
+    through exact + span + floor, then shingle window -> affine-minhash
+    signatures -> 2-row LSH bands -> candidate equi-join -> exact
+    Jaccard, edges at >= 0.5, connected components via the recursive
+    walk, and every non-minimum cluster member dropped.  Shared by
+    ig_incremental_curation (src = the whole corpus) and ig_retract
+    (src = corpus minus the retracted ids)."""
+    return f"""
+    WITH RECURSIVE {_curate_kept_ctes(src)}, dtok AS (
       SELECT doc_id, unnest(toks) AS tok,
              generate_subscripts(toks, 1) AS ord
       FROM ded
@@ -1856,7 +1854,25 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM dlabels l
                       WHERE l.doc_id = d.doc_id
                         AND l.doc_id <> l.cluster_id)
-    """,
+    """
+
+
+@gate(
+    "ig_incremental_curation",
+    # The oracle is the ONE-SHOT curation (same CTE chain as
+    # tx_shard_packing) through exact + span + floor, THEN the MinHash
+    # near-dup canonicalization over the kept set (see _ig_oracle).
+    # The Spark side ingests the corpus in two batches through
+    # operators/ingest.ingest_increment with minhash ON, so a green
+    # hash proves the FULL orchestration contract: per-batch curation
+    # against the persisted exact + span + MinHash + cluster families —
+    # including cross-batch pair discovery, keeper election,
+    # cluster-merge keeper demotion via cur_drops tombstones, and the
+    # read_curated anti-join — ≡ one-shot curation of the union.
+    # (Through round 5 this gate ran minhash off and the near-dup path
+    # was pytest-only evidence; tests/test_ingest.py still pins the
+    # 3-batch + demotion matrix.)
+    oracle=_ig_oracle(),
     doc="Orchestrated incremental ingest (operators/ingest.py, "
     "ingest_increment): the corpus arrives in monotone doc_id batches; "
     "each is PII-scrubbed, exact-deduped against the persisted ex_docs "
@@ -1918,6 +1934,77 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash=True,
             allow_out_of_order=True,
         )
+    return read_curated(store).select("doc_id", "text")
+
+
+@gate(
+    "ig_retract",
+    # The oracle is the ONE-SHOT curation (exact + span + floor +
+    # MinHash cluster collapse — the same _ig_oracle chain as
+    # ig_incremental_curation) over the corpus slice MINUS the
+    # retracted comb: the order- and history-independent definition of
+    # targeted deletion.  The Spark side first ABSORBS the whole slice
+    # (one repair-mode ingest batch), then calls retract_documents on
+    # the comb — so a green hash proves deletion undoes every absorbed
+    # effect: exact mate promotion (the retracted keeper's surviving
+    # duplicate re-enters, re-signed and re-labeled), span-flag
+    # retraction with text REGROWTH (docs whose only span duplicator
+    # was retracted get their full text back), floor-tombstone revival,
+    # cluster mate resurrection, and the permanent masks that keep a
+    # redelivered copy out.
+    oracle=_ig_oracle(
+        "(SELECT * FROM documents"
+        " WHERE doc_id % 3 = 0 AND doc_id % 15 <> 0) AS documents"
+    ),
+    doc="Targeted deletion (operators/ingest.py, retract_documents): "
+    "one call removes already-absorbed docs (post-hoc contamination / "
+    "takedown) from the curated corpus AND every index family — exact "
+    "hash map (with mate re-election from the keeper's persisted "
+    "pre-span text), span occurrence/flag tables (merge-on-read "
+    "sp_flag_drops; affected texts REGROW), MinHash bands/pairs "
+    "(retirement masks + component relabel + resurrection), cluster "
+    "labels, chunks/shards — under one snapshot commit, with permanent "
+    "doc_retractions masks so the ids can never re-enter. The gate "
+    "ingests a 1/3 corpus slice (repair mode), retracts the doc_id%15 "
+    "comb (~1/5 of the slice, including exact keepers, span-run owners "
+    "and cluster keepers), and must land exactly on the one-shot "
+    "curation of the survivors. Mirrors the reference's delete-of-"
+    "removed sync (users.py:129-134) at the LLM-curation tier; masks "
+    "are folded by compact_store (reads-identical, pytest-pinned).",
+)
+def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        read_curated,
+        retract_documents,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    root = _index_root(sf_dir) + "-rt"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    store = TableStore(
+        spark, root, write_partitions=4, snapshot_isolation=True
+    )
+    ingest_increment(
+        store,
+        docs,
+        "base",
+        span=8,
+        min_tokens=10,
+        minhash=True,
+        allow_out_of_order=True,
+    )
+    retract_documents(
+        store,
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(15)) == 0).select("doc_id"),
+        "takedown-0",
+        span=8,
+        min_tokens=10,
+        minhash=True,
+    )
     return read_curated(store).select("doc_id", "text")
 
 

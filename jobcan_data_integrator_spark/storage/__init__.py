@@ -60,6 +60,15 @@ _INFLIGHT: set[str] = set()
 _STALE_TMP_SECONDS = 3600.0
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer tried to commit to a store another live writer
+    holds the lease on.  The snapshot pointer update and the manifest
+    protocol are read-modify-write — two interleaved writers would
+    silently lose each other's publishes — so commits are fenced by an
+    advisory lease (``_writer.lease``) instead of relying on the
+    documented single-writer convention."""
+
+
 class TableStore:
     """A directory of parquet tables with merge primitives."""
 
@@ -727,6 +736,96 @@ class TableStore:
     #: manifest file marking a multi-table write batch in progress
     MANIFEST = "_commit.json"
 
+    #: advisory single-writer lease, held from ``begin_commit`` to
+    #: ``end_commit`` (one lease per ``batch_commit`` — inner brackets
+    #: are suspended).  Readers never take it.
+    LEASE = "_writer.lease"
+
+    #: a lease older than this is stale even when its pid looks alive —
+    #: the pid-liveness check is same-host only (on a shared filesystem
+    #: another host's writer has a meaningless-here pid), so age is the
+    #: cross-host backstop.  Generous: longer than any sane batch.
+    LEASE_TTL_SECONDS = 6 * 3600.0
+
+    def _acquire_lease(self) -> None:
+        """Take the store's writer lease or raise ConcurrentWriterError.
+
+        Protocol: atomic O_EXCL create of ``_writer.lease`` holding
+        (pid, timestamp).  The lease is PROCESS-scoped: the same process
+        re-enters freely — a crashed batch's same-process replay, and
+        the supported in-process composition of a streaming merge with a
+        batch pipeline on one store root (see ``_recover``), both keep
+        working.  On a foreign holder: a dead pid (same host) or a lease
+        older than ``LEASE_TTL_SECONDS`` (the cross-host backstop — pids
+        are meaningless across hosts) is STALE and taken over (unlink +
+        one retry; a racing second taker loses the O_EXCL and raises); a
+        live foreign holder raises, naming the pid that owns the store.
+        This is the enforcement for the single-writer stance end_commit
+        documents — the reference gets it from SQLite's file lock; the
+        parquet/snapshot backends get it here."""
+        import json as _json
+
+        path = self.root / self.LEASE
+        payload = _json.dumps(
+            {"pid": os.getpid(), "ts": time.time()}
+        ).encode()
+        for _attempt in range(2):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, payload)
+                finally:
+                    os.close(fd)
+                return
+            except FileExistsError:
+                try:
+                    holder = _json.loads(path.read_text())
+                except (OSError, ValueError):
+                    holder = None  # torn write / vanished: stale
+                if holder and holder.get("pid") == os.getpid():
+                    return  # re-entrant: this process already writes
+                stale = True
+                if holder:
+                    age = time.time() - float(holder.get("ts", 0))
+                    pid = holder.get("pid")
+                    alive = False
+                    if isinstance(pid, int):
+                        try:
+                            os.kill(pid, 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True  # exists, owned by another user
+                    stale = (not alive) or age > self.LEASE_TTL_SECONDS
+                if not stale:
+                    raise ConcurrentWriterError(
+                        f"store {self.root} is being written by pid "
+                        f"{holder.get('pid')} (lease {path.name}, "
+                        f"{time.time() - float(holder.get('ts', 0)):.0f}s "
+                        "old); route all writes through one process — "
+                        "or remove the lease if that writer is gone"
+                    ) from None
+                try:
+                    path.unlink()
+                except FileNotFoundError:
+                    pass
+        raise ConcurrentWriterError(
+            f"store {self.root}: lost the lease takeover race (another "
+            "writer claimed the stale lease first)"
+        )
+
+    def _release_lease(self) -> None:
+        """Drop the lease iff this process holds it."""
+        import json as _json
+
+        path = self.root / self.LEASE
+        try:
+            if _json.loads(path.read_text()).get("pid") == os.getpid():
+                path.unlink()
+        except (OSError, ValueError):
+            pass
+
     def begin_commit(self, batch_id: str, tables: list[str]) -> None:
         """Mark a multi-table batch in progress (atomic manifest write).
 
@@ -743,6 +842,7 @@ class TableStore:
 
         if self._suspended:
             return  # inside batch_commit: the outer manifest owns the batch
+        self._acquire_lease()
         payload = {"batch_id": batch_id, "tables": sorted(tables)}
         tmp = self.root / f"{self.MANIFEST}.tmp"
         tmp.write_text(_json.dumps(payload))
@@ -824,6 +924,7 @@ class TableStore:
                 if p.name not in keep:
                     shutil.rmtree(p, ignore_errors=True)
         (self.root / self.MANIFEST).unlink(missing_ok=True)
+        self._release_lease()
 
     @contextmanager
     def batch_commit(self, batch_id: str, tables: list[str]):
@@ -851,8 +952,12 @@ class TableStore:
             self._suspended = False
             # snapshot mode: discard the unpublished versioned dirs so a
             # same-instance replay starts from the pre-batch snapshot
-            # (the next successful end_commit GCs the orphans)
+            # (the next successful end_commit GCs the orphans); the
+            # lease is released — this writer is no longer mid-swap,
+            # and a hard crash (no release) is covered by the dead-pid
+            # takeover
             self._pending_versions = {}
+            self._release_lease()
             raise
         self._suspended = False
         self.end_commit()

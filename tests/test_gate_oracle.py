@@ -119,6 +119,31 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+_F_CURRENCY_ORACLE = """
+    SELECT p_partkey,
+           format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || ' 円' AS amount_str,
+           CAST(regexp_replace(format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || ' 円',
+                               '[円, ]', '', 'g') AS BIGINT) AS amount_yen
+    FROM part
+"""
+
+
+def test_f_currency_roundtrip_golden(spark, sf_dir):
+    """f_currency_roundtrip rotated out of the driver registry in round
+    7 (slot given to ig_retract): the dual-engine value golden lives on
+    here, unchanged."""
+    from jobcan_data_integrator_spark.gate.analytic import (
+        f_currency_roundtrip,
+    )
+
+    sdf = f_currency_roundtrip(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_F_CURRENCY_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
+
+
 _J10_ORACLE = """
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

@@ -682,6 +682,90 @@ def test_ooo_random_corpora_and_orders_equal_one_shot(spark, tmp_path, seed):
     )
 
 
+def test_streaming_ooo_crash_restart_converges(spark, tmp_path, monkeypatch):
+    """Mid-stream crash + restart on the out-of-order streaming face:
+    the killed epoch published NOTHING (snapshot store), the restarted
+    query REDELIVERS it (offsets never committed), the orchestrator's
+    ledger keeps the replay single-apply, and the final state equals
+    the one-shot curation — no double-applied repairs, no lost late
+    batch."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from jobcan_data_integrator_spark import streaming as S
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    store = TableStore(
+        spark, tmp_path / "store", write_partitions=2, snapshot_isolation=True
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def _drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(str(src))
+        )
+        q = S.ingest_documents_stream(
+            stream,
+            store,
+            str(tmp_path / "ckpt"),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            n_hashes=NH,
+            band_size=BS,
+            cluster_threshold=THRESH,
+            allow_out_of_order=True,
+        ).start()
+        q.awaitTermination()
+
+    (src / "late.json").write_text(
+        "\n".join(
+            _json.dumps({"doc_id": d, "text": t}) for d, t in BATCH2 + BATCH3
+        )
+    )
+    _drain()
+    after_first = _rows(read_curated(store), "doc_id", "text")
+
+    # the low-id originals arrive; the epoch CRASHES mid-ingest (inside
+    # the minhash extend, after several family writes)
+    real = inc.extend_index
+
+    def boom(*a, **k):
+        raise RuntimeError("injected stream crash")
+
+    monkeypatch.setattr(inc, "extend_index", boom)
+    (src / "early.json").write_text(
+        "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in BATCH1)
+    )
+    with pytest.raises(StreamingQueryException, match="injected stream crash"):
+        _drain()
+    # nothing published; the interrupted batch is detectable
+    assert _rows(read_curated(store), "doc_id", "text") == after_first
+    assert store.pending_commit() is not None
+
+    # restart: the same checkpoint redelivers the failed epoch once
+    monkeypatch.setattr(inc, "extend_index", real)
+    _drain()
+    want = _rows(
+        curate_corpus(
+            _mk(spark, ALL),
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            near_dup_pairs=_near_dup_cb,
+        ).kept,
+        "doc_id",
+        "text",
+    )
+    assert _rows(read_curated(store), "doc_id", "text") == want
+    # each epoch absorbed exactly once — the ledger, not luck
+    ledger = [r["batch_id"] for r in store.read("ig_batches").collect()]
+    assert sorted(ledger) == sorted(set(ledger))
+    # and a third drain with nothing new is a clean no-op
+    _drain()
+    assert _rows(read_curated(store), "doc_id", "text") == want
+
+
 def test_streaming_ingest_out_of_order_drains(spark, tmp_path):
     """The streaming face composes with allow_out_of_order: the SECOND
     drain delivers ids interleaved below the first drain's — the repair
