@@ -1043,8 +1043,16 @@ def ingest_increment(
                 # general demotion sweep: any LIVE curated doc no longer
                 # its cluster's minimum (a late smaller-id doc founding
                 # a cluster around a stored keeper changes no label, so
-                # the monotone remap check below would miss it)
-                demoted = _sweep_cluster_demotions(store, batch_id)
+                # the monotone remap check below would miss it).
+                # Skipped when the batch produced no ≥-threshold edge:
+                # extend_clusters was a no-op then, no label changed,
+                # and any rebuild path runs its own sweep — so a quiet
+                # batch pays one cheap probe instead of the labels-join
+                # + tombstone merge.
+                if pairs.filter(
+                    F.col("jaccard") >= cluster_threshold
+                ).head(1):
+                    demoted = _sweep_cluster_demotions(store, batch_id)
             elif remap is not None:
                 # a merge's old keeper (old cluster minimum) is demoted;
                 # batch-local labels are excluded (handled above)
@@ -1442,8 +1450,14 @@ def retract_documents(
                 if mate_docs is not None
                 else None
             )
+            # dedup by (doc_id, pos): a mate that was RETIRED by a past
+            # exact re-election already has its occurrence rows stored
+            # (retirement never removes them — harmless then, but a
+            # double-counted n_occ here would corrupt the hash stats)
             after = (
-                stored_aff.unionByName(mate_occ)
+                stored_aff.unionByName(mate_occ).dropDuplicates(
+                    ["doc_id", "pos"]
+                )
                 if mate_occ is not None
                 else stored_aff
             )
@@ -1553,6 +1567,30 @@ def retract_documents(
                 ["doc_id"],
             )
             promoted = mate_docs.select("doc_id")
+            # a mate that was itself RETIRED by a past exact
+            # re-election (its demoter arrived late, permanent 'exact'
+            # tombstone + MinHash retirement) is re-elected BACK when
+            # that demoter is deleted: resolve the tombstone and the
+            # retirement so the rebuild below can re-materialize it.
+            # 'cluster' tombstones stay — cluster demotion state is
+            # managed by the relabel + the demotion sweep.
+            if store.exists(TOMBSTONES):
+                tomb = store.read(TOMBSTONES)
+                if "cause" in tomb.columns:
+                    retired_mates = (
+                        tomb.filter(F.col("cause") == "exact")
+                        .select("doc_id")
+                        .join(F.broadcast(promoted), "doc_id", "leftsemi")
+                        .localCheckpoint(eager=True)
+                    )
+                    if retired_mates.head(1):
+                        store.delete_scope(
+                            TOMBSTONES, retired_mates, ["doc_id"]
+                        )
+                        if store.exists("mh_doc_drops"):
+                            store.delete_scope(
+                                "mh_doc_drops", retired_mates, ["doc_id"]
+                            )
         if rebuild is not None:
             rebuild = rebuild.distinct().localCheckpoint(eager=True)
             if rebuild.head(1):

@@ -180,6 +180,25 @@ def test_retract_loser_then_keeper_leaves_no_ghost(spark, tmp_path):
     assert (1,) not in _rows(read_curated(store), "doc_id")
 
 
+def test_retract_reelects_previously_retired_mate(spark, tmp_path):
+    """The mate promoted by a retraction may itself have been RETIRED
+    by a past exact re-election (it arrived first, its smaller-id twin
+    demoted it: permanent 'exact' tombstone + MinHash retirement).
+    Deleting that twin re-elects the mate BACK: tombstone and
+    retirement resolved, curated row re-materialized, re-signed,
+    re-labeled — caught originally by the 321-order compaction test."""
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH3, BATCH2, BATCH1))
+    # BATCH1's doc 1 demoted BATCH2's 21 (exact twin, larger id)
+    tomb = {
+        (r["doc_id"], r["cause"]) for r in store.read(TOMBSTONES).collect()
+    }
+    assert (21, "exact") in tomb
+    res = _retract(store, _ids(spark, [1]), "r1")
+    assert _rows(res.promoted, "doc_id") == {(21,)}
+    _assert_store_equals(spark, store, [r for r in ALL if r[0] != 1])
+    assert (21,) in _rows(read_curated(store), "doc_id")
+
+
 def test_retracted_id_never_reenters(spark, tmp_path):
     """A future batch carrying a retracted id is silently stripped of
     it: the ≡ contract becomes one-shot curation over union ∖ retracted
