@@ -396,6 +396,66 @@ def ingest_ooo_experiment(
     return round(sorted(times)[1], 3)
 
 
+#: targeted-deletion probe: a FIXED ~20-id ``retract_documents`` call
+#: (ids spread through the corpus: exact keepers, span-run owners and
+#: cluster keepers all fire) against the 10x-seeded store must cost
+#: ~flat vs the sf0.1-seeded store — retraction work is bounded by the
+#: retracted ids' interactions (mate promotion, flag retraction,
+#: relabel), not the corpus.
+RETRACT_BUDGET = 3.0
+
+
+def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
+    """Median seconds for one fixed ~20-id ``retract_documents`` call
+    against a store seeded with ``sf_dir``'s whole corpus in repair
+    (out-of-order) mode.  Three sequential ~20-id combs (doc_id % 250
+    ∈ {13, 14, 15}) are retracted one call each, median taken; each
+    call pays the full cross-family deletion (exact re-election, span
+    flag retraction + text regrowth, MinHash retirement + relabel +
+    resurrection, curated/pre/chunk deletion, ledger).  Bucket count
+    scales with the corpus like the ingest probes (bucket SIZE held
+    constant)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        exact_index_buckets,
+        index_layout,
+        minhash_index_buckets,
+        minhash_pair_bands,
+        span_index_buckets,
+    )
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        retract_documents,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    buckets = (
+        minhash_index_buckets(n_buckets)
+        | exact_index_buckets(n_buckets)
+        | span_index_buckets(n_buckets)
+    )
+    store = TableStore(
+        spark, workdir, write_partitions=1, snapshot_isolation=True,
+        **index_layout(buckets, minhash_pair_bands(1 << 20)),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ingest_increment(
+        store, docs, "base", span=8, minhash=True, allow_out_of_order=True,
+    )
+    times = []
+    for i, residue in enumerate((13, 14, 15)):
+        ids = (
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(250)) == residue)
+            .select("doc_id")
+            .limit(20)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        retract_documents(store, ids, f"rt-{i}", span=8, minhash=True)
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return round(sorted(times)[1], 3)
+
+
 #: BPE batched-training smoke: learn a production-ish merge count with
 #: batch=32 and assert the round count tracks ~n_merges/32, not
 #: n_merges — the difference between minutes and hours of scheduler
@@ -407,11 +467,12 @@ BPE_MERGES = 1000
 BPE_ROUND_SLACK = 2.0
 
 
-def bpe_experiment(spark, sf_dir: str) -> dict:
-    """Train BPE (batch=32, up to 1000 merges) on ``sf_dir``'s document
-    corpus re-tokenized as hyphenated BIGRAM words; returns learned
-    merge count, count-round jobs, wall seconds, and the ideal round
-    count.
+def bpe_experiment(spark, sf_dir: str, merges: int = BPE_MERGES) -> dict:
+    """Train BPE (batch=32, up to ``merges`` merges) on ``sf_dir``'s
+    document corpus re-tokenized as hyphenated BIGRAM words; returns
+    learned merge count, count-round jobs, wall seconds, and the ideal
+    round count.  Called at 1k/2k/4k to pin the rounds-per-merge slope
+    the 32k-vocab claim extrapolates (three points, not one).
 
     The bigram re-tokenization is the width knob: the raw synthetic
     vocabulary (31 distinct words) exhausts after ~113 merges with its
@@ -435,14 +496,14 @@ def bpe_experiment(spark, sf_dir: str) -> dict:
     )
     stats: dict = {}
     t0 = time.perf_counter()
-    merges = train_bpe(docs, BPE_MERGES, batch=BPE_BATCH, stats=stats)
+    learned = train_bpe(docs, merges, batch=BPE_BATCH, stats=stats)
     sec = round(time.perf_counter() - t0, 3)
-    ideal = -(-len(merges) // BPE_BATCH)  # ceil
+    ideal = -(-len(learned) // BPE_BATCH)  # ceil
     return {
         "op": "train_bpe",
         "batch": BPE_BATCH,
-        "requested_merges": BPE_MERGES,
-        "learned_merges": len(merges),
+        "requested_merges": merges,
+        "learned_merges": len(learned),
         "rounds": stats["rounds"],
         "ideal_rounds": ideal,
         "round_slack": BPE_ROUND_SLACK,
@@ -584,8 +645,23 @@ def main() -> None:
     )
     ooo_ratio = round(ooo1 / ooo01, 2) if ooo01 else None
 
-    # BPE batched training at a production-ish merge count
-    bpe = bpe_experiment(spark, str(out_dir))
+    # targeted deletion: fixed ~20-id retraction, sf0.1-seeded vs
+    # 10x-seeded store
+    rt01 = retract_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_rtidx01"
+    )
+    rt1 = retract_experiment(
+        spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_rtidx1"
+    )
+    rt_ratio = round(rt1 / rt01, 2) if rt01 else None
+
+    # BPE batched training: a 1k/2k/4k merge curve pins the
+    # rounds-per-merge slope (the 32k-vocab claim's extrapolation base)
+    bpe_curve = [
+        bpe_experiment(spark, str(out_dir), merges=m)
+        for m in (1000, 2000, 4000)
+    ]
+    bpe = bpe_curve[0]
 
     # as-of join: 10x events, expect ~linear
     tmp01 = temporal_experiment(spark, SRC_SF)
@@ -620,8 +696,11 @@ def main() -> None:
         flagged["ingest_increment@10x"] = ing_ratio
     if ooo_ratio and ooo_ratio > INGEST_OOO_BUDGET:
         flagged["ingest_increment@ooo10x"] = ooo_ratio
-    if bpe["rounds"] > BPE_ROUND_SLACK * bpe["ideal_rounds"]:
-        flagged["train_bpe@rounds"] = bpe["rounds"]
+    if rt_ratio and rt_ratio > RETRACT_BUDGET:
+        flagged["retract_documents@10x"] = rt_ratio
+    for b in bpe_curve:
+        if b["rounds"] > BPE_ROUND_SLACK * b["ideal_rounds"]:
+            flagged[f"train_bpe@rounds{b['requested_merges']}"] = b["rounds"]
     if lay_ratio and lay_ratio > LAYER_BUDGET:
         flagged["dedup_increment@layers"] = lay_ratio
     if tmp_ratio and tmp_ratio > TEMPORAL_BUDGET:
@@ -663,7 +742,20 @@ def main() -> None:
                                      "fire) vs an out-of-order-mode store "
                                      "seeded with the rest of the corpus; "
                                      "buckets 64 -> 640 (median of 3)"},
+                      "retract": {"op": "retract_documents",
+                                  "sf01_sec": rt01, "sf1_sec": rt1,
+                                  "ratio": rt_ratio,
+                                  "budget": RETRACT_BUDGET,
+                                  "note": "fixed ~20-id retraction "
+                                  "(exact re-election + mate promotion, "
+                                  "span-flag retraction + text regrowth, "
+                                  "MinHash retirement + relabel, "
+                                  "curated/pre/chunk deletion) vs a "
+                                  "repair-mode store seeded with the "
+                                  "whole corpus; buckets 64 -> 640 "
+                                  "(median of 3)"},
                       "bpe": bpe,
+                      "bpe_curve": bpe_curve,
                       "temporal": {"op": "asof_join_errors_signups",
                                    "sf01_sec": tmp01, "sf1_sec": tmp1,
                                    "ratio": tmp_ratio,
@@ -706,9 +798,12 @@ def main() -> None:
     print(f"# ingest ooo: {ooo01:.2f} @sf0.1-store -> {ooo1:.2f} "
           f"@sf1-store ({ooo_ratio}x, budget {INGEST_OOO_BUDGET}x)",
           file=sys.stderr)
-    print(f"# bpe: {bpe['learned_merges']} merges in {bpe['rounds']} rounds "
-          f"(ideal {bpe['ideal_rounds']}, batch {BPE_BATCH}) in "
-          f"{bpe['sec']:.1f}s", file=sys.stderr)
+    print(f"# retract: {rt01:.2f} @sf0.1-store -> {rt1:.2f} @sf1-store "
+          f"({rt_ratio}x, budget {RETRACT_BUDGET}x)", file=sys.stderr)
+    for b in bpe_curve:
+        print(f"# bpe@{b['requested_merges']}: {b['learned_merges']} merges "
+              f"in {b['rounds']} rounds (ideal {b['ideal_rounds']}, batch "
+              f"{BPE_BATCH}) in {b['sec']:.1f}s", file=sys.stderr)
     print(f"# asof skew: {tmp01:.2f} uniform -> {tmp_skew:.2f} hot-key "
           f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x); salted "
           f"{tmp_salted:.2f} ({tmp_salted_ratio}x)",

@@ -379,6 +379,41 @@ def test_auto_compact_triggers_on_threshold(spark, tmp_path):
     _assert_store_equals(spark, store, ALL)
 
 
+def test_retract_on_bucketed_snapshot_layout(spark, tmp_path):
+    """The scale layout (bucketed index tables + snapshot layers, the
+    configuration scale_smoke probes) retracts identically: managed
+    tables take keyed/partition-scoped merges, unmanaged ones the keyed
+    deletes — same ≡ one-shot contract."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        exact_index_buckets,
+        index_layout,
+        minhash_index_buckets,
+        minhash_pair_bands,
+        span_index_buckets,
+    )
+
+    buckets = (
+        minhash_index_buckets(4)
+        | exact_index_buckets(4)
+        | span_index_buckets(4)
+    )
+    store = TableStore(
+        spark, tmp_path, write_partitions=1, snapshot_isolation=True,
+        **index_layout(buckets, minhash_pair_bands(1 << 20)),
+    )
+    for i, rows in enumerate((BATCH3, BATCH2, BATCH1), 1):
+        ingest_increment(
+            store, _mk(spark, rows), f"b{i}",
+            span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+            cluster_threshold=THRESH, allow_out_of_order=True,
+        )
+    res = _retract(store, _ids(spark, [1, 2]), "r1")
+    assert _rows(res.promoted, "doc_id") == {(21,)}
+    _assert_store_equals(
+        spark, store, [r for r in ALL if r[0] not in (1, 2)]
+    )
+
+
 def test_retract_requires_repair_tables_and_snapshot(spark, tmp_path):
     # monotone-mode store: no cur_pre -> actionable error
     store = TableStore(
