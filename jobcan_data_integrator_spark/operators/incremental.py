@@ -106,7 +106,15 @@ OOO_DROP_TABLES = ("mh_doc_drops", "mh_band_drops", "mh_pair_drops")
 #: tables by ``compact_store``.
 DOC_RETRACTIONS = "doc_retractions"
 FLAG_DROPS = "sp_flag_drops"
-RETRACT_MASK_TABLES = (DOC_RETRACTIONS, FLAG_DROPS)
+#: vec_id-keyed sibling of ``doc_retractions`` for the embedding
+#: families (operators/ingest.retract_vectors): masks the corpus side
+#: of ``embedding_increment``/``semantic_increment`` and the
+#: IVF/PQ serving paths; pair rows touching retracted vectors are
+#: physically deleted at retract time (the pair tables are unmanaged),
+#: and ``compact_store`` folds the mask into the vector/bucket/
+#: assignment/code tables.
+EMB_RETRACTIONS = "emb_retractions"
+RETRACT_MASK_TABLES = (DOC_RETRACTIONS, FLAG_DROPS, EMB_RETRACTIONS)
 
 
 def _mask_retracted(store: TableStore, df: DataFrame) -> DataFrame:
@@ -114,6 +122,15 @@ def _mask_retracted(store: TableStore, df: DataFrame) -> DataFrame:
     if store.exists(DOC_RETRACTIONS):
         df = df.join(
             F.broadcast(store.read(DOC_RETRACTIONS)), "doc_id", "left_anti"
+        )
+    return df
+
+
+def _mask_emb_retracted(store: TableStore, df: DataFrame) -> DataFrame:
+    """Anti-join the vector-retraction mask (no-op when absent)."""
+    if store.exists(EMB_RETRACTIONS):
+        df = df.join(
+            F.broadcast(store.read(EMB_RETRACTIONS)), "vec_id", "left_anti"
         )
     return df
 
@@ -933,7 +950,7 @@ def ann_search_indexed(
     from pyspark.sql.window import Window
 
     cent = store.read("ivf_codebook")
-    assign = store.read("ivf_assignments")
+    assign = _mask_emb_retracted(store, store.read("ivf_assignments"))
     probe = probe_cells(
         queries.select("vec_id", quantized_expr("embedding").alias("q")),
         cent,
@@ -1035,7 +1052,9 @@ def embedding_increment(
     # the corpus bucket table is scanned only where the increment's LSH
     # bucket values hash, and vectors are fetched only from the candidate
     # ids' buckets (plain read on an unbucketed store, same results)
-    corpus_b = store.read_for_keys("eb_buckets", new_b.select("bucket"))
+    corpus_b = _mask_emb_retracted(
+        store, store.read_for_keys("eb_buckets", new_b.select("bucket"))
+    )
     a = new_b.alias("a")
     cross = (
         a.join(
@@ -1067,7 +1086,7 @@ def embedding_increment(
         corpus_vecs = store.read_for_keys("eb_vectors", cand_ids)
     else:
         corpus_vecs = store.read("eb_vectors")
-    corpus_vecs = corpus_vecs.join(
+    corpus_vecs = _mask_emb_retracted(store, corpus_vecs).join(
         F.broadcast(new_emb.select("vec_id")), "vec_id", "left_anti"
     )
     vecs = corpus_vecs.unionByName(new_emb)
@@ -1205,7 +1224,7 @@ def semantic_increment(
     if "ivf_assignments" in store.partitioned:
         cells = [r[0] for r in inc.select("cell_id").distinct().collect()]
         corpus = corpus.filter(F.col("cell_id").isin(cells))
-    corpus = corpus.join(
+    corpus = _mask_emb_retracted(store, corpus).join(
         F.broadcast(inc.select("vec_id")), "vec_id", "left_anti"
     )
     return _cell_pairs(inc, corpus, threshold).unionByName(
@@ -1737,7 +1756,10 @@ def pq_search_indexed(
     from jobcan_data_integrator_spark.operators.pq import pq_search
 
     return pq_search(
-        store.read("pq_codes"), store.read("pq_codebooks"), queries, k=k
+        _mask_emb_retracted(store, store.read("pq_codes")),
+        store.read("pq_codebooks"),
+        queries,
+        k=k,
     )
 
 
@@ -1753,7 +1775,7 @@ def ivfpq_search_indexed(
     from jobcan_data_integrator_spark.operators.pq import ann_topk_ivfpq
 
     return ann_topk_ivfpq(
-        store.read("pq_codes"),
+        _mask_emb_retracted(store, store.read("pq_codes")),
         store.read("ivf_assignments").select("vec_id", "cell_id"),
         store.read("pq_codebooks"),
         store.read("ivf_codebook"),

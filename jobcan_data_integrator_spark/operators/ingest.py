@@ -1284,6 +1284,13 @@ def retract_documents(
     Packing note: retracted docs' chunk/shard rows are deleted, which
     leaves the batch-scoped shard layout sparse (cum_before gaps);
     ``repack_corpus`` re-densifies the whole corpus in one call.
+
+    Scope: this call covers the DOC-keyed families (curated corpus,
+    exact hash map, span tables, MinHash family, cluster labels,
+    chunks/shards).  The embedding families (eb_*/ivf_*/sd_*/pq_*) are
+    keyed by ``vec_id`` — a keyspace the store does not map to doc ids
+    (the pipeline owns that mapping); a takedown that also covers
+    embeddings passes the mapped vec_ids to ``retract_vectors``.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.incremental import (
@@ -1626,6 +1633,115 @@ def retract_documents(
     return result
 
 
+def retract_vectors(
+    store: TableStore,
+    vec_ids: DataFrame,
+    retract_id: str,
+    *,
+    auto_compact_bytes: int | None = 8 << 20,
+) -> RetractResult:
+    """Targeted deletion for the EMBEDDING families — the vec_id-keyed
+    sibling of ``retract_documents``: one call removes vectors from the
+    LSH (``eb_*``), IVF (``ivf_assignments``), SemDeDup (``sd_pairs``)
+    and PQ (``pq_codes``) families under one commit, so a takedown that
+    maps its doc ids to vector ids scrubs the embedding side too.
+
+    Semantics: after the call, every probe and serving path —
+    ``embedding_increment``, ``semantic_increment``,
+    ``ann_search_indexed``, ``pq_search_indexed``,
+    ``ivfpq_search_indexed`` — behaves exactly as if the vectors were
+    never indexed (pinned in tests/test_retract_vectors.py against
+    stores built from the surviving vectors).  Mechanics: pair rows
+    touching a retracted vector are PHYSICALLY deleted (``eb_pairs`` /
+    ``sd_pairs`` are unmanaged); vector/bucket/assignment/code rows are
+    deleted where the table is unmanaged and MASKED via the
+    ``emb_retractions`` broadcast mask where it is partition-managed
+    (bucketed ``eb_vectors``, cell-partitioned ``ivf_assignments`` —
+    a keyed delete cannot express an emptied partition), with
+    ``compact_store`` folding the mask into the base tables later.
+    The frozen IVF/PQ codebooks are unaffected (they are trained
+    aggregates, not per-vector data — the standard takedown stance for
+    model-derived artifacts; retrain offline if required).
+
+    Cluster-label maintenance for vector-keyed label stores is the
+    pipeline's own composition (the labels live wherever it ran
+    ``extend_clusters`` on the semantic pairs); the deleted ``sd_pairs``
+    rows are exactly the retraction set such a relabel needs.
+
+    Same ledger (``cur_retractions``) and atomicity contract as
+    ``retract_documents``: redelivery of the same ``retract_id`` is a
+    no-op, a crash publishes nothing."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    spark = vec_ids.sparkSession
+    if not store.snapshot_isolation and store.backend != "delta":
+        raise ValueError(
+            "retract_vectors needs a snapshot-isolation store: the "
+            "multi-family retraction must publish atomically"
+        )
+    if store.exists(RETRACTIONS):
+        if (
+            store.read(RETRACTIONS)
+            .filter(F.col("retract_id") == retract_id)
+            .head(1)
+        ):
+            return RetractResult(
+                retract_id, True, spark.createDataFrame([], "vec_id bigint")
+            )
+
+    r_ids = vec_ids.select("vec_id").distinct()
+    if store.exists(inc.EMB_RETRACTIONS):
+        r_ids = r_ids.join(
+            F.broadcast(store.read(inc.EMB_RETRACTIONS)),
+            "vec_id",
+            "left_anti",
+        )
+    r_ids = r_ids.localCheckpoint(eager=True)
+    n_ids = r_ids.count()
+    ledger_row = spark.range(1).select(
+        F.lit(retract_id).alias("retract_id"),
+        F.lit(n_ids).cast("bigint").alias("n_ids"),
+    )
+
+    row_tables = ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes")
+    pair_tables = (("eb_pairs", "vec_a", "vec_b"), ("sd_pairs", "vec_a", "vec_b"))
+    tables = [RETRACTIONS, inc.EMB_RETRACTIONS]
+    tables += [t for t in row_tables if store.exists(t)]
+    tables += [t for t, _, _ in pair_tables if store.exists(t)]
+
+    with store.batch_commit(retract_id, sorted(set(tables))):
+        if n_ids == 0:
+            store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+            return RetractResult(retract_id, False, r_ids)
+        store.merge_insert_missing(inc.EMB_RETRACTIONS, r_ids, ["vec_id"])
+        b = F.broadcast(r_ids.select(F.col("vec_id").alias("_rid")))
+        for t, ca, cb in pair_tables:
+            if not store.exists(t):
+                continue
+            touching = (
+                store.read(t)
+                .select(ca, cb)
+                .join(
+                    b,
+                    (F.col(ca) == F.col("_rid"))
+                    | (F.col(cb) == F.col("_rid")),
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if touching.head(1):
+                store.delete_scope(t, touching, [ca, cb])
+        for t in row_tables:
+            if store.exists(t) and not store.is_managed(t):
+                store.delete_scope(t, r_ids, ["vec_id"])
+        store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+
+    result = RetractResult(retract_id, False, r_ids)
+    if auto_compact_bytes is not None:
+        maybe_compact_store(store, threshold_bytes=auto_compact_bytes)
+    return result
+
+
 def compact_store(store: TableStore) -> None:
     """Fold EVERY merge-on-read mask into its base table — the one-call
     OPTIMIZE analog for a store that has absorbed out-of-order repairs
@@ -1638,6 +1754,9 @@ def compact_store(store: TableStore) -> None:
       ``sp_hashes``;
     - ``sp_flag_drops`` folded into ``sp_flags`` (retracted flags
       physically leave);
+    - ``emb_retractions`` folded into ``eb_vectors``/``eb_buckets``/
+      ``ivf_assignments``/``pq_codes`` (the vector-retraction sibling,
+      ``retract_vectors``);
     - ``cur_pre`` rows pruned and PERMANENT tombstones resolved: a doc
       retired for cause 'exact'/'floor'/'retracted' can never re-enter
       (its id is unique for all time and every probe now sees the
@@ -1663,8 +1782,13 @@ def compact_store(store: TableStore) -> None:
             "sp_occs",
             "sp_hashes",
             "sp_flags",
+            "eb_vectors",
+            "eb_buckets",
+            "ivf_assignments",
+            "pq_codes",
             inc.DOC_RETRACTIONS,
             inc.FLAG_DROPS,
+            inc.EMB_RETRACTIONS,
             TOMBSTONES,
             CURATED,
             CURATED_PRE,
@@ -1673,10 +1797,22 @@ def compact_store(store: TableStore) -> None:
     ]
     if not any(
         store.exists(t)
-        for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS, TOMBSTONES)
+        for t in (
+            inc.DOC_RETRACTIONS,
+            inc.FLAG_DROPS,
+            inc.EMB_RETRACTIONS,
+            TOMBSTONES,
+        )
     ):
         return
     store.begin_commit("store-compact", tables)
+    if store.exists(inc.EMB_RETRACTIONS):
+        emb_mask = F.broadcast(store.read(inc.EMB_RETRACTIONS))
+        for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes"):
+            if store.exists(t):
+                store.overwrite(
+                    t, store.read(t).join(emb_mask, "vec_id", "left_anti")
+                )
     if store.exists(inc.DOC_RETRACTIONS):
         mask = F.broadcast(store.read(inc.DOC_RETRACTIONS))
         for t in ("ex_docs", "sp_occs"):
@@ -1725,7 +1861,7 @@ def compact_store(store: TableStore) -> None:
                 store.overwrite(
                     TOMBSTONES, tomb.filter(F.col("cause") == "cluster")
                 )
-    for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS):
+    for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS, inc.EMB_RETRACTIONS):
         if store.exists(t):
             store.overwrite(t, store.read(t).limit(0))
     store.end_commit()

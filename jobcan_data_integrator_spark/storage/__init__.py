@@ -308,6 +308,12 @@ class TableStore:
     def _is_managed(self, table: str) -> bool:
         return bool(self._managed_pcols(table))
 
+    def is_managed(self, table: str) -> bool:
+        """True when the table has a partition-scoped (hive/bucket/range)
+        layout — i.e. keyed deletes must go through masks or
+        ``sync_children``, never ``delete_scope``."""
+        return self._is_managed(table)
+
     def _layer_parts(self, vdir: str, n_pcols: int) -> list[str]:
         """Relative hive partition paths (``col=val[/col2=val2…]``) present
         in a written layer dir — read back from disk, so value escaping
