@@ -310,6 +310,27 @@ def test_retract_random_equals_one_shot(spark, tmp_path, seed):
     )
 
 
+def test_interleaved_ingest_retract_lifecycle(spark, tmp_path):
+    """The full production lifecycle composed: out-of-order ingest →
+    retraction → MORE out-of-order ingest (ids interleaved below the
+    retracted ones, including a near-dup of retracted content) → a
+    second retraction — the store must land exactly on the one-shot
+    curation of everything that arrived minus everything retracted."""
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH2, BATCH3))
+    _retract(store, _ids(spark, [22]), "r1")  # near-dup of (absent) 2
+    late = [(1, _t("u", 0, 10)), (2, _t("v", 0, 10)), (3, _t("a", 0, 12))]
+    ingest_increment(
+        store, _mk(spark, late), "late",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+    )
+    _retract(store, _ids(spark, [1, 24]), "r2")  # keeper of 21 + merger
+    survivors = [
+        r for r in BATCH2 + BATCH3 + late if r[0] not in (22, 1, 24)
+    ]
+    _assert_store_equals(spark, store, survivors)
+
+
 def test_compact_store_preserves_reads_and_prunes(spark, tmp_path):
     """compact_store folds every merge-on-read mask: reads identical
     before/after, masks empty, the retracted rows physically gone from
