@@ -401,35 +401,34 @@ def compact_minhash_drops(store: TableStore) -> None:
     store.begin_commit(
         "mh-drops-compact", list(INDEX_TABLES) + list(OOO_DROP_TABLES)
     )
+    # partition-SCOPED folds (TableStore.prune_keys): each mask rewrites
+    # only the bucket/band segments containing its rows — mask-bounded
+    # cost, not corpus-bounded
     if store.exists("mh_doc_drops"):
-        doc_drops = F.broadcast(store.read("mh_doc_drops"))
-        for t in ("mh_shingles", "mh_sizes"):
-            if store.exists(t):
-                store.overwrite(
-                    t, store.read(t).join(doc_drops, "doc_id", "left_anti")
-                )
-        if store.exists("mh_bands"):
-            bands = store.read("mh_bands").join(
-                doc_drops, "doc_id", "left_anti"
+        doc_drops = store.read("mh_doc_drops")
+        for t in ("mh_shingles", "mh_sizes", "mh_bands"):
+            store.prune_keys(t, doc_drops, ["doc_id"])
+        if store.exists("mh_pairs"):
+            store.prune_keys(
+                "mh_pairs",
+                doc_drops.select(F.col("doc_id").alias("doc_a")),
+                ["doc_a"],
             )
-            if store.exists("mh_band_drops"):
-                bands = bands.join(
-                    F.broadcast(store.read("mh_band_drops")),
-                    ["doc_id", "band_idx", "band_key"],
-                    "left_anti",
-                )
-            store.overwrite("mh_bands", bands)
-    elif store.exists("mh_band_drops") and store.exists("mh_bands"):
-        store.overwrite(
+            store.prune_keys(
+                "mh_pairs",
+                doc_drops.select(F.col("doc_id").alias("doc_b")),
+                ["doc_b"],
+            )
+    if store.exists("mh_band_drops"):
+        store.prune_keys(
             "mh_bands",
-            store.read("mh_bands").join(
-                F.broadcast(store.read("mh_band_drops")),
-                ["doc_id", "band_idx", "band_key"],
-                "left_anti",
-            ),
+            store.read("mh_band_drops"),
+            ["doc_id", "band_idx", "band_key"],
         )
-    if store.exists("mh_pairs"):
-        store.overwrite("mh_pairs", read_pairs(store))
+    if store.exists("mh_pair_drops"):
+        store.prune_keys(
+            "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
+        )
     for t in drops:
         store.overwrite(t, store.read(t).limit(0))
     store.end_commit()

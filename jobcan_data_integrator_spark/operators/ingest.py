@@ -92,6 +92,17 @@ CURATED_PRE = "cur_pre"
 #: absorbed-retraction ledger (retract_documents): one row per
 #: retract_id, so a redelivered retraction is a no-op.
 RETRACTIONS = "cur_retractions"
+#: (doc_id, vec_id) mapping recorded when ``ingest_increment`` absorbs
+#: a batch whose ``new_emb`` carries a ``doc_id`` column — the link
+#: that lets ``retract_documents`` CASCADE a doc takedown into the
+#: embedding families (a compliance request arrives as doc ids; without
+#: the mapping the retracted docs' vectors keep serving ANN results).
+DOC_VECS = "doc_vecs"
+#: compliance receipt: one row per absorbed retraction (ids count,
+#: families touched, the snapshot version it published) — written
+#: inside the retraction's own commit, so the receipt exists iff the
+#: deletion published.
+RETRACTION_LOG = "retraction_log"
 
 
 @dataclass
@@ -230,6 +241,7 @@ def ingest_tables(
     if pack_budget is not None:
         tables += [CHUNKS, SHARDS]
     if new_emb:
+        tables += [DOC_VECS]
         if "lsh" in emb_families:
             tables += list(inc.EMBEDDING_TABLES)
         if "ivf" in emb_families:
@@ -1153,9 +1165,25 @@ def ingest_increment(
             store.merge_insert_missing(SHARDS, packed, ["chunk_id"])
             stages.append(("chunks", chunks))
 
-        # 7. embedding families for this batch's vectors
+        # 7. embedding families for this batch's vectors.  A ``doc_id``
+        # column on new_emb records the (doc_id, vec_id) mapping so a
+        # later ``retract_documents`` cascades into these families; a
+        # vec_id retracted by ``retract_vectors`` stays retracted (same
+        # permanence stance as the doc-side guard above).
         if new_emb is not None:
-            emb = new_emb.localCheckpoint(eager=True)
+            emb = new_emb
+            if store.exists(inc.EMB_RETRACTIONS):
+                emb = emb.join(
+                    F.broadcast(store.read(inc.EMB_RETRACTIONS)),
+                    "vec_id",
+                    "left_anti",
+                )
+            emb = emb.localCheckpoint(eager=True)
+            if "doc_id" in emb.columns:
+                store.merge_insert_missing(
+                    DOC_VECS, emb.select("doc_id", "vec_id"), ["vec_id"]
+                )
+                emb = emb.drop("doc_id")
             if "lsh" in emb_families:
                 if not store.exists("eb_vectors"):
                     inc.build_embedding_index(store, emb)
@@ -1287,10 +1315,17 @@ def retract_documents(
 
     Scope: this call covers the DOC-keyed families (curated corpus,
     exact hash map, span tables, MinHash family, cluster labels,
-    chunks/shards).  The embedding families (eb_*/ivf_*/sd_*/pq_*) are
-    keyed by ``vec_id`` — a keyspace the store does not map to doc ids
-    (the pipeline owns that mapping); a takedown that also covers
-    embeddings passes the mapped vec_ids to ``retract_vectors``.
+    chunks/shards) AND — when the store carries the ``doc_vecs``
+    mapping ``ingest_increment`` records from a doc_id-carrying
+    ``new_emb`` — CASCADES into the embedding families
+    (eb_*/ivf_*/sd_*/pq_*): the retracted docs' vec_ids are scrubbed
+    via the same machinery as ``retract_vectors``, inside this same
+    commit, so a compliance takedown that arrives as doc ids covers the
+    ANN serving paths too (pinned in tests/test_retract_vectors.py).
+    On a store WITHOUT the mapping (vectors ingested by bare vec_id),
+    pass the mapped vec_ids to ``retract_vectors`` yourself.  Every
+    retraction appends a ``retraction_log`` receipt row (ids count,
+    families touched, snapshot version) in the same commit.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.incremental import (
@@ -1342,7 +1377,7 @@ def retract_documents(
         F.lit(n_ids).cast("bigint").alias("n_ids"),
     )
 
-    tables = [RETRACTIONS, TOMBSTONES, CURATED, CURATED_PRE]
+    tables = [RETRACTIONS, RETRACTION_LOG, TOMBSTONES, CURATED, CURATED_PRE]
     tables += [inc.DOC_RETRACTIONS, "ex_docs", "ex_groups"]
     if span is not None:
         tables += list(inc.SPAN_TABLES) + [inc.FLAG_DROPS]
@@ -1351,6 +1386,13 @@ def retract_documents(
         tables += ["cc_labels"]
     if store.exists(CHUNKS):
         tables += [CHUNKS, SHARDS]
+    # doc→vec cascade: a store whose ingest recorded the (doc_id,
+    # vec_id) mapping scrubs the embedding families in the SAME commit
+    cascade = store.exists(DOC_VECS)
+    if cascade:
+        tables += [DOC_VECS, inc.EMB_RETRACTIONS]
+        tables += [t for t in _EMB_ROW_TABLES if store.exists(t)]
+        tables += [t for t, _, _ in _EMB_PAIR_TABLES if store.exists(t)]
 
     stages: list[tuple[str, DataFrame]] = []
     promoted: DataFrame | None = None
@@ -1530,17 +1572,16 @@ def retract_documents(
         # not masked — all unmanaged tables, all inside this commit
         if store.exists(CHUNKS):
             r_chunks = (
-                store.read(CHUNKS)
+                store.read_for_keys(CHUNKS, r_ids, "doc_id")
                 .join(F.broadcast(r_ids), "doc_id", "leftsemi")
                 .select("chunk_id")
                 .localCheckpoint(eager=True)
             )
-            store.delete_scope(CHUNKS, r_ids, ["doc_id"])
+            store.prune_keys(CHUNKS, r_ids, ["doc_id"])
             if store.exists(SHARDS):
-                store.delete_scope(SHARDS, r_chunks, ["chunk_id"])
-        if store.exists(CURATED):
-            store.delete_scope(CURATED, r_ids, ["doc_id"])
-        store.delete_scope(CURATED_PRE, r_ids, ["doc_id"])
+                store.prune_keys(SHARDS, r_chunks, ["chunk_id"])
+        store.prune_keys(CURATED, r_ids, ["doc_id"])
+        store.prune_keys(CURATED_PRE, r_ids, ["doc_id"])
 
         # 5. MinHash retirement + component relabel: mates demoted only
         # through a retracted doc resurrect; one whose curated row never
@@ -1624,7 +1665,36 @@ def retract_documents(
         if minhash and store.exists("cc_labels"):
             _sweep_cluster_demotions(store, retract_id)
 
-        # 7. ledger LAST (same stance as ingest_increment)
+        # 7. doc→vec cascade: scrub the retracted docs' vectors from
+        # every embedding family (LSH/IVF/SemDeDup/PQ) inside this same
+        # commit — a takedown request arrives as doc ids, and a doc
+        # whose vectors keep serving ANN results is not deleted.  The
+        # mapping rows themselves are removed (takedown) where the
+        # table is unmanaged; a managed doc_vecs stays masked by
+        # doc_retractions until compact_store folds it.
+        families = [t for t in tables if t not in (RETRACTIONS, RETRACTION_LOG)]
+        if cascade:
+            vec_r = (
+                store.read(DOC_VECS)
+                .join(F.broadcast(r_ids), "doc_id", "leftsemi")
+                .select("vec_id")
+                .distinct()
+            )
+            if store.exists(inc.EMB_RETRACTIONS):
+                vec_r = vec_r.join(
+                    F.broadcast(store.read(inc.EMB_RETRACTIONS)),
+                    "vec_id",
+                    "left_anti",
+                )
+            vec_r = vec_r.localCheckpoint(eager=True)
+            if vec_r.head(1):
+                _retract_vec_rows(store, vec_r)
+            store.prune_keys(DOC_VECS, r_ids, ["doc_id"])
+
+        # 8. receipt + ledger LAST (same stance as ingest_increment)
+        _log_retraction(
+            store, retract_id, "documents", n_ids, sorted(set(families))
+        )
         store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
 
     result = RetractResult(retract_id, False, r_ids, promoted, repaired)
@@ -1652,13 +1722,16 @@ def retract_vectors(
     ``ivfpq_search_indexed`` — behaves exactly as if the vectors were
     never indexed (pinned in tests/test_retract_vectors.py against
     stores built from the surviving vectors).  Mechanics: pair rows
-    touching a retracted vector are PHYSICALLY deleted (``eb_pairs`` /
-    ``sd_pairs`` are unmanaged); vector/bucket/assignment/code rows are
-    deleted where the table is unmanaged and MASKED via the
-    ``emb_retractions`` broadcast mask where it is partition-managed
-    (bucketed ``eb_vectors``, cell-partitioned ``ivf_assignments`` —
-    a keyed delete cannot express an emptied partition), with
-    ``compact_store`` folding the mask into the base tables later.
+    touching a retracted vector are PHYSICALLY deleted, and so are the
+    vector/bucket/assignment/code rows — partition-SCOPED on bucketed
+    snapshot tables (``TableStore.prune_keys``: only the buckets the
+    ids hash into are rewritten; emptied buckets become layer
+    delete-markers).  A managed table the prune could only
+    full-rewrite (hive partition layouts) stays MASKED via the
+    ``emb_retractions`` broadcast mask instead, with ``compact_store``
+    folding the mask into the base tables later; the mask row is
+    always inserted regardless (permanence — a redelivered vec_id can
+    never re-index).
     The frozen IVF/PQ codebooks are unaffected (they are trained
     aggregates, not per-vector data — the standard takedown stance for
     model-derived artifacts; retrain offline if required).
@@ -1703,43 +1776,107 @@ def retract_vectors(
         F.lit(n_ids).cast("bigint").alias("n_ids"),
     )
 
-    row_tables = ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes")
-    pair_tables = (("eb_pairs", "vec_a", "vec_b"), ("sd_pairs", "vec_a", "vec_b"))
-    tables = [RETRACTIONS, inc.EMB_RETRACTIONS]
-    tables += [t for t in row_tables if store.exists(t)]
-    tables += [t for t, _, _ in pair_tables if store.exists(t)]
+    tables = [RETRACTIONS, RETRACTION_LOG, inc.EMB_RETRACTIONS]
+    tables += [t for t in _EMB_ROW_TABLES if store.exists(t)]
+    tables += [t for t, _, _ in _EMB_PAIR_TABLES if store.exists(t)]
 
     with store.batch_commit(retract_id, sorted(set(tables))):
         if n_ids == 0:
             store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
             return RetractResult(retract_id, False, r_ids)
-        store.merge_insert_missing(inc.EMB_RETRACTIONS, r_ids, ["vec_id"])
-        b = F.broadcast(r_ids.select(F.col("vec_id").alias("_rid")))
-        for t, ca, cb in pair_tables:
-            if not store.exists(t):
-                continue
-            touching = (
-                store.read(t)
-                .select(ca, cb)
-                .join(
-                    b,
-                    (F.col(ca) == F.col("_rid"))
-                    | (F.col(cb) == F.col("_rid")),
-                    "left_semi",
-                )
-                .localCheckpoint(eager=True)
-            )
-            if touching.head(1):
-                store.delete_scope(t, touching, [ca, cb])
-        for t in row_tables:
-            if store.exists(t) and not store.is_managed(t):
-                store.delete_scope(t, r_ids, ["vec_id"])
+        families = _retract_vec_rows(store, r_ids)
+        _log_retraction(store, retract_id, "vectors", n_ids, families)
         store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
 
     result = RetractResult(retract_id, False, r_ids)
     if auto_compact_bytes is not None:
         maybe_compact_store(store, threshold_bytes=auto_compact_bytes)
     return result
+
+
+#: the embedding families' per-vector and pair tables (retract_vectors
+#: and the retract_documents cascade share this scrub)
+_EMB_ROW_TABLES = ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes")
+_EMB_PAIR_TABLES = (
+    ("eb_pairs", "vec_a", "vec_b"),
+    ("sd_pairs", "vec_a", "vec_b"),
+)
+
+
+def _retract_vec_rows(store: TableStore, r_ids: DataFrame) -> list[str]:
+    """The embedding-family scrub both ``retract_vectors`` and the
+    ``retract_documents`` doc→vec cascade run (inside the caller's
+    commit; no ledger handling here): insert the permanent
+    ``emb_retractions`` mask (a redelivered vec_id can never re-index),
+    physically delete pair rows touching a retracted vector, and
+    physically delete per-vector rows — partition-SCOPED on managed
+    snapshot tables (``TableStore.prune_keys``: only the buckets the
+    retracted ids hash into are rewritten, emptied ones become layer
+    delete-markers).  Returns the family tables touched (for the
+    retraction log)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    touched: list[str] = [inc.EMB_RETRACTIONS]
+    store.merge_insert_missing(inc.EMB_RETRACTIONS, r_ids, ["vec_id"])
+    b = F.broadcast(r_ids.select(F.col("vec_id").alias("_rid")))
+    for t, ca, cb in _EMB_PAIR_TABLES:
+        if not store.exists(t):
+            continue
+        touching = (
+            store.read(t)
+            .select(ca, cb)
+            .join(
+                b,
+                (F.col(ca) == F.col("_rid")) | (F.col(cb) == F.col("_rid")),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if touching.head(1):
+            store.prune_keys(t, touching, [ca, cb])
+            touched.append(t)
+    for t in _EMB_ROW_TABLES:
+        if store.exists(t):
+            touched.append(t)
+            # physical delete when it is cheap (unmanaged tables, or
+            # the scoped prune); a managed table the prune could only
+            # FULL-rewrite (hive partition layouts) stays masked by
+            # emb_retractions until compact_store folds it
+            if not store.is_managed(t) or store.prunes_scoped(t):
+                store.prune_keys(t, r_ids, ["vec_id"])
+    return touched
+
+
+def _log_retraction(
+    store: TableStore,
+    retract_id: str,
+    kind: str,
+    n_ids: int,
+    families: list[str],
+) -> None:
+    """Append the compliance receipt: WHAT was deleted WHEN — one
+    ``retraction_log`` row per retraction, inside the caller's commit
+    (the receipt publishes atomically with the deletion; a redelivered
+    retraction short-circuits on the ledger and never writes a second
+    row).  ``over_version`` is the snapshot version the commit
+    publishes (current + 1 — the retraction is the pending batch)."""
+    import time as _time
+
+    spark = store.spark
+    version = (
+        store.current_snapshot()["version"] + 1
+        if store.snapshot_isolation
+        else -1
+    )
+    row = spark.range(1).select(
+        F.lit(retract_id).alias("retract_id"),
+        F.lit(kind).alias("kind"),
+        F.lit(n_ids).cast("bigint").alias("n_ids"),
+        F.lit(",".join(sorted(set(families)))).alias("families"),
+        F.lit(version).cast("bigint").alias("over_version"),
+        F.lit(float(_time.time())).alias("ts"),
+    )
+    store.merge_insert_missing(RETRACTION_LOG, row, ["retract_id"])
 
 
 def compact_store(store: TableStore) -> None:
@@ -1758,13 +1895,26 @@ def compact_store(store: TableStore) -> None:
       ``ivf_assignments``/``pq_codes`` (the vector-retraction sibling,
       ``retract_vectors``);
     - ``cur_pre`` rows pruned and PERMANENT tombstones resolved: a doc
-      retired for cause 'exact'/'floor'/'retracted' can never re-enter
-      (its id is unique for all time and every probe now sees the
-      folded base tables), so its masked ``cur_docs`` row is deleted
-      and the tombstone row itself is dropped.  Revocable 'cluster'
-      tombstones stay — they are the ACTIVE demotion mask, bounded by
-      the live corpus's near-dup cluster structure, not by repair
+      retired for cause 'exact' or 'retracted' can never re-enter under
+      its own text (its id is unique for all time and every probe now
+      sees the folded base tables), so its masked ``cur_docs`` row is
+      deleted and the tombstone row itself is dropped.  'floor'
+      tombstones are REVIVABLE (``retract_documents`` retracts the
+      flags that shrank the doc, and ``_rebuild_docs(revive_floor=
+      True)`` then regrows it from ``cur_pre``), so they — and their
+      ``cur_pre`` rows — survive compaction.  Revocable 'cluster'
+      tombstones stay too — they are the ACTIVE demotion mask, bounded
+      by the live corpus's near-dup cluster structure, not by repair
       traffic.
+
+    PERMANENCE: the ``doc_retractions`` / ``emb_retractions`` masks are
+    NEVER folded away — they are the takedown contract ("a redelivered
+    copy can never re-enter"), consulted by ``ingest_increment``'s
+    redelivery guard and every exact/span/embedding probe for all time.
+    Compaction folds their EFFECT into the base tables (the masked rows
+    physically leave) but keeps the id sets; the auto-trigger accounts
+    for this by measuring mask GROWTH since the last fold (a driver-side
+    stat file), so an already-folded permanent mask never re-triggers.
 
     Reads before/after are identical by construction (each fold applies
     exactly the anti-join its probes were applying — pinned in
@@ -1786,6 +1936,7 @@ def compact_store(store: TableStore) -> None:
             "eb_buckets",
             "ivf_assignments",
             "pq_codes",
+            DOC_VECS,
             inc.DOC_RETRACTIONS,
             inc.FLAG_DROPS,
             inc.EMB_RETRACTIONS,
@@ -1806,81 +1957,124 @@ def compact_store(store: TableStore) -> None:
     ):
         return
     store.begin_commit("store-compact", tables)
+    # every fold below goes through the partition-SCOPED prune
+    # primitives: on a bucketed/banded snapshot table only the segments
+    # containing masked rows are rewritten (emptied ones become layer
+    # delete-markers), so the fold's cost follows the MASK's partition
+    # fan-out, not the corpus size — see TableStore.prune_keys.
     if store.exists(inc.EMB_RETRACTIONS):
-        emb_mask = F.broadcast(store.read(inc.EMB_RETRACTIONS))
+        emb_mask = store.read(inc.EMB_RETRACTIONS)
         for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes"):
-            if store.exists(t):
-                store.overwrite(
-                    t, store.read(t).join(emb_mask, "vec_id", "left_anti")
-                )
+            store.prune_keys(t, emb_mask, ["vec_id"])
     if store.exists(inc.DOC_RETRACTIONS):
-        mask = F.broadcast(store.read(inc.DOC_RETRACTIONS))
-        for t in ("ex_docs", "sp_occs"):
-            if store.exists(t):
-                store.overwrite(
-                    t, store.read(t).join(mask, "doc_id", "left_anti")
-                )
-        if store.exists("sp_flags"):
-            store.overwrite(
-                "sp_flags",
-                store.read("sp_flags").join(mask, "doc_id", "left_anti"),
-            )
-    if store.exists(inc.FLAG_DROPS) and store.exists("sp_flags"):
-        store.overwrite(
-            "sp_flags",
-            store.read("sp_flags").join(
-                F.broadcast(store.read(inc.FLAG_DROPS)),
-                ["doc_id", "pos"],
-                "left_anti",
-            ),
+        mask = store.read(inc.DOC_RETRACTIONS)
+        for t in ("ex_docs", "sp_occs", DOC_VECS, "sp_flags"):
+            store.prune_keys(t, mask, ["doc_id"])
+    if store.exists(inc.FLAG_DROPS):
+        store.prune_keys(
+            "sp_flags", store.read(inc.FLAG_DROPS), ["doc_id", "pos"]
         )
-    if store.exists("sp_hashes"):
-        store.overwrite(
-            "sp_hashes", store.read("sp_hashes").filter(F.col("n_occ") > 0)
-        )
+    store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
     if store.exists(TOMBSTONES):
         tomb = store.read(TOMBSTONES)
         if "cause" in tomb.columns:
+            # only 'exact' and 'retracted' are final: an exact-retired
+            # mate revives through mate PROMOTION (its text comes from
+            # the retracted demoter's cur_pre row, not its own), and a
+            # retracted doc can never revive at all.  'floor' is
+            # revivable (flag retraction regrows the text from the
+            # doc's OWN cur_pre row — ADVICE r7), so its tombstone and
+            # cur_pre row must survive the fold.
             perm = (
-                tomb.filter(F.col("cause") != "cluster")
+                tomb.filter(F.col("cause").isin("exact", "retracted"))
                 .select("doc_id")
                 .localCheckpoint(eager=True)
             )
             if perm.head(1):
-                b = F.broadcast(perm)
-                if store.exists(CURATED):
-                    store.overwrite(
-                        CURATED,
-                        store.read(CURATED).join(b, "doc_id", "left_anti"),
-                    )
-                if store.exists(CURATED_PRE):
-                    store.overwrite(
-                        CURATED_PRE,
-                        store.read(CURATED_PRE).join(b, "doc_id", "left_anti"),
-                    )
+                store.prune_keys(CURATED, perm, ["doc_id"])
+                store.prune_keys(CURATED_PRE, perm, ["doc_id"])
                 store.overwrite(
-                    TOMBSTONES, tomb.filter(F.col("cause") == "cluster")
+                    TOMBSTONES,
+                    tomb.filter(
+                        ~F.col("cause").isin("exact", "retracted")
+                    ),
                 )
-    for t in (inc.DOC_RETRACTIONS, inc.FLAG_DROPS, inc.EMB_RETRACTIONS):
-        if store.exists(t):
-            store.overwrite(t, store.read(t).limit(0))
+    # sp_flag_drops is the ONE transient retraction mask (its effect —
+    # flag rows deleted — is fully captured by the fold; a later batch
+    # re-duplicating the span re-asserts the flag as a fresh insert).
+    # doc_retractions / emb_retractions are PERMANENT by contract and
+    # are never emptied here — see the docstring.
+    if store.exists(inc.FLAG_DROPS):
+        store.overwrite(
+            inc.FLAG_DROPS, store.read(inc.FLAG_DROPS).limit(0)
+        )
     store.end_commit()
+    _record_compact_stat(store)
+
+
+#: driver-side advisory watermark written by ``compact_store``: every
+#: mask table's on-disk bytes as of the last fold.  Purely an
+#: auto-trigger optimization — a missing/stale file only causes one
+#: extra (reads-identical) compaction, never a wrong read.
+COMPACT_STAT = "_compact_stat.json"
+
+
+def _mask_tables() -> tuple[str, ...]:
+    """Every merge-on-read mask the auto-trigger watches: the transient
+    ones (folded to empty) and the permanent retraction sets (folded
+    but retained)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    return tuple(inc.OOO_DROP_TABLES) + (
+        inc.FLAG_DROPS,
+        inc.DOC_RETRACTIONS,
+        inc.EMB_RETRACTIONS,
+    )
+
+
+def _read_compact_stat(store: TableStore) -> dict:
+    import json as _json
+
+    p = store.root / COMPACT_STAT
+    try:
+        return _json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_compact_stat(store: TableStore) -> None:
+    """Record the mask tables' post-fold footprint (called after a
+    successful ``compact_store`` publish — a crashed fold records
+    nothing and simply re-triggers)."""
+    import json as _json
+    import os as _os
+
+    stat = {t: store.table_bytes(t) for t in _mask_tables()}
+    tmp = store.root / f"{COMPACT_STAT}.tmp"
+    tmp.write_text(_json.dumps(stat))
+    _os.replace(tmp, store.root / COMPACT_STAT)
 
 
 def maybe_compact_store(
     store: TableStore, threshold_bytes: int = 8 << 20
 ) -> bool:
-    """Run ``compact_store`` iff the merge-on-read mask tables' on-disk
-    size crosses ``threshold_bytes`` — a driver-side stat, no Spark job.
-    Masks are broadcast at every probe, so the default threshold sits
-    under Spark's broadcast-join comfort zone; ``ingest_increment`` and
-    ``retract_documents`` call this after every successful commit (the
-    auto-trigger), and long-running pipelines can also cron it.  Returns
-    True when a compaction ran."""
-    from jobcan_data_integrator_spark.operators import incremental as inc
-
-    mask_tables = list(inc.OOO_DROP_TABLES) + list(inc.RETRACT_MASK_TABLES)
-    total = sum(store.table_bytes(t) for t in mask_tables)
+    """Run ``compact_store`` iff the merge-on-read masks' UNFOLDED
+    on-disk size crosses ``threshold_bytes`` — a driver-side stat, no
+    Spark job.  Every mask counts only its GROWTH since the last fold
+    (the ``_compact_stat.json`` watermark ``compact_store`` writes):
+    the permanent retraction masks keep their rows forever (permanence
+    contract), and even an emptied transient mask keeps a schema-footer
+    footprint — absolute size would re-trigger a fold on every call
+    once any retraction happened.  Masks are broadcast at every probe,
+    so the default threshold sits under Spark's broadcast-join comfort
+    zone; ``ingest_increment`` and ``retract_documents`` call this
+    after every successful commit (the auto-trigger), and long-running
+    pipelines can also cron it.  Returns True when a compaction ran."""
+    folded = _read_compact_stat(store)
+    total = sum(
+        max(0, store.table_bytes(t) - int(folded.get(t, 0)))
+        for t in _mask_tables()
+    )
     if total < threshold_bytes:
         return False
     compact_store(store)

@@ -29,6 +29,7 @@ import shutil
 import threading
 import time
 import uuid
+import weakref
 from contextlib import contextmanager
 from functools import reduce
 from pathlib import Path
@@ -58,6 +59,16 @@ _INFLIGHT: set[str] = set()
 #: single-process SQLite; the age gate just keeps a same-host overlap
 #: from corrupting an in-flight swap.)
 _STALE_TMP_SECONDS = 3600.0
+
+#: live in-process lease holders per store root: TableStore instances
+#: currently between ``begin_commit`` and ``end_commit``.  A WeakSet, so
+#: a crashed/abandoned instance drops out when collected and a
+#: same-process replay through a fresh handle re-enters freely — while
+#: TWO LIVE instances composing on one root (streaming merge + batch
+#: pipeline) refcount the lease instead of the second's end_commit
+#: unlinking it under the first (ADVICE r7).
+_LEASE_LOCK = threading.Lock()
+_LEASE_HOLDERS: dict[str, "weakref.WeakSet"] = {}
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -226,6 +237,9 @@ class TableStore:
         #: THIS instance's leftover tmp dirs, but foreign ones only when
         #: stale (they may be another live writer's in-flight swap)
         self._token = f"{os.getpid():x}{uuid.uuid4().hex[:6]}"
+        #: the lease epoch this instance's current commit runs under
+        #: (set at begin_commit; the fencing token _verify_lease checks)
+        self._commit_epoch: int | None = None
 
     # -- basic io -------------------------------------------------------------
 
@@ -355,6 +369,192 @@ class TableStore:
         pend["layers"].append(layer)
         self._pending_versions[table] = pend
 
+    def _write_pruned_layer(
+        self, table: str, df: DataFrame, dead_parts: set[str]
+    ) -> None:
+        """Record ``df`` as a pending layer that REWRITES the partitions
+        it contains and DELETES ``dead_parts`` (partitions the prune
+        emptied — present in neither ``df`` nor any newer read)."""
+        layer = self._materialize_layer(table, df)
+        dead = sorted(set(dead_parts) - set(layer["parts"]))
+        if dead:
+            layer["dead"] = dead
+        pend = self._pending_versions.get(table)
+        if not isinstance(pend, dict):
+            pend = {"reset": False, "layers": []}
+        pend["layers"].append(layer)
+        self._pending_versions[table] = pend
+
+    def prunes_scoped(self, table: str) -> bool:
+        """True when ``prune_keys`` on this table takes the
+        partition-scoped path (rewrite bounded by the key fan-out)
+        rather than the full-rewrite fallback — callers with a cheaper
+        merge-on-read alternative (masks) can choose it when this is
+        False."""
+        return (
+            self.backend == "parquet"
+            and self.snapshot_isolation
+            and self._is_managed(table)
+            and self._prunable_pcol(table) is not None
+        )
+
+    def _prunable_pcol(self, table: str) -> str | None:
+        """The single derived partition column a scoped prune can
+        address (its hive segments are integer-valued — no value
+        escaping to re-derive).  Tables with hive partition columns fall
+        back to the full rewrite."""
+        pcols = self._managed_pcols(table)
+        if pcols == [BUCKET_COL] or pcols == [RANGE_COL]:
+            return pcols[0]
+        return None
+
+    def _affected_segments(
+        self, table: str, keys: DataFrame, key_cols: list[str]
+    ) -> list[int]:
+        """Partition values of ``table`` that contain rows matching
+        ``keys``.  When a key column IS the table's partition source the
+        values are derived from the keys directly (no table scan);
+        otherwise one column-pruned semi-join scan finds them."""
+        if table in self.bucketed:
+            src, n = self.bucketed[table]
+            if src in key_cols:
+                return sorted(
+                    r[0]
+                    for r in keys.select(
+                        F.pmod(F.xxhash64(F.col(src)), F.lit(n)).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            pcol = BUCKET_COL
+        else:
+            src, width = self.range_partitioned[table]
+            if src in key_cols:
+                return sorted(
+                    r[0]
+                    for r in keys.select(
+                        F.expr(
+                            f"cast(`{src}` as bigint) div {int(width)}"
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            pcol = RANGE_COL
+        raw = self._read_raw(table).select(pcol, *key_cols)
+        return sorted(
+            r[0]
+            for r in raw.join(
+                F.broadcast(keys.dropDuplicates(key_cols)), key_cols, "leftsemi"
+            )
+            .select(pcol)
+            .distinct()
+            .collect()
+        )
+
+    def prune_keys(
+        self, table: str, keys: DataFrame, key_cols: list[str]
+    ) -> None:
+        """Physically remove every row whose ``key_cols`` values appear
+        in ``keys`` — the mask-FOLD primitive (``compact_store``).
+
+        Managed snapshot tables rewrite ONLY the partitions that contain
+        matching rows: the affected partition set comes straight from
+        the keys when a key column is the partition source (zero scan),
+        else from one column-pruned semi-join scan; the surviving rows
+        of those partitions land in a new layer whose ``dead`` list
+        shadows any partition the prune emptied.  Fold cost is thus
+        bounded by the MASK's partition fan-out, not the corpus size —
+        the Iceberg delete-file economics for the one operation
+        (mask folding) that would otherwise rewrite a 100 TB table to
+        drop a few thousand rows.  Unmanaged (or plain-mode / hive-
+        partitioned) tables keep the full anti-join rewrite; the Delta
+        backend delegates to its own targeted DELETE."""
+        if self.backend == "delta":
+            if self.exists(table):
+                self.delete_scope(
+                    table, keys.dropDuplicates(key_cols), key_cols
+                )
+            return
+        if (
+            self.backend == "parquet"
+            and self.snapshot_isolation
+            and self._is_managed(table)
+            and self._prunable_pcol(table) is not None
+        ):
+            if not self.exists(table):
+                return
+            pcol = self._prunable_pcol(table)
+            segs = self._affected_segments(table, keys, key_cols)
+            if not segs:
+                return  # nothing to fold
+            n = self.bucketed[table][1] if table in self.bucketed else None
+            if pcol == BUCKET_COL:
+                affected = self._bucket_scoped_raw(table, segs, n)
+            else:
+                layers = self._effective_layers(table)
+                affected = self._read_layers(
+                    layers, last_segment_filter={f"{pcol}={s}" for s in segs}
+                )
+            kept = affected.join(
+                F.broadcast(keys.dropDuplicates(key_cols)),
+                key_cols,
+                "left_anti",
+            )
+            self._write_pruned_layer(
+                table, kept, {f"{pcol}={s}" for s in segs}
+            )
+            return
+        if self.exists(table):
+            self.overwrite(
+                table,
+                self.read(table).join(
+                    F.broadcast(keys.dropDuplicates(key_cols)),
+                    key_cols,
+                    "left_anti",
+                ),
+            )
+
+    def prune_predicate(self, table: str, cond) -> None:
+        """Physically remove every row matching ``cond`` (a Column
+        predicate) — same partition-scoped economics as ``prune_keys``
+        (one column-pruned scan finds the affected partitions)."""
+        if not self.exists(table):
+            return
+        if self.backend == "delta":
+            self._delta_table(table).delete(cond)
+            return
+        if (
+            self.backend == "parquet"
+            and self.snapshot_isolation
+            and self._is_managed(table)
+            and self._prunable_pcol(table) is not None
+        ):
+            pcol = self._prunable_pcol(table)
+            segs = sorted(
+                r[0]
+                for r in self._read_raw(table)
+                .filter(cond)
+                .select(pcol)
+                .distinct()
+                .collect()
+            )
+            if not segs:
+                return
+            n = self.bucketed[table][1] if table in self.bucketed else None
+            if pcol == BUCKET_COL:
+                affected = self._bucket_scoped_raw(table, segs, n)
+            else:
+                affected = self._read_layers(
+                    self._effective_layers(table),
+                    last_segment_filter={f"{pcol}={s}" for s in segs},
+                )
+            self._write_pruned_layer(
+                table, affected.filter(~cond), {f"{pcol}={s}" for s in segs}
+            )
+            return
+        self.overwrite(table, self.read(table).filter(~cond))
+
     def _published_layers(self, table: str) -> list[dict] | None:
         """The published manifest's layer list for a managed table, or
         None when the manifest has no (layered) entry.  A legacy live
@@ -402,12 +602,19 @@ class TableStore:
         path segment (the bucket segment on bucketed tables) is in the
         set — static partition pruning for key-scoped reads, applied
         before any file listing happens.
+
+        A layer's optional ``dead`` list names partitions the layer
+        DELETES (emptied by a scoped prune — see ``prune_keys``): they
+        shadow older layers' copies exactly like a rewritten partition,
+        but carry no data files — the delete-marker a dynamic overwrite
+        cannot express.
         """
         seen: set[str] = set()
         dfs = []
         for layer in reversed(layers):
             live = [p for p in layer["parts"] if p not in seen]
             seen.update(layer["parts"])
+            seen.update(layer.get("dead", ()))
             if last_segment_filter is not None:
                 live = [
                     p for p in live if p.rsplit("/", 1)[-1] in last_segment_filter
@@ -753,43 +960,58 @@ class TableStore:
     #: cross-host backstop.  Generous: longer than any sane batch.
     LEASE_TTL_SECONDS = 6 * 3600.0
 
-    def _acquire_lease(self) -> None:
-        """Take the store's writer lease or raise ConcurrentWriterError.
+    def _acquire_lease(self) -> int:
+        """Take the store's writer lease (or re-enter it) and return the
+        lease EPOCH this commit runs under; raise ConcurrentWriterError
+        when another live writer holds it.
 
         Protocol: atomic O_EXCL create of ``_writer.lease`` holding
-        (pid, timestamp).  The lease is PROCESS-scoped: the same process
-        re-enters freely — a crashed batch's same-process replay, and
-        the supported in-process composition of a streaming merge with a
-        batch pipeline on one store root (see ``_recover``), both keep
-        working.  On a foreign holder: a dead pid (same host) or a lease
-        older than ``LEASE_TTL_SECONDS`` (the cross-host backstop — pids
-        are meaningless across hosts) is STALE and taken over (unlink +
-        one retry; a racing second taker loses the O_EXCL and raises); a
-        live foreign holder raises, naming the pid that owns the store.
-        This is the enforcement for the single-writer stance end_commit
-        documents — the reference gets it from SQLite's file lock; the
+        (pid, timestamp, epoch).  The lease is PROCESS-scoped: the same
+        process re-enters freely — a crashed batch's same-process
+        replay, and the supported in-process composition of a streaming
+        merge with a batch pipeline on one store root (see ``_recover``),
+        both keep working (re-entry adopts the standing epoch).  On a
+        foreign holder: a dead pid (same host) or a lease older than
+        ``LEASE_TTL_SECONDS`` (the cross-host backstop — pids are
+        meaningless across hosts) is STALE and taken over with epoch =
+        stale epoch + 1 (unlink + one retry; a racing second taker loses
+        the O_EXCL and raises); a live foreign holder raises, naming the
+        pid that owns the store.
+
+        The EPOCH is the fencing token: ``end_commit`` re-verifies that
+        the on-disk lease still carries this commit's (pid, epoch)
+        immediately before the snapshot pointer swap, so a writer whose
+        lease was TTL-taken-over while it stalled (a zombie) can never
+        publish over — or GC — the new holder's commit.  This is the
+        enforcement for the single-writer stance end_commit documents —
+        the reference gets it from SQLite's file lock; the
         parquet/snapshot backends get it here."""
         import json as _json
 
         path = self.root / self.LEASE
-        payload = _json.dumps(
-            {"pid": os.getpid(), "ts": time.time()}
-        ).encode()
+        next_epoch = 1
         for _attempt in range(2):
+            payload = _json.dumps(
+                {"pid": os.getpid(), "ts": time.time(), "epoch": next_epoch}
+            ).encode()
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 try:
                     os.write(fd, payload)
                 finally:
                     os.close(fd)
-                return
+                return next_epoch
             except FileExistsError:
                 try:
                     holder = _json.loads(path.read_text())
                 except (OSError, ValueError):
                     holder = None  # torn write / vanished: stale
                 if holder and holder.get("pid") == os.getpid():
-                    return  # re-entrant: this process already writes
+                    # re-entrant: this process already writes — adopt
+                    # the standing epoch (a crashed same-process
+                    # instance's replay, or a second live instance
+                    # composing on this root)
+                    return int(holder.get("epoch", 1))
                 stale = True
                 if holder:
                     age = time.time() - float(holder.get("ts", 0))
@@ -812,6 +1034,11 @@ class TableStore:
                         "old); route all writes through one process — "
                         "or remove the lease if that writer is gone"
                     ) from None
+                # fence the (possibly still-alive elsewhere) stale
+                # holder out: the takeover bumps the epoch, so its
+                # end_commit's verify fails even if it wakes later
+                if holder:
+                    next_epoch = int(holder.get("epoch", 0)) + 1
                 try:
                     path.unlink()
                 except FileNotFoundError:
@@ -821,13 +1048,76 @@ class TableStore:
             "writer claimed the stale lease first)"
         )
 
-    def _release_lease(self) -> None:
-        """Drop the lease iff this process holds it."""
+    def _lease_holders(self) -> "weakref.WeakSet":
+        with _LEASE_LOCK:
+            hs = _LEASE_HOLDERS.get(str(self.root))
+            if hs is None:
+                hs = _LEASE_HOLDERS[str(self.root)] = weakref.WeakSet()
+            return hs
+
+    def _verify_lease(self) -> None:
+        """The fencing check: the on-disk lease must still carry THIS
+        commit's (pid, epoch).  Called immediately before the snapshot
+        pointer swap (and thus before the versioned-dir GC): a writer
+        whose lease was taken over while it stalled aborts here instead
+        of publishing interleaved pointers / GC-ing the new holder's
+        live data.  One driver-side stat per commit; the residual
+        window between this check and the ``os.replace`` is the
+        advisory-lock floor every filesystem-lease design shares
+        (Delta's S3 LogStore has the same caveat)."""
         import json as _json
 
+        if self._commit_epoch is None:
+            # no begin_commit on this instance: an out-of-band
+            # end_commit (e.g. clearing a crashed process's stale
+            # manifest before replay, pipeline.py) — nothing leased to
+            # verify
+            return
         path = self.root / self.LEASE
         try:
-            if _json.loads(path.read_text()).get("pid") == os.getpid():
+            holder = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            holder = None
+        if (
+            holder is None
+            or holder.get("pid") != os.getpid()
+            or int(holder.get("epoch", -1)) != self._commit_epoch
+        ):
+            # this writer was fenced out: drop its unpublished work and
+            # leave the (foreign) lease alone
+            self._pending_versions = {}
+            self._lease_holders().discard(self)
+            held = (
+                f"pid {holder.get('pid')} epoch {holder.get('epoch')}"
+                if holder
+                else "no lease"
+            )
+            raise ConcurrentWriterError(
+                f"store {self.root}: lease lost before publish (this "
+                f"commit holds epoch {self._commit_epoch}, on-disk: "
+                f"{held}) — another writer took over while this batch "
+                "stalled; nothing was published, replay against the "
+                "current snapshot"
+            )
+
+    def _release_lease(self) -> None:
+        """Drop this instance's hold; unlink the lease only when no
+        other LIVE in-process instance is still mid-commit (refcount via
+        the weak holder set) and the on-disk lease is still this
+        commit's (never unlink a taker's lease)."""
+        import json as _json
+
+        hs = self._lease_holders()
+        hs.discard(self)
+        if len(hs):
+            return  # another live instance of this process still writes
+        path = self.root / self.LEASE
+        try:
+            holder = _json.loads(path.read_text())
+            if holder.get("pid") == os.getpid() and (
+                self._commit_epoch is None
+                or int(holder.get("epoch", -1)) == self._commit_epoch
+            ):
                 path.unlink()
         except (OSError, ValueError):
             pass
@@ -848,8 +1138,13 @@ class TableStore:
 
         if self._suspended:
             return  # inside batch_commit: the outer manifest owns the batch
-        self._acquire_lease()
-        payload = {"batch_id": batch_id, "tables": sorted(tables)}
+        self._commit_epoch = self._acquire_lease()
+        self._lease_holders().add(self)
+        payload = {
+            "batch_id": batch_id,
+            "tables": sorted(tables),
+            "epoch": self._commit_epoch,
+        }
         tmp = self.root / f"{self.MANIFEST}.tmp"
         tmp.write_text(_json.dumps(payload))
         os.replace(tmp, self.root / self.MANIFEST)
@@ -898,12 +1193,20 @@ class TableStore:
         update is read-modify-write, and the GC reclaims any versioned
         dir the manifest doesn't reference): readers may be many and
         concurrent, but route all writes through one process — the same
-        single-writer stance as the reference's SQLite.
+        single-writer stance as the reference's SQLite.  ENFORCED two
+        ways: ``begin_commit`` takes the advisory lease, and this method
+        re-verifies the lease's (pid, epoch) fencing token immediately
+        before the pointer swap — a stalled writer whose lease was
+        TTL-taken-over aborts with ConcurrentWriterError instead of
+        publishing over (or GC-ing) the new holder's commit.
         """
         import json as _json
 
         if self._suspended:
             return  # inside batch_commit: published once, at context exit
+        # the fencing check: abort BEFORE the pointer swap and the GC if
+        # this commit's lease was taken over while the batch stalled
+        self._verify_lease()
         if self.snapshot_isolation and self._pending_versions:
             snap = self.current_snapshot()
             new_tables = dict(snap["tables"])
@@ -926,6 +1229,13 @@ class TableStore:
             os.replace(tmp, self.root / self.SNAPSHOT)
             self._pending_versions = {}
             keep = self._entry_dirs(new_tables) | self._entry_dirs(snap["tables"])
+            # spare the UNPUBLISHED pending dirs of any other live
+            # in-process writer composing on this root (they are
+            # referenced by no manifest yet — without this, the first
+            # publisher's GC would delete a concurrent instance's
+            # in-flight batch data)
+            for inst in list(self._lease_holders()):
+                keep |= inst._pending_dirs()
             for p in self.root.glob("*.v-*"):
                 if p.name not in keep:
                     shutil.rmtree(p, ignore_errors=True)
@@ -967,6 +1277,17 @@ class TableStore:
             raise
         self._suspended = False
         self.end_commit()
+
+    def _pending_dirs(self) -> set[str]:
+        """Versioned dirnames this instance has written but not yet
+        published (spared by a concurrent composer's GC)."""
+        dirs: set[str] = set()
+        for pend in self._pending_versions.values():
+            if isinstance(pend, dict):
+                dirs.update(layer["dir"] for layer in pend["layers"])
+            else:
+                dirs.add(pend)
+        return dirs
 
     @staticmethod
     def _entry_dirs(tables: dict) -> set[str]:

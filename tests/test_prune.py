@@ -1,0 +1,211 @@
+"""Partition-scoped physical deletes (TableStore.prune_keys /
+prune_predicate): the mask-FOLD primitive compact_store uses.
+
+On a bucketed/banded snapshot table a prune rewrites ONLY the segments
+containing matching rows and publishes emptied segments as layer
+DELETE-MARKERS (``dead``) — the Iceberg delete-file economics, so
+folding a few-thousand-row mask never rewrites a 100 TB table.  These
+tests pin: scoped rewrite (untouched segments' files are not touched),
+dead-marker shadowing across layers, the scan path when the key is not
+the partition source, layer compaction over dead markers, and
+plain-mode/unmanaged fallback equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.storage import BUCKET_COL, TableStore
+
+
+def _store(spark, root, *, snapshot=True, layers=8):
+    return TableStore(
+        spark,
+        root,
+        write_partitions=1,
+        bucketed={"t": ("k", 4)},
+        sorted_by={"t": ["k"]},
+        snapshot_isolation=snapshot,
+        max_snapshot_layers=layers,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, g long, v string")
+
+
+def _keys(spark, ks, col="k"):
+    return spark.createDataFrame([(k,) for k in ks], f"{col} long")
+
+
+def _rows(store):
+    return sorted((r.k, r.g, r.v) for r in store.read("t").collect())
+
+
+def _seed(spark, store, n=64):
+    rows = [(i, i % 3, f"v{i}") for i in range(n)]
+    store.begin_commit("seed", ["t"])
+    store.merge_upsert("t", _df(spark, rows), ["k"])
+    store.end_commit()
+    return rows
+
+
+def _bucket_of(spark, k):
+    return (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(k).cast("long")), F.lit(4)))
+        .first()[0]
+    )
+
+
+def test_prune_keys_rewrites_only_affected_buckets(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    rows = _seed(spark, store)
+    # keys that all land in ONE bucket: group ints by bucket, take one
+    by_bucket: dict[int, list[int]] = {}
+    for k, _, _ in rows:
+        by_bucket.setdefault(_bucket_of(spark, k), []).append(k)
+    bucket, ks = next((b, v) for b, v in by_bucket.items() if len(v) >= 3)
+    drop = ks[:3]
+
+    store.begin_commit("prune", ["t"])
+    store.prune_keys("t", _keys(spark, drop), ["k"])
+    store.end_commit()
+
+    assert _rows(store) == sorted(
+        (k, g, v) for k, g, v in rows if k not in drop
+    )
+    # the prune layer covers ONLY the affected bucket
+    layers = store.current_snapshot()["tables"]["t"]["layers"]
+    assert layers[-1]["parts"] == [f"{BUCKET_COL}={bucket}"]
+    assert "dead" not in layers[-1]
+    # read_for_keys on surviving + dropped keys agrees
+    probe = store.read_for_keys("t", _keys(spark, drop + ks[3:4]))
+    assert {r.k for r in probe.collect()} & set(drop) == set()
+
+
+def test_prune_empties_bucket_with_dead_marker(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    rows = _seed(spark, store)
+    by_bucket: dict[int, list[int]] = {}
+    for k, _, _ in rows:
+        by_bucket.setdefault(_bucket_of(spark, k), []).append(k)
+    bucket, ks = min(by_bucket.items(), key=lambda kv: len(kv[1]))
+
+    store.begin_commit("prune-all", ["t"])
+    store.prune_keys("t", _keys(spark, ks), ["k"])
+    store.end_commit()
+    assert _rows(store) == sorted(
+        (k, g, v) for k, g, v in rows if k not in set(ks)
+    )
+    layers = store.current_snapshot()["tables"]["t"]["layers"]
+    assert layers[-1].get("dead") == [f"{BUCKET_COL}={bucket}"]
+    assert layers[-1]["parts"] == []
+
+    # the emptied bucket accepts new rows again (a fresh layer wins)
+    store.begin_commit("refill", ["t"])
+    store.merge_upsert("t", _df(spark, [(ks[0], 9, "back")]), ["k"])
+    store.end_commit()
+    got = dict(((r.k), (r.g, r.v)) for r in store.read("t").collect())
+    assert got[ks[0]] == (9, "back")
+    assert not set(ks[1:]) & set(got)  # the rest stay deleted
+
+
+def test_dead_markers_survive_layer_compaction(spark, tmp_path):
+    store = _store(spark, tmp_path, layers=3)
+    rows = _seed(spark, store)
+    by_bucket: dict[int, list[int]] = {}
+    for k, _, _ in rows:
+        by_bucket.setdefault(_bucket_of(spark, k), []).append(k)
+    bucket, ks = min(by_bucket.items(), key=lambda kv: len(kv[1]))
+    store.begin_commit("prune-all", ["t"])
+    store.prune_keys("t", _keys(spark, ks), ["k"])
+    store.end_commit()
+    # pile on merges until the stack folds (max 3 layers)
+    for i in range(4):
+        other = next(k for k in by_bucket if k != bucket)
+        store.begin_commit(f"m{i}", ["t"])
+        store.merge_upsert(
+            "t", _df(spark, [(by_bucket[other][0], 7, f"m{i}")]), ["k"]
+        )
+        store.end_commit()
+    entry = store.current_snapshot()["tables"]["t"]
+    assert len(entry["layers"]) <= 3  # folded
+    got = {r.k for r in store.read("t").collect()}
+    assert not set(ks) & got  # deletes held through the fold
+
+
+def test_prune_keys_scan_path_non_source_key(spark, tmp_path):
+    """Pruning on a column that is NOT the bucket source: one
+    column-pruned scan finds the affected buckets, result identical to
+    the full anti-join."""
+    store = _store(spark, tmp_path)
+    rows = _seed(spark, store)
+    store.begin_commit("prune-g", ["t"])
+    store.prune_keys("t", _keys(spark, [1], col="g"), ["g"])
+    store.end_commit()
+    assert _rows(store) == sorted(
+        (k, g, v) for k, g, v in rows if g != 1
+    )
+
+
+def test_prune_predicate_scoped(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    rows = _seed(spark, store)
+    store.begin_commit("prune-pred", ["t"])
+    store.prune_predicate("t", F.col("g") == 2)
+    store.end_commit()
+    assert _rows(store) == sorted(
+        (k, g, v) for k, g, v in rows if g != 2
+    )
+
+
+def test_prune_matches_plain_mode_fallback(spark, tmp_path):
+    """Plain-mode (non-snapshot) managed stores and unmanaged tables
+    take the full anti-join rewrite — contents identical to the scoped
+    path."""
+    snap = _store(spark, tmp_path / "snap")
+    plain = _store(spark, tmp_path / "plain", snapshot=False)
+    for st in (snap, plain):
+        _seed(spark, st)
+        st.begin_commit("prune", ["t"])
+        st.prune_keys("t", _keys(spark, [3, 8, 21]), ["k"])
+        st.end_commit()
+    assert _rows(snap) == _rows(plain)
+
+    # unmanaged table on a snapshot store: full rewrite, same result
+    u = TableStore(
+        spark, tmp_path / "u", write_partitions=1, snapshot_isolation=True
+    )
+    u.begin_commit("seed", ["t"])
+    u.overwrite("t", _df(spark, [(i, i % 3, f"v{i}") for i in range(10)]))
+    u.end_commit()
+    u.begin_commit("prune", ["t"])
+    u.prune_keys("t", _keys(spark, [4, 5]), ["k"])
+    u.end_commit()
+    assert sorted(r.k for r in u.read("t").collect()) == [
+        0, 1, 2, 3, 6, 7, 8, 9,
+    ]
+
+
+def test_prune_range_banded_table(spark, tmp_path):
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=1,
+        range_partitioned={"t": ("k", 10)},
+        snapshot_isolation=True,
+    )
+    rows = [(i, i % 3, f"v{i}") for i in range(40)]
+    store.begin_commit("seed", ["t"])
+    store.merge_upsert("t", _df(spark, rows), ["k"])
+    store.end_commit()
+    store.begin_commit("prune", ["t"])
+    store.prune_keys("t", _keys(spark, [12, 13, 14]), ["k"])
+    store.end_commit()
+    assert _rows(store) == sorted(
+        (k, g, v) for k, g, v in rows if k not in (12, 13, 14)
+    )
+    # only band k div 10 == 1 was rewritten
+    layers = store.current_snapshot()["tables"]["t"]["layers"]
+    assert layers[-1]["parts"] == ["_prange=1"]

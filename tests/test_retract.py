@@ -333,10 +333,11 @@ def test_interleaved_ingest_retract_lifecycle(spark, tmp_path):
 
 def test_compact_store_preserves_reads_and_prunes(spark, tmp_path):
     """compact_store folds every merge-on-read mask: reads identical
-    before/after, masks empty, the retracted rows physically gone from
-    ex_docs/sp_occs/sp_flags/cur_pre, permanent tombstones resolved
-    (their masked cur_docs rows deleted), revocable cluster tombstones
-    kept."""
+    before/after, TRANSIENT masks empty, the retracted rows physically
+    gone from ex_docs/sp_occs/sp_flags/cur_pre, permanent tombstones
+    resolved (their masked cur_docs rows deleted), revocable cluster
+    tombstones kept — and the PERMANENT retraction mask keeps its ids
+    (the takedown contract survives the fold)."""
     from jobcan_data_integrator_spark.operators import incremental as inc
 
     store, _ = _ingest_ooo(spark, tmp_path, (BATCH3, BATCH2, BATCH1))
@@ -355,9 +356,11 @@ def test_compact_store_preserves_reads_and_prunes(spark, tmp_path):
         == before_pairs
     )
     assert _rows(inc.read_flags(store), "doc_id", "pos") == before_flags
-    for t in inc.OOO_DROP_TABLES + inc.RETRACT_MASK_TABLES:
+    for t in inc.OOO_DROP_TABLES + (inc.FLAG_DROPS,):
         if store.exists(t):
             assert store.read(t).count() == 0, t
+    # permanence: the doc-retraction mask is NEVER folded away
+    assert _rows(store.read(inc.DOC_RETRACTIONS), "doc_id") == {(1,), (2,)}
     for t in ("ex_docs", "sp_occs", "sp_flags", "cur_pre", "cur_docs"):
         if store.exists(t):
             assert (
@@ -365,7 +368,7 @@ def test_compact_store_preserves_reads_and_prunes(spark, tmp_path):
             ), t
     assert store.read("sp_hashes").filter(F.col("n_occ") <= 0).count() == 0
     tomb = store.read(TOMBSTONES)
-    assert {r["cause"] for r in tomb.collect()} <= {"cluster"}
+    assert {r["cause"] for r in tomb.collect()} <= {"cluster", "floor"}
     # and the store keeps absorbing + retracting after the fold
     late = [(51, _t("fresh", 0, 11))]
     ingest_increment(
@@ -376,6 +379,91 @@ def test_compact_store_preserves_reads_and_prunes(spark, tmp_path):
     _assert_store_equals(
         spark, store, [r for r in ALL if r[0] not in (1, 2)] + late
     )
+
+
+def test_redelivered_retracted_id_never_reenters_after_compact(
+    spark, tmp_path
+):
+    """ADVICE r7 (high): compaction must not reopen the takedown — a
+    redelivered copy of a retracted doc arriving AFTER compact_store
+    folded the masks must still be stripped (the permanent
+    doc_retractions rows survive the fold and the redelivery guard
+    keeps consulting them)."""
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH1, BATCH2))
+    _retract(store, _ids(spark, [2]), "r1")
+    compact_store(store)
+    late = [(2, _t("v", 0, 10)), *BATCH3]  # 2 comes back in the feed
+    ingest_increment(
+        store, _mk(spark, late), "late",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+    )
+    _assert_store_equals(spark, store, [r for r in ALL if r[0] != 2])
+
+
+def test_retract_revives_floor_tombstoned_doc_after_compact(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): a compaction between the floor demotion and
+    the retraction of the flagger must not finalize the floor — the
+    'floor' tombstone and the floored doc's cur_pre row survive the
+    fold, so the revival still regrows the full text."""
+    run = _t("r", 0, SPAN)
+    floored = (50, run + " t1 t2")
+    flagger = (40, run + " s1 s2 s3")
+    store, _ = _ingest_ooo(spark, tmp_path, ([floored], [flagger]))
+    assert (50,) not in _rows(read_curated(store), "doc_id")
+
+    compact_store(store)
+    tomb = {
+        (r["doc_id"], r["cause"]) for r in store.read(TOMBSTONES).collect()
+    }
+    assert (50, "floor") in tomb  # revivable: survives the fold
+    assert store.read("cur_pre").filter(F.col("doc_id") == 50).count() == 1
+
+    _retract(store, _ids(spark, [40]), "r1")
+    _assert_store_equals(spark, store, [floored])
+    got = dict(read_curated(store).select("doc_id", "text").collect())
+    assert got[50] == floored[1]
+
+
+def test_retract_promotes_exact_mate_after_compact(spark, tmp_path):
+    """An exact-retired mate's tombstone and cur_pre row ARE folded
+    (final causes) — but mate promotion must still work after the fold,
+    because the promoted text comes from the retracted demoter's OWN
+    cur_pre row and the mate's ex_docs group membership survives."""
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH3, BATCH2, BATCH1))
+    tomb = {
+        (r["doc_id"], r["cause"]) for r in store.read(TOMBSTONES).collect()
+    }
+    assert (21, "exact") in tomb
+    compact_store(store)
+    tomb = store.read(TOMBSTONES)
+    assert {r["cause"] for r in tomb.collect()} <= {"cluster", "floor"}
+
+    res = _retract(store, _ids(spark, [1]), "r1")
+    assert _rows(res.promoted, "doc_id") == {(21,)}
+    _assert_store_equals(spark, store, [r for r in ALL if r[0] != 1])
+    assert (21,) in _rows(read_curated(store), "doc_id")
+
+
+def test_compact_watermark_does_not_retrigger(spark, tmp_path):
+    """The auto-trigger measures mask GROWTH since the last fold: right
+    after a compaction the permanent masks are non-empty but fully
+    folded, so even a 1-byte threshold must not re-trigger."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        maybe_compact_store,
+    )
+
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH1, BATCH2))
+    _retract(store, _ids(spark, [2]), "r1", auto_compact_bytes=1)
+    # the retraction auto-compacted at threshold 1; the permanent mask
+    # is non-empty but recorded as folded -> no re-trigger
+    assert store.read("doc_retractions").count() == 1
+    assert maybe_compact_store(store, threshold_bytes=1) is False
+    # a NEW retraction grows the mask past the watermark -> triggers
+    _retract(store, _ids(spark, [3]), "r2", auto_compact_bytes=None)
+    assert maybe_compact_store(store, threshold_bytes=1) is True
 
 
 def test_auto_compact_triggers_on_threshold(spark, tmp_path):

@@ -176,7 +176,11 @@ def test_compact_folds_embedding_mask(spark, stores):
         "vec_id",
     )
     compact_store(store)
-    assert store.read(inc.EMB_RETRACTIONS).count() == 0
+    # PERMANENCE: the mask keeps its ids across the fold (a redelivered
+    # vec_id can never re-enter); only its EFFECT is folded below
+    assert _rows(store.read(inc.EMB_RETRACTIONS), "vec_id") == _rows(
+        drop, "vec_id"
+    )
     dropped = {r[0] for r in drop.collect()}
     for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes"):
         assert not {
@@ -190,6 +194,110 @@ def test_compact_folds_embedding_mask(spark, stores):
         )
         == before
     )
+
+
+def test_retract_documents_cascades_to_embedding_families(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r7 #2: a takedown arrives as DOC ids — when the store
+    carries the ``doc_vecs`` mapping (new_emb ingested with a doc_id
+    column), one ``retract_documents`` call must scrub the embedding
+    families too: every serving path lands exactly on a reference store
+    built from the SURVIVING docs' vectors under the same frozen
+    codebooks."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        RETRACTION_LOG,
+        ingest_increment,
+        retract_documents,
+    )
+    from test_ingest import BS, MIN_TOKENS, NH, SPAN, THRESH, _t
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 40)
+    # two vectors per doc: doc_id = vec_id div 2  ->  docs 0..19
+    emb_docs = emb.select(
+        (F.col("vec_id") / 2).cast("bigint").alias("doc_id"),
+        "vec_id",
+        "embedding",
+    ).localCheckpoint(eager=True)
+    docs = spark.createDataFrame(
+        [(i, _t(f"w{i}", 0, 12)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    store = TableStore(
+        spark, tmp_path / "main", write_partitions=2, snapshot_isolation=True
+    )
+    ingest_increment(
+        store, docs, "b1",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+        new_emb=emb_docs, emb_families=("lsh", "ivf", "pq"),
+    )
+    inc.build_semantic_index(store, emb, threshold=0.3)
+
+    r_docs = [i for i in range(20) if i % 5 == 2]
+    res = retract_documents(
+        store,
+        spark.createDataFrame([(i,) for i in r_docs], "doc_id long"),
+        "takedown-d",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH,
+    )
+    assert not res.replayed
+
+    keep = emb_docs.filter(
+        ~(F.col("doc_id") % 5 == 2)
+    ).select("vec_id")
+    ref = _reference(spark, tmp_path / "ref", emb, keep)
+    dropped = {
+        r[0]
+        for r in emb_docs.filter(F.col("doc_id") % 5 == 2)
+        .select("vec_id")
+        .collect()
+    }
+    q = _probe(emb)
+    for fn, kw, qcol in (
+        (inc.ann_search_indexed, {"k": 5, "n_probe": 2}, "q_id"),
+        (inc.pq_search_indexed, {"k": 5}, "query_id"),
+        (inc.ivfpq_search_indexed, {"k": 5, "n_probe": 2}, "query_id"),
+    ):
+        got = fn(store, q, **kw).collect()
+        assert got, fn.__name__
+        assert not {r["vec_id"] for r in got} & dropped, fn.__name__
+        want = {(r[qcol], r["vec_id"]) for r in fn(ref, q, **kw).collect()}
+        assert {(r[qcol], r["vec_id"]) for r in got} == want, fn.__name__
+    # the mapping rows of the retracted docs are deleted (takedown)
+    assert not {
+        r["doc_id"] for r in store.read("doc_vecs").select("doc_id").collect()
+    } & set(r_docs)
+    # compliance receipt: one row, doc kind, embedding families listed
+    log = store.read(RETRACTION_LOG).collect()
+    assert len(log) == 1
+    assert log[0]["retract_id"] == "takedown-d"
+    assert log[0]["kind"] == "documents"
+    assert log[0]["n_ids"] == len(r_docs)
+    assert "eb_vectors" in log[0]["families"]
+    assert "cur_docs" in log[0]["families"]
+    # redelivery: no-op, and no second receipt row
+    res2 = retract_documents(
+        store,
+        spark.createDataFrame([(99,)], "doc_id long"),
+        "takedown-d",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH,
+    )
+    assert res2.replayed
+    assert store.read(RETRACTION_LOG).count() == 1
+
+
+def test_retract_vectors_writes_receipt(spark, stores):
+    from jobcan_data_integrator_spark.operators.ingest import RETRACTION_LOG
+
+    store, ref, emb, keep, drop = stores
+    log = store.read(RETRACTION_LOG).collect()
+    assert len(log) == 1
+    assert log[0]["kind"] == "vectors"
+    assert log[0]["n_ids"] == drop.count()
+    assert "emb_retractions" in log[0]["families"]
 
 
 def test_retract_vectors_requires_snapshot(spark, tmp_path):

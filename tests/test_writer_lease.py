@@ -123,6 +123,86 @@ def test_torn_lease_file_is_reclaimed(spark, tmp_path):
     b.end_commit()
 
 
+def test_zombie_writer_cannot_publish_after_takeover(spark, tmp_path):
+    """The fencing token (VERDICT r7 #1): a writer whose lease was
+    TTL-taken-over while it stalled must NOT publish.  Simulates the
+    full takeover protocol a foreign process runs — read the stale
+    lease, bump the epoch, write its own lease, commit a new snapshot,
+    release — then the zombie's end_commit must raise and the store
+    must read as the NEW writer's snapshot."""
+    a = TableStore(spark, tmp_path, snapshot_isolation=True)
+    # seed a published snapshot so both writers contend over real state
+    a.begin_commit("seed", ["t"])
+    a.overwrite("t", _mk(spark, [(1, "old")]))
+    a.end_commit()
+
+    a.begin_commit("zombie", ["t"])
+    a.overwrite("t", _mk(spark, [(2, "zombie")]))  # pending, unpublished
+    # the stall: a foreign writer finds the lease past TTL and takes
+    # over — epoch+1 lease, then ITS commit publishes a new snapshot
+    zombie_lease = json.loads((tmp_path / TableStore.LEASE).read_text())
+    new_epoch = zombie_lease["epoch"] + 1
+    (tmp_path / TableStore.LEASE).write_text(
+        json.dumps({"pid": 1, "ts": time.time(), "epoch": new_epoch})
+    )
+    b_dir = f"t.v-newwriter-{new_epoch}"
+    _mk(spark, [(3, "new-writer")]).write.parquet(str(tmp_path / b_dir))
+    snap = json.loads((tmp_path / TableStore.SNAPSHOT).read_text())
+    (tmp_path / TableStore.SNAPSHOT).write_text(
+        json.dumps(
+            {"version": snap["version"] + 1, "tables": {"t": b_dir}}
+        )
+    )
+
+    with pytest.raises(ConcurrentWriterError, match="epoch"):
+        a.end_commit()
+    # nothing of the zombie's published; the new writer's snapshot wins
+    c = TableStore(spark, tmp_path, snapshot_isolation=True)
+    rows = {(r["doc_id"], r["text"]) for r in c.read("t").collect()}
+    assert rows == {(3, "new-writer")}
+    # and the new writer's lease was not unlinked by the zombie
+    assert (
+        json.loads((tmp_path / TableStore.LEASE).read_text())["epoch"]
+        == new_epoch
+    )
+
+
+def test_in_process_composition_refcounts_the_lease(spark, tmp_path):
+    """ADVICE r7 (low): two live TableStore instances composing on one
+    root (streaming merge + batch pipeline) — the second's end_commit
+    must NOT unlink the lease while the first is still mid-commit."""
+    a = TableStore(spark, tmp_path, snapshot_isolation=True)
+    b = TableStore(spark, tmp_path, snapshot_isolation=True)
+    a.begin_commit("batch-a", ["ta"])
+    a.overwrite("ta", _mk(spark, [(1, "a")]))
+
+    b.begin_commit("batch-b", ["tb"])  # re-entrant (same process)
+    b.overwrite("tb", _mk(spark, [(2, "b")]))
+    b.end_commit()
+    # a is still mid-commit: the lease must survive b's release
+    assert (tmp_path / TableStore.LEASE).exists()
+
+    a.end_commit()  # a's publish still fenced-valid, then releases
+    assert not (tmp_path / TableStore.LEASE).exists()
+    c = TableStore(spark, tmp_path, snapshot_isolation=True)
+    assert c.read("ta").count() == 1 and c.read("tb").count() == 1
+
+
+def test_pid_reuse_with_unknown_epoch_still_adopts(spark, tmp_path):
+    """A lease carrying OUR pid but written by a dead previous process
+    (pid reuse) is adopted — same as the crash-replay path; the commit
+    then runs under the standing epoch and stays verifiable."""
+    (tmp_path / TableStore.LEASE).write_text(
+        json.dumps({"pid": os.getpid(), "ts": time.time(), "epoch": 7})
+    )
+    b = TableStore(spark, tmp_path, snapshot_isolation=True)
+    b.begin_commit("adopt", ["t"])
+    b.overwrite("t", _mk(spark, [(1, "x")]))
+    b.end_commit()
+    assert not (tmp_path / TableStore.LEASE).exists()
+    assert b.read("t").count() == 1
+
+
 def test_readers_never_take_the_lease(spark, tmp_path):
     a = TableStore(spark, tmp_path, snapshot_isolation=True)
     a.begin_commit("w", ["t"])
