@@ -1980,13 +1980,16 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comb (~1/5 of the slice, including exact keepers, span-run owners "
     "and cluster keepers), and must land exactly on the one-shot "
     "curation of the survivors. Mirrors the reference's delete-of-"
-    "removed sync (users.py:129-134) at the LLM-curation tier; masks "
-    "are folded by compact_store (reads-identical, pytest-pinned).",
+    "removed sync (users.py:129-134) at the LLM-curation tier. The "
+    "gate then runs compact_store BEFORE the final read, so the same "
+    "one-shot oracle also proves the mask FOLD end-to-end (r8: the "
+    "fold is partition-scoped, TableStore.prune_keys).",
 )
 def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from jobcan_data_integrator_spark.operators.ingest import (
+        compact_store,
         ingest_increment,
         read_curated,
         retract_documents,
@@ -2022,6 +2025,10 @@ def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_tokens=10,
             minhash=True,
         )
+        # fold every merge-on-read mask into the base tables, then read
+        # through the folded store: the one-shot oracle below now pins
+        # compaction correctness end-to-end for free
+        compact_store(store)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return read_curated(store).select("doc_id", "text")

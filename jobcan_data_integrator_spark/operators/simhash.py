@@ -9,6 +9,19 @@ one whole block (pigeonhole), so candidate generation is an equi-join on
 (block_idx, block_value) instead of an O(n²) scan.  Block-value
 cardinality 2^(bits/n_blocks) is the quadratic-control knob — widen the
 fingerprint as the corpus grows.
+
+Scaling rule (measured, r8 probe): candidate volume is
+``n_blocks * n² / 2^block_bits`` TIMES a skew factor for hot block
+values (real corpora vote similar bits on short/templated docs; the
+sf0.1 synthetic corpus's hottest value holds ~5% of docs, so candidates
+measured 103x for 10x docs — pure n²).  Signature compute is linear
+(7.9x for 10x docs).  To hold per-join candidate volume constant,
+grow ``block_bits`` by ``2*log2(corpus growth)`` — e.g. 10x docs needs
+block_bits +7; at 100 TB use a 128-bit fingerprint (two longs) with
+4 x 32-bit blocks rather than today's 60-bit/15-bit demo geometry.
+Unlike the shingle path there is no lossless hot-value cap: dropping a
+hot block value breaks the pigeonhole completeness guarantee, so width
+is THE knob.
 """
 
 from __future__ import annotations

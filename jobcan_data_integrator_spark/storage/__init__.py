@@ -1087,6 +1087,7 @@ class TableStore:
             # leave the (foreign) lease alone
             self._pending_versions = {}
             self._lease_holders().discard(self)
+            epoch_held, self._commit_epoch = self._commit_epoch, None
             held = (
                 f"pid {holder.get('pid')} epoch {holder.get('epoch')}"
                 if holder
@@ -1094,7 +1095,7 @@ class TableStore:
             )
             raise ConcurrentWriterError(
                 f"store {self.root}: lease lost before publish (this "
-                f"commit holds epoch {self._commit_epoch}, on-disk: "
+                f"commit holds epoch {epoch_held}, on-disk: "
                 f"{held}) — another writer took over while this batch "
                 "stalled; nothing was published, replay against the "
                 "current snapshot"
@@ -1109,14 +1110,14 @@ class TableStore:
 
         hs = self._lease_holders()
         hs.discard(self)
+        epoch, self._commit_epoch = self._commit_epoch, None
         if len(hs):
             return  # another live instance of this process still writes
         path = self.root / self.LEASE
         try:
             holder = _json.loads(path.read_text())
             if holder.get("pid") == os.getpid() and (
-                self._commit_epoch is None
-                or int(holder.get("epoch", -1)) == self._commit_epoch
+                epoch is None or int(holder.get("epoch", -1)) == epoch
             ):
                 path.unlink()
         except (OSError, ValueError):

@@ -404,8 +404,19 @@ def ingest_ooo_experiment(
 #: relabel), not the corpus.
 RETRACT_BUDGET = 3.0
 
+#: compaction-fold probe: after the retractions, ``compact_store``
+#: folds every mask into the base tables.  With the partition-scoped
+#: prune (TableStore.prune_keys) the rewrite is bounded by the masks'
+#: bucket fan-out (bucket SIZE is held constant as the corpus grows),
+#: so the fold at the 10x store must cost ~flat — the budget leaves
+#: room for the column-pruned affected-partition scans, which do grow
+#: with the corpus.
+COMPACT_BUDGET = 2.5
 
-def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> float:
+
+def retract_experiment(
+    spark, sf_dir: str, n_buckets: int, workdir: Path
+) -> tuple[float, float]:
     """Median seconds for one fixed ~20-id ``retract_documents`` call
     against a store seeded with ``sf_dir``'s whole corpus in repair
     (out-of-order) mode.  Three sequential ~20-id combs (doc_id % 250
@@ -414,7 +425,12 @@ def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
     flag retraction + text regrowth, MinHash retirement + relabel +
     resurrection, curated/pre/chunk deletion, ledger).  Bucket count
     scales with the corpus like the ingest probes (bucket SIZE held
-    constant)."""
+    constant); the curated tables are bucketed too, so the physical
+    deletes take the partition-scoped prune path.
+
+    Returns ``(retract_median_sec, compact_sec)`` — the second number
+    times ``compact_store`` folding all three retractions' masks after
+    the loop (the bucket-scoped fold probe)."""
     from jobcan_data_integrator_spark.operators.incremental import (
         exact_index_buckets,
         index_layout,
@@ -423,6 +439,7 @@ def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
         span_index_buckets,
     )
     from jobcan_data_integrator_spark.operators.ingest import (
+        compact_store,
         ingest_increment,
         retract_documents,
     )
@@ -432,6 +449,10 @@ def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
         minhash_index_buckets(n_buckets)
         | exact_index_buckets(n_buckets)
         | span_index_buckets(n_buckets)
+        | {
+            "cur_docs": ("doc_id", n_buckets),
+            "cur_pre": ("doc_id", n_buckets),
+        }
     )
     store = TableStore(
         spark, workdir, write_partitions=1, snapshot_isolation=True,
@@ -450,10 +471,16 @@ def retract_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> flo
             .localCheckpoint(eager=True)
         )
         t0 = time.perf_counter()
-        retract_documents(store, ids, f"rt-{i}", span=8, minhash=True)
+        retract_documents(
+            store, ids, f"rt-{i}", span=8, minhash=True,
+            auto_compact_bytes=None,
+        )
         times.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-    return round(sorted(times)[1], 3)
+    t0 = time.perf_counter()
+    compact_store(store)
+    compact_sec = round(time.perf_counter() - t0, 3)
+    return round(sorted(times)[1], 3), compact_sec
 
 
 #: BPE batched-training smoke: learn a production-ish merge count with
@@ -525,6 +552,12 @@ TEMPORAL_BUDGET = 10.0
 #: ~N/2 rows vs 32 tasks sorting N/32 each), not a blow-up.  Past this
 #: budget the salted carry-forward variant becomes mandatory.
 ASOF_SKEW_BUDGET = 4.0
+
+#: the SALTED as-of variant on the same skewed corpus: banding adds a
+#: bounded constant (union + per-band carry-forward) over the uniform
+#: plain run — r6 measured 3.0x.  Enforced since r8 (the r7 smoke
+#: recorded 4.65x on a pytest-contended host but never checked it).
+ASOF_SALTED_BUDGET = 4.0
 
 
 def temporal_experiment(spark, sf_dir: str, salted: bool = False) -> float:
@@ -647,13 +680,14 @@ def main() -> None:
 
     # targeted deletion: fixed ~20-id retraction, sf0.1-seeded vs
     # 10x-seeded store
-    rt01 = retract_experiment(
+    rt01, cp01 = retract_experiment(
         spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_rtidx01"
     )
-    rt1 = retract_experiment(
+    rt1, cp1 = retract_experiment(
         spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_rtidx1"
     )
     rt_ratio = round(rt1 / rt01, 2) if rt01 else None
+    cp_ratio = round(cp1 / cp01, 2) if cp01 else None
 
     # BPE batched training: a 1k/2k/4k merge curve pins the
     # rounds-per-merge slope (the 32k-vocab claim's extrapolation base)
@@ -698,6 +732,8 @@ def main() -> None:
         flagged["ingest_increment@ooo10x"] = ooo_ratio
     if rt_ratio and rt_ratio > RETRACT_BUDGET:
         flagged["retract_documents@10x"] = rt_ratio
+    if cp_ratio and cp_ratio > COMPACT_BUDGET:
+        flagged["compact_store@10x"] = cp_ratio
     for b in bpe_curve:
         if b["rounds"] > BPE_ROUND_SLACK * b["ideal_rounds"]:
             flagged[f"train_bpe@rounds{b['requested_merges']}"] = b["rounds"]
@@ -707,6 +743,10 @@ def main() -> None:
         flagged["asof_join@10x"] = tmp_ratio
     if tmp_skew_ratio and tmp_skew_ratio > ASOF_SKEW_BUDGET:
         flagged["asof_join@skew"] = tmp_skew_ratio
+    # the salted variant carries its own ENFORCED budget (r7 gap: the
+    # ratio was recorded but never checked)
+    if tmp_salted_ratio and tmp_salted_ratio > ASOF_SALTED_BUDGET:
+        flagged["asof_join@skew-salted"] = tmp_salted_ratio
     print(json.dumps({"sf": 0.1, "value": round(sum(base.values()), 3), "queries": base}))
     print(json.dumps({"sf": 1.0, "value": round(sum(scaled.values()), 3),
                       "queries": scaled, "ratios": ratios,
@@ -753,7 +793,20 @@ def main() -> None:
                                   "curated/pre/chunk deletion) vs a "
                                   "repair-mode store seeded with the "
                                   "whole corpus; buckets 64 -> 640 "
-                                  "(median of 3)"},
+                                  "(median of 3); curated tables "
+                                  "bucketed (scoped prune path)"},
+                      "compact": {"op": "compact_store",
+                                  "sf01_sec": cp01, "sf1_sec": cp1,
+                                  "ratio": cp_ratio,
+                                  "budget": COMPACT_BUDGET,
+                                  "note": "fold of 3 retractions' masks "
+                                  "(~60 ids) into the bucketed base "
+                                  "tables via the partition-scoped "
+                                  "prune — rewrite bounded by mask "
+                                  "bucket fan-out (bucket size constant "
+                                  "64 -> 640), only the affected-"
+                                  "partition scans grow with the "
+                                  "corpus"},
                       "bpe": bpe,
                       "bpe_curve": bpe_curve,
                       "temporal": {"op": "asof_join_errors_signups",
@@ -769,6 +822,7 @@ def main() -> None:
                                         "ratio": tmp_skew_ratio,
                                         "salted_ratio": tmp_salted_ratio,
                                         "budget": ASOF_SKEW_BUDGET,
+                                        "salted_budget": ASOF_SALTED_BUDGET,
                                         "note": "same-volume corpus, one "
                                         "user owns 50% of events — that "
                                         "key's history sorts in one task; "
@@ -800,13 +854,16 @@ def main() -> None:
           file=sys.stderr)
     print(f"# retract: {rt01:.2f} @sf0.1-store -> {rt1:.2f} @sf1-store "
           f"({rt_ratio}x, budget {RETRACT_BUDGET}x)", file=sys.stderr)
+    print(f"# compact: {cp01:.2f} @sf0.1-store -> {cp1:.2f} @sf1-store "
+          f"({cp_ratio}x, budget {COMPACT_BUDGET}x)", file=sys.stderr)
     for b in bpe_curve:
         print(f"# bpe@{b['requested_merges']}: {b['learned_merges']} merges "
               f"in {b['rounds']} rounds (ideal {b['ideal_rounds']}, batch "
               f"{BPE_BATCH}) in {b['sec']:.1f}s", file=sys.stderr)
     print(f"# asof skew: {tmp01:.2f} uniform -> {tmp_skew:.2f} hot-key "
           f"({tmp_skew_ratio}x, budget {ASOF_SKEW_BUDGET}x); salted "
-          f"{tmp_salted:.2f} ({tmp_salted_ratio}x)",
+          f"{tmp_salted:.2f} ({tmp_salted_ratio}x, budget "
+          f"{ASOF_SALTED_BUDGET}x)",
           file=sys.stderr)
     if flagged:
         print(f"# FLAGGED worse than {SCALE_BUDGET}x: {sorted(flagged)}",

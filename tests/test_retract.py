@@ -505,6 +505,10 @@ def test_retract_on_bucketed_snapshot_layout(spark, tmp_path):
         minhash_index_buckets(4)
         | exact_index_buckets(4)
         | span_index_buckets(4)
+        # the curated tables themselves bucketed: retraction's physical
+        # deletes and compaction's folds take the partition-SCOPED
+        # prune path (layer delete-markers) — the 100 TB takedown shape
+        | {"cur_docs": ("doc_id", 4), "cur_pre": ("doc_id", 4)}
     )
     store = TableStore(
         spark, tmp_path, write_partitions=1, snapshot_isolation=True,
@@ -520,6 +524,27 @@ def test_retract_on_bucketed_snapshot_layout(spark, tmp_path):
     assert _rows(res.promoted, "doc_id") == {(21,)}
     _assert_store_equals(
         spark, store, [r for r in ALL if r[0] not in (1, 2)]
+    )
+    # the scoped compaction fold preserves every read on this layout,
+    # retracted rows physically leave the bucketed tables, and the
+    # store keeps absorbing afterwards
+    compact_store(store)
+    _assert_store_equals(
+        spark, store, [r for r in ALL if r[0] not in (1, 2)]
+    )
+    for t in ("ex_docs", "sp_occs", "sp_flags", "cur_pre", "cur_docs"):
+        if store.exists(t):
+            assert (
+                store.read(t).filter(F.col("doc_id").isin(1, 2)).count() == 0
+            ), t
+    late = [(61, _t("postfold", 0, 11))]
+    ingest_increment(
+        store, _mk(spark, late), "post-fold",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+    )
+    _assert_store_equals(
+        spark, store, [r for r in ALL if r[0] not in (1, 2)] + late
     )
 
 

@@ -408,7 +408,9 @@ def test_commit_manifest_roundtrip(spark, pstore):
     assert pstore.pending_commit() is None
     pstore.begin_commit("batch-7", ["requests", "expense_items"])
     pending = pstore.pending_commit()
-    assert pending == {"batch_id": "batch-7", "tables": ["expense_items", "requests"]}
+    assert pending["batch_id"] == "batch-7"
+    assert pending["tables"] == ["expense_items", "requests"]
+    assert isinstance(pending["epoch"], int)  # the r8 fencing token
     pstore.end_commit()
     assert pstore.pending_commit() is None
     pstore.end_commit()  # idempotent
@@ -518,7 +520,8 @@ def test_delta_batch_commit_one_manifest(spark, dstore):
     schema = "id int, v string"
     with dstore.batch_commit("b1", ["t", "u"]):
         dstore.merge_upsert("t", spark.createDataFrame([(1, "a")], schema), ["id"])
-        assert dstore.pending_commit() == {"batch_id": "b1", "tables": ["t", "u"]}
+        pending = dstore.pending_commit()
+        assert pending["batch_id"] == "b1" and pending["tables"] == ["t", "u"]
         dstore.merge_insert_missing(
             "u", spark.createDataFrame([(2, "b")], schema), ["id"]
         )
