@@ -228,10 +228,14 @@ def build_minhash_index(
         cands = candidate_pairs(bands)
         pairs = verify_candidate_pairs(cands, sh, sizes)
         store.begin_commit("mh-index-build", list(INDEX_TABLES))
-        store.overwrite("mh_bands", bands)
-        store.overwrite("mh_shingles", sh)
-        store.overwrite("mh_sizes", sizes)
-        store.overwrite("mh_pairs", pairs)
+        # independent tables, inputs cached above: overlap the per-job
+        # fixed cost (snapshot mode publishes all four atomically)
+        store.merge_batch([
+            lambda: store.overwrite("mh_bands", bands),
+            lambda: store.overwrite("mh_shingles", sh),
+            lambda: store.overwrite("mh_sizes", sizes),
+            lambda: store.overwrite("mh_pairs", pairs),
+        ])
         store.end_commit()
     finally:
         # the build is EAGER (all four tables written above), so the
@@ -347,13 +351,19 @@ def extend_index(
     new_pairs = new_pairs.localCheckpoint(eager=True)
     new_sh = new_hashed_shingles.select("doc_id", "shingle").distinct().cache()
     store.begin_commit("mh-index-extend", list(INDEX_TABLES))
-    store.merge_insert_missing(
-        "mh_bands", band_rows(new_hashed_shingles, n_hashes, band_size),
-        ["doc_id", "band_idx"],
-    )
-    store.merge_insert_missing("mh_shingles", new_sh, ["doc_id", "shingle"])
-    store.merge_insert_missing("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
-    store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.merge_batch([
+        lambda: store.merge_insert_missing(
+            "mh_bands", band_rows(new_hashed_shingles, n_hashes, band_size),
+            ["doc_id", "band_idx"],
+        ),
+        lambda: store.merge_insert_missing(
+            "mh_shingles", new_sh, ["doc_id", "shingle"]
+        ),
+        lambda: store.merge_insert_missing(
+            "mh_sizes", shingle_sizes(new_sh), ["doc_id"]
+        ),
+        lambda: store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"]),
+    ])
     store.end_commit()
 
 
@@ -693,8 +703,10 @@ def build_exact_index(store: TableStore, docs: DataFrame) -> None:
     hashes = _doc_hashes(docs).cache()
     try:
         store.begin_commit("ex-index-build", list(EXACT_TABLES))
-        store.overwrite("ex_docs", hashes)
-        store.overwrite("ex_groups", _hash_groups(hashes))
+        store.merge_batch([
+            lambda: store.overwrite("ex_docs", hashes),
+            lambda: store.overwrite("ex_groups", _hash_groups(hashes)),
+        ])
         store.end_commit()
     finally:
         hashes.unpersist()
@@ -729,8 +741,12 @@ def extend_exact_index(
     (materialized first — it scans the tables being rewritten)."""
     merged_groups = merged_groups.localCheckpoint(eager=True)
     store.begin_commit("ex-index-extend", list(EXACT_TABLES))
-    store.merge_insert_missing("ex_docs", _doc_hashes(new_docs), ["doc_id"])
-    store.merge_upsert("ex_groups", merged_groups, ["text_md5"])
+    store.merge_batch([
+        lambda: store.merge_insert_missing(
+            "ex_docs", _doc_hashes(new_docs), ["doc_id"]
+        ),
+        lambda: store.merge_upsert("ex_groups", merged_groups, ["text_md5"]),
+    ])
     store.end_commit()
 
 
@@ -1304,14 +1320,17 @@ def build_span_index(store: TableStore, docs: DataFrame, span: int = 8) -> None:
     occurrences, per-hash occurrence stats, and the flagged (removable)
     occurrence set."""
     occ = _span_occ_rows(docs, span).cache()
+    groups = _span_hash_groups(occ).cache()
     try:
-        groups = _span_hash_groups(occ)
         store.begin_commit("sp-index-build", list(SPAN_TABLES))
-        store.overwrite("sp_occs", occ)
-        store.overwrite("sp_hashes", groups)
-        store.overwrite("sp_flags", _span_flags(occ, groups))
+        store.merge_batch([
+            lambda: store.overwrite("sp_occs", occ),
+            lambda: store.overwrite("sp_hashes", groups),
+            lambda: store.overwrite("sp_flags", _span_flags(occ, groups)),
+        ])
         store.end_commit()
     finally:
+        groups.unpersist()
         occ.unpersist()
 
 
@@ -1360,16 +1379,23 @@ def extend_span_index(
     merged_hashes = merged_hashes.localCheckpoint(eager=True)
     flags = flags.localCheckpoint(eager=True)
     store.begin_commit("sp-index-extend", list(SPAN_TABLES))
-    store.merge_insert_missing(
-        "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
-    )
-    store.merge_upsert("sp_hashes", merged_hashes, ["h"])
-    store.merge_insert_missing("sp_flags", flags, ["doc_id", "pos"])
-    if store.exists(FLAG_DROPS):
+    store.merge_batch([
+        lambda: store.merge_insert_missing(
+            "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
+        ),
+        lambda: store.merge_upsert("sp_hashes", merged_hashes, ["h"]),
+        lambda: store.merge_insert_missing(
+            "sp_flags", flags, ["doc_id", "pos"]
+        ),
         # a flag retracted by a past retraction and now re-asserted
         # (the span re-duplicated) is present-but-masked in sp_flags —
-        # the insert above is a keyed no-op, so unmask it instead
-        store.delete_scope(FLAG_DROPS, flags, ["doc_id", "pos"])
+        # the insert is a keyed no-op there, so unmask it too
+        (
+            (lambda: store.delete_scope(FLAG_DROPS, flags, ["doc_id", "pos"]))
+            if store.exists(FLAG_DROPS)
+            else None
+        ),
+    ])
     store.end_commit()
 
 

@@ -1127,12 +1127,17 @@ def ingest_increment(
         if lm_extend:
             inc.extend_lm_index(store, kept, batch_id)
 
-        # 6. curated-corpus merge + optional batch-scoped chunk/pack
-        store.merge_insert_missing(
-            CURATED,
-            kept.withColumn("batch_id", F.lit(batch_id)),
-            ["doc_id"],
-        )
+        # 6. curated-corpus merge + optional batch-scoped chunk/pack —
+        # independent single-table merges, deferred into one fused
+        # tail batch with the ledger (merge_batch overlaps their
+        # per-job fixed cost; sequential fallback keeps ledger last)
+        tail_ops = [
+            lambda: store.merge_insert_missing(
+                CURATED,
+                kept.withColumn("batch_id", F.lit(batch_id)),
+                ["doc_id"],
+            )
+        ]
         if pack_budget is not None:
             from jobcan_data_integrator_spark.operators.packing import (
                 chunk_documents,
@@ -1157,12 +1162,16 @@ def ingest_increment(
                 id_col="chunk_id",
                 shuffle_salt=batch_id,
             ).withColumn("batch_id", F.lit(batch_id))
-            store.merge_insert_missing(
-                CHUNKS,
-                chunks.withColumn("batch_id", F.lit(batch_id)),
-                ["chunk_id"],
-            )
-            store.merge_insert_missing(SHARDS, packed, ["chunk_id"])
+            tail_ops += [
+                lambda: store.merge_insert_missing(
+                    CHUNKS,
+                    chunks.withColumn("batch_id", F.lit(batch_id)),
+                    ["chunk_id"],
+                ),
+                lambda: store.merge_insert_missing(
+                    SHARDS, packed, ["chunk_id"]
+                ),
+            ]
             stages.append(("chunks", chunks))
 
         # 7. embedding families for this batch's vectors.  A ``doc_id``
@@ -1213,11 +1222,17 @@ def ingest_increment(
                         store, inc.encode_pq_increment(store, emb)
                     )
 
-        # 8. ledger LAST: on a plain store a crash before this line
-        # leaves the batch replayable (idempotent family merges); after
-        # it, redelivery short-circuits above.  On a snapshot store it
-        # publishes atomically with everything else.
-        store.merge_insert_missing(LEDGER, ledger_row, ["batch_id"])
+        # 8. the fused tail: curated merge (+ chunks/shards) + the
+        # ledger.  On a plain store these run IN ORDER and the ledger
+        # is last — a crash before it leaves the batch replayable
+        # (idempotent family merges), after it redelivery
+        # short-circuits above.  On a snapshot store all of it (and
+        # everything before) publishes atomically, so the concurrent
+        # schedule is unobservable.
+        tail_ops.append(
+            lambda: store.merge_insert_missing(LEDGER, ledger_row, ["batch_id"])
+        )
+        store.merge_batch(tail_ops)
 
     result = IngestResult(
         batch_id, False, kept.select("doc_id", "text"), stages, pairs, demoted

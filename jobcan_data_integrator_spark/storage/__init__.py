@@ -944,6 +944,38 @@ class TableStore:
             with _INFLIGHT_LOCK:
                 _INFLIGHT.discard(str(target))
 
+    def merge_batch(self, ops: list) -> None:
+        """Execute several independent single-table write ops,
+        overlapping their per-job fixed cost via driver threads when
+        that is safe: a snapshot-isolated parquet store's writes land
+        in independent versioned dirs and publish atomically at
+        ``end_commit``, so their completion ORDER is unobservable.
+        Plain mode (per-table swap order is part of the crash-replay
+        contract) and the Delta backend (its own per-table commit
+        protocol) run the ops sequentially, in list order — so place
+        any must-be-last op (a ledger row) last.
+
+        ``ops`` is a list of zero-arg callables that must touch
+        DISJOINT table sets (the concurrency unit is the table).  On
+        the bench box each small versioned write costs ~0.5-0.8 s of
+        driver/scheduler fixed cost regardless of data volume
+        (BASELINE.md fixed-cost memo); a family extend's 3-4 writes
+        collapse to ~the slowest one."""
+        ops = [op for op in ops if op is not None]
+        if (
+            len(ops) < 2
+            or self.backend != "parquet"
+            or not self.snapshot_isolation
+        ):
+            for op in ops:
+                op()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(ops))) as ex:
+            for f in [ex.submit(op) for op in ops]:
+                f.result()
+
     # -- multi-table commit manifest ------------------------------------------
 
     #: manifest file marking a multi-table write batch in progress
