@@ -413,12 +413,25 @@ def compact_minhash_drops(store: TableStore) -> None:
     )
     # partition-SCOPED folds (TableStore.prune_keys): each mask rewrites
     # only the bucket/band segments containing its rows — mask-bounded
-    # cost, not corpus-bounded
-    if store.exists("mh_doc_drops"):
-        doc_drops = store.read("mh_doc_drops")
-        for t in ("mh_shingles", "mh_sizes", "mh_bands"):
-            store.prune_keys(t, doc_drops, ["doc_id"])
-        if store.exists("mh_pairs"):
+    # cost, not corpus-bounded.  Folds of DIFFERENT tables run as
+    # concurrent chains (merge_batch); prunes of the SAME table stay
+    # sequential inside their chain.
+    doc_drops = (
+        store.read("mh_doc_drops") if store.exists("mh_doc_drops") else None
+    )
+
+    def _fold_bands() -> None:
+        if doc_drops is not None:
+            store.prune_keys("mh_bands", doc_drops, ["doc_id"])
+        if store.exists("mh_band_drops"):
+            store.prune_keys(
+                "mh_bands",
+                store.read("mh_band_drops"),
+                ["doc_id", "band_idx", "band_key"],
+            )
+
+    def _fold_pairs() -> None:
+        if doc_drops is not None and store.exists("mh_pairs"):
             store.prune_keys(
                 "mh_pairs",
                 doc_drops.select(F.col("doc_id").alias("doc_a")),
@@ -429,18 +442,24 @@ def compact_minhash_drops(store: TableStore) -> None:
                 doc_drops.select(F.col("doc_id").alias("doc_b")),
                 ["doc_b"],
             )
-    if store.exists("mh_band_drops"):
-        store.prune_keys(
-            "mh_bands",
-            store.read("mh_band_drops"),
-            ["doc_id", "band_idx", "band_key"],
-        )
-    if store.exists("mh_pair_drops"):
-        store.prune_keys(
-            "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
-        )
-    for t in drops:
-        store.overwrite(t, store.read(t).limit(0))
+        if store.exists("mh_pair_drops"):
+            store.prune_keys(
+                "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
+            )
+
+    ops = [_fold_bands, _fold_pairs]
+    if doc_drops is not None:
+        ops += [
+            lambda: store.prune_keys("mh_shingles", doc_drops, ["doc_id"]),
+            lambda: store.prune_keys("mh_sizes", doc_drops, ["doc_id"]),
+        ]
+    store.merge_batch(ops)
+    store.merge_batch(
+        [
+            (lambda t=t: store.overwrite(t, store.read(t).limit(0)))
+            for t in drops
+        ]
+    )
     store.end_commit()
 
 
@@ -787,9 +806,11 @@ def build_simhash_index(
     try:
         pairs = near_dup_pairs(blocks, n_blocks=n_blocks, block_bits=block_bits)
         store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
-        store.overwrite("sh_signatures", sig)
-        store.overwrite("sh_blocks", blocks)
-        store.overwrite("sh_pairs", pairs)
+        store.merge_batch([
+            lambda: store.overwrite("sh_signatures", sig),
+            lambda: store.overwrite("sh_blocks", blocks),
+            lambda: store.overwrite("sh_pairs", pairs),
+        ])
         store.end_commit()
     finally:
         blocks.unpersist()
@@ -865,11 +886,13 @@ def extend_simhash_index(
     new_pairs = new_pairs.localCheckpoint(eager=True)
     sig = new_signatures.localCheckpoint(eager=True)
     store.begin_commit("sh-index-extend", list(SIMHASH_TABLES))
-    store.merge_insert_missing("sh_signatures", sig, ["doc_id"])
-    store.merge_insert_missing(
-        "sh_blocks", block_rows(sig, n_blocks, block_bits), ["doc_id", "b"]
-    )
-    store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"])
+    store.merge_batch([
+        lambda: store.merge_insert_missing("sh_signatures", sig, ["doc_id"]),
+        lambda: store.merge_insert_missing(
+            "sh_blocks", block_rows(sig, n_blocks, block_bits), ["doc_id", "b"]
+        ),
+        lambda: store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"]),
+    ])
     store.end_commit()
 
 
@@ -912,8 +935,10 @@ def build_ivf_index(
         keep=("embedding",),
     )
     store.begin_commit("ivf-index-build", list(IVF_TABLES))
-    store.overwrite("ivf_codebook", cent)
-    store.overwrite("ivf_assignments", assign)
+    store.merge_batch([
+        lambda: store.overwrite("ivf_codebook", cent),
+        lambda: store.overwrite("ivf_assignments", assign),
+    ])
     store.end_commit()
 
 
@@ -1022,12 +1047,16 @@ def build_embedding_index(
     try:
         pairs = embedding_near_dup_pairs(emb, threshold, n_planes, dim, n_bands)
         store.begin_commit("eb-index-build", list(EMBEDDING_TABLES))
-        store.overwrite("eb_vectors", emb)
-        store.overwrite(
-            "eb_buckets",
-            bucket_rows(emb, n_planes, dim, n_bands).select("vec_id", "band", "bucket"),
-        )
-        store.overwrite("eb_pairs", pairs)
+        store.merge_batch([
+            lambda: store.overwrite("eb_vectors", emb),
+            lambda: store.overwrite(
+                "eb_buckets",
+                bucket_rows(emb, n_planes, dim, n_bands).select(
+                    "vec_id", "band", "bucket"
+                ),
+            ),
+            lambda: store.overwrite("eb_pairs", pairs),
+        ])
         store.end_commit()
     finally:
         emb.unpersist()
@@ -1131,15 +1160,17 @@ def extend_embedding_index(
 
     new_pairs = new_pairs.localCheckpoint(eager=True)
     store.begin_commit("eb-index-extend", list(EMBEDDING_TABLES))
-    store.merge_insert_missing("eb_vectors", new_emb, ["vec_id"])
-    store.merge_insert_missing(
-        "eb_buckets",
-        bucket_rows(new_emb, n_planes, dim, n_bands).select(
-            "vec_id", "band", "bucket"
+    store.merge_batch([
+        lambda: store.merge_insert_missing("eb_vectors", new_emb, ["vec_id"]),
+        lambda: store.merge_insert_missing(
+            "eb_buckets",
+            bucket_rows(new_emb, n_planes, dim, n_bands).select(
+                "vec_id", "band", "bucket"
+            ),
+            ["vec_id", "band"],
         ),
-        ["vec_id", "band"],
-    )
-    store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"])
+        lambda: store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"]),
+    ])
     store.end_commit()
 
 
@@ -1255,8 +1286,10 @@ def extend_semantic_index(
     new_pairs = new_pairs.localCheckpoint(eager=True)
     inc = assign_increment(store, new_emb).localCheckpoint(eager=True)
     store.begin_commit("sd-index-extend", list(SEMANTIC_TABLES))
-    store.merge_insert_missing("ivf_assignments", inc, ["vec_id"])
-    store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"])
+    store.merge_batch([
+        lambda: store.merge_insert_missing("ivf_assignments", inc, ["vec_id"]),
+        lambda: store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"]),
+    ])
     store.end_commit()
 
 
@@ -1617,13 +1650,17 @@ def build_line_index(
 
     mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
     store.begin_commit(batch_id, list(LINE_TABLES))
-    store.overwrite(
-        "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
-    )
-    store.overwrite(
-        "bl_batches",
-        docs.sparkSession.range(1).select(F.lit(batch_id).alias("batch_id")),
-    )
+    store.merge_batch([
+        lambda: store.overwrite(
+            "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
+        ),
+        lambda: store.overwrite(
+            "bl_batches",
+            docs.sparkSession.range(1).select(
+                F.lit(batch_id).alias("batch_id")
+            ),
+        ),
+    ])
     store.end_commit()
 
 
@@ -1710,14 +1747,16 @@ def extend_line_index(
         .localCheckpoint(eager=True)
     )
     store.begin_commit(batch_id, list(LINE_TABLES))
-    store.merge_upsert("bl_stats", merged, ["line_hash"])
-    store.merge_insert_missing(
-        "bl_batches",
-        new_docs.sparkSession.range(1).select(
-            F.lit(batch_id).alias("batch_id")
+    store.merge_batch([
+        lambda: store.merge_upsert("bl_stats", merged, ["line_hash"]),
+        lambda: store.merge_insert_missing(
+            "bl_batches",
+            new_docs.sparkSession.range(1).select(
+                F.lit(batch_id).alias("batch_id")
+            ),
+            ["batch_id"],
         ),
-        ["batch_id"],
-    )
+    ])
     store.end_commit()
 
 
@@ -1748,8 +1787,10 @@ def build_pq_index(
 
     cb = train_pq(emb, m=m, k=k, iters=iters).localCheckpoint(eager=True)
     store.begin_commit("pq-index-build", list(PQ_TABLES))
-    store.overwrite("pq_codebooks", cb)
-    store.overwrite("pq_codes", pq_encode(emb, cb, m=m))
+    store.merge_batch([
+        lambda: store.overwrite("pq_codebooks", cb),
+        lambda: store.overwrite("pq_codes", pq_encode(emb, cb, m=m)),
+    ])
     store.end_commit()
 
 

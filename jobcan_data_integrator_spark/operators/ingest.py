@@ -1550,17 +1550,17 @@ def retract_documents(
             added = new_flags.join(
                 inc.read_flags(store), ["doc_id", "pos"], "left_anti"
             ).localCheckpoint(eager=True)
-            # hashes with no surviving occurrence: n_occ=0 sentinel
-            # rows (pruned by compact_store) — a keyed delete cannot
-            # reach a bucketed sp_hashes, and nothing probes the table
-            sentinels = (
-                hs.join(new_sp_groups.select("h"), "h", "left_anti")
-                .withColumn("n_occ", F.lit(0).cast("bigint"))
-                .withColumn("min_key", F.lit(None).cast("bigint"))
+            # hashes with no surviving occurrence are PHYSICALLY
+            # deleted: h is the bucket source, so prune_keys derives
+            # the affected buckets straight from the vanished hash set
+            # (scoped, zero scan — r8; pre-r8 stores wrote n_occ=0
+            # sentinel rows here, which compact_store still prunes)
+            vanished_hs = hs.join(
+                new_sp_groups.select("h"), "h", "left_anti"
             )
-            store.merge_upsert(
-                "sp_hashes", new_sp_groups.unionByName(sentinels), ["h"]
-            )
+            store.merge_upsert("sp_hashes", new_sp_groups, ["h"])
+            if vanished_hs.head(1):
+                store.prune_keys("sp_hashes", vanished_hs, ["h"])
             if mate_occ is not None:
                 store.merge_insert_missing(
                     "sp_occs", mate_occ, ["doc_id", "pos"]
@@ -1975,21 +1975,46 @@ def compact_store(store: TableStore) -> None:
     # every fold below goes through the partition-SCOPED prune
     # primitives: on a bucketed/banded snapshot table only the segments
     # containing masked rows are rewritten (emptied ones become layer
-    # delete-markers), so the fold's cost follows the MASK's partition
-    # fan-out, not the corpus size — see TableStore.prune_keys.
-    if store.exists(inc.EMB_RETRACTIONS):
-        emb_mask = store.read(inc.EMB_RETRACTIONS)
-        for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes"):
-            store.prune_keys(t, emb_mask, ["vec_id"])
-    if store.exists(inc.DOC_RETRACTIONS):
-        mask = store.read(inc.DOC_RETRACTIONS)
-        for t in ("ex_docs", "sp_occs", DOC_VECS, "sp_flags"):
-            store.prune_keys(t, mask, ["doc_id"])
-    if store.exists(inc.FLAG_DROPS):
-        store.prune_keys(
-            "sp_flags", store.read(inc.FLAG_DROPS), ["doc_id", "pos"]
-        )
-    store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
+    # delete-markers), so the fold's REWRITE cost follows the MASK's
+    # partition fan-out, not the corpus size — see TableStore.prune_keys
+    # (the residual corpus-linear term is the column-pruned
+    # affected-partition scans).  Folds of different tables run as
+    # concurrent chains (merge_batch); same-table prunes stay ordered
+    # inside their chain.
+    emb_mask = (
+        store.read(inc.EMB_RETRACTIONS)
+        if store.exists(inc.EMB_RETRACTIONS)
+        else None
+    )
+    mask = (
+        store.read(inc.DOC_RETRACTIONS)
+        if store.exists(inc.DOC_RETRACTIONS)
+        else None
+    )
+
+    def _fold_sp_flags() -> None:
+        if mask is not None:
+            store.prune_keys("sp_flags", mask, ["doc_id"])
+        if store.exists(inc.FLAG_DROPS):
+            store.prune_keys(
+                "sp_flags", store.read(inc.FLAG_DROPS), ["doc_id", "pos"]
+            )
+
+    ops = [_fold_sp_flags]
+    if emb_mask is not None:
+        ops += [
+            (lambda t=t: store.prune_keys(t, emb_mask, ["vec_id"]))
+            for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes")
+        ]
+    if mask is not None:
+        ops += [
+            (lambda t=t: store.prune_keys(t, mask, ["doc_id"]))
+            for t in ("ex_docs", "sp_occs", DOC_VECS)
+        ]
+    ops.append(
+        lambda: store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
+    )
+    store.merge_batch(ops)
     if store.exists(TOMBSTONES):
         tomb = store.read(TOMBSTONES)
         if "cause" in tomb.columns:
@@ -2006,14 +2031,16 @@ def compact_store(store: TableStore) -> None:
                 .localCheckpoint(eager=True)
             )
             if perm.head(1):
-                store.prune_keys(CURATED, perm, ["doc_id"])
-                store.prune_keys(CURATED_PRE, perm, ["doc_id"])
-                store.overwrite(
-                    TOMBSTONES,
-                    tomb.filter(
-                        ~F.col("cause").isin("exact", "retracted")
+                store.merge_batch([
+                    lambda: store.prune_keys(CURATED, perm, ["doc_id"]),
+                    lambda: store.prune_keys(CURATED_PRE, perm, ["doc_id"]),
+                    lambda: store.overwrite(
+                        TOMBSTONES,
+                        tomb.filter(
+                            ~F.col("cause").isin("exact", "retracted")
+                        ),
                     ),
-                )
+                ])
     # sp_flag_drops is the ONE transient retraction mask (its effect —
     # flag rows deleted — is fully captured by the fold; a later batch
     # re-duplicating the span re-asserts the flag as a fresh insert).

@@ -341,10 +341,23 @@ class TableStore:
     def _materialize_layer(self, table: str, df: DataFrame) -> dict:
         """Write ``df`` (already carrying the partition columns) into a
         fresh versioned dir in the table's hive layout; return the layer
-        record ``{"dir", "parts"}``."""
+        record ``{"dir", "parts"}``.
+
+        File-count control: small bucket counts coalesce to
+        ``write_partitions`` tasks (cheap, no shuffle).  A WIDE bucketed
+        table instead repartitions on the partition columns — hash
+        partitioning sends each bucket's rows to one task, so the write
+        parallelizes across buckets while still producing one file per
+        bucket dir (a coalesce(1) write of a 640-bucket layer is ONE
+        task serially emitting 640 directories — measured as the
+        dominant term of compact_store's wide folds)."""
         pcols = self._managed_pcols(table)
         if self.write_partitions is not None:
-            df = df.coalesce(self.write_partitions)
+            n_buckets = self.bucketed.get(table, (None, 0))[1]
+            if n_buckets > 32:
+                df = df.repartition(*[F.col(c) for c in pcols])
+            else:
+                df = df.coalesce(self.write_partitions)
         vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
         out = str(self.root / vdir)
         self._sorted(table, df).write.mode("overwrite").partitionBy(*pcols).parquet(out)
@@ -621,11 +634,18 @@ class TableStore:
                 ]
             if live:
                 base = self.root / layer["dir"]
-                dfs.append(
-                    self.spark.read.option("basePath", str(base)).parquet(
-                        *[str(base / p) for p in live]
+                if len(live) == len(layer["parts"]) and len(live) > 8:
+                    # fully-live layer (nothing shadowed by newer
+                    # layers): one root path instead of one path per
+                    # partition — at 640 buckets the per-path listing
+                    # dominated every full-table scan's planning time
+                    dfs.append(self.spark.read.parquet(str(base)))
+                else:
+                    dfs.append(
+                        self.spark.read.option("basePath", str(base)).parquet(
+                            *[str(base / p) for p in live]
+                        )
                     )
-                )
         if not dfs:
             # every layer empty (or filtered away): recover the schema
             # from the newest layer's flat empty write

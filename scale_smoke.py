@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -306,6 +307,7 @@ def ingest_experiment(spark, sf_dir: str, n_buckets: int, workdir: Path) -> floa
         | exact_index_buckets(n_buckets)
         | span_index_buckets(n_buckets)
     )
+    shutil.rmtree(workdir, ignore_errors=True)
     store = TableStore(
         spark, workdir, write_partitions=1,
         **index_layout(buckets, minhash_pair_bands(1 << 20)),
@@ -369,6 +371,7 @@ def ingest_ooo_experiment(
         | exact_index_buckets(n_buckets)
         | span_index_buckets(n_buckets)
     )
+    shutil.rmtree(workdir, ignore_errors=True)
     store = TableStore(
         spark, workdir, write_partitions=1,
         **index_layout(buckets, minhash_pair_bands(1 << 20)),
@@ -454,6 +457,7 @@ def retract_experiment(
             "cur_pre": ("doc_id", n_buckets),
         }
     )
+    shutil.rmtree(workdir, ignore_errors=True)
     store = TableStore(
         spark, workdir, write_partitions=1, snapshot_isolation=True,
         **index_layout(buckets, minhash_pair_bands(1 << 20)),

@@ -289,6 +289,53 @@ def test_retract_documents_cascades_to_embedding_families(
     assert store.read(RETRACTION_LOG).count() == 1
 
 
+def test_retracted_vec_id_never_reindexes(spark, sf_dir, tmp_path):
+    """Permanence parity with the doc side: a redelivered copy of a
+    retracted vec_id arriving in a later ingest batch's new_emb is
+    silently stripped — it must not re-enter any embedding family."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        retract_vectors,
+    )
+    from test_ingest import BS, MIN_TOKENS, NH, SPAN, THRESH, _t
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 30)
+    docs1 = spark.createDataFrame(
+        [(i, _t(f"a{i}", 0, 12)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, snapshot_isolation=True
+    )
+    ingest_increment(
+        store, docs1, "b1",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+        new_emb=emb.filter(F.col("vec_id") < 20),
+        emb_families=("lsh", "ivf", "pq"),
+    )
+    retract_vectors(store, _emb(spark, sf_dir).filter(
+        F.col("vec_id").isin(3, 7)).select("vec_id"), "tv")
+
+    docs2 = spark.createDataFrame(
+        [(i, _t(f"b{i}", 0, 12)) for i in range(10, 20)],
+        "doc_id long, text string",
+    )
+    # the feed redelivers retracted vec 3 alongside genuinely-new ones
+    ingest_increment(
+        store, docs2, "b2",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+        new_emb=emb.filter(F.col("vec_id").isin(3, 21, 22)),
+        emb_families=("lsh", "ivf", "pq"),
+    )
+    dropped = {3, 7}
+    for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes"):
+        got = {r["vec_id"] for r in store.read(t).select("vec_id").collect()}
+        assert not got & dropped, t
+        assert {21, 22} <= got, t  # the genuinely-new ones landed
+
+
 def test_retract_vectors_writes_receipt(spark, stores):
     from jobcan_data_integrator_spark.operators.ingest import RETRACTION_LOG
 
