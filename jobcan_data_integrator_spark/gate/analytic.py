@@ -619,16 +619,12 @@ def f_date_format_jst(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@gate(
-    "n_repeat_rows",
-    oracle="""
-    SELECT s.s_suppkey, g.i AS copy_idx, s.s_name
-    FROM supplier s JOIN generate_series(0, 2) AS g(i) ON g.i <= s.s_suppkey % 3
-    """,
-    doc="§2.7 (_default_attachment_files.py:59-86): the recursive-CTE row "
-    "repeater replaced by explode(array_repeat()) — no recursion needed.",
-)
 def n_repeat_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 (_default_attachment_files.py:59-86): the recursive-CTE row
+    repeater replaced by explode(array_repeat()) — no recursion needed.
+    Rotated out of the 50-row driver registry in round 8 (slot given to
+    rt_bm25_topk); the dual-engine value golden lives on in
+    tests/test_gate_oracle.py."""
     s = load_table(spark, sf_dir, "supplier")
     n = (F.col("s_suppkey") % 3 + 1).cast("int")
     return s.select(

@@ -2137,3 +2137,94 @@ def tx_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Retrieval — BM25 over a distributed inverted index
+# ---------------------------------------------------------------------------
+
+#: Shared deterministic tokenizer, DuckDB spelling (Spark side is
+#: operators/retrieval.tokenize — same lowercase \s+ split, empties out).
+_BM25_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+
+@gate(
+    "rt_bm25_topk",
+    # Okapi BM25 (k1=1.2, b=0.75) end-to-end: build the inverted index
+    # (postings/doc_stats/term_stats/corpus stats) from the documents
+    # table, take every doc_id%100==7 document's first 4 tokens as a
+    # query, score via the term equi-join, keep top-10 per query with
+    # the (score DESC, doc_id) tiebreak.  Per-(term,doc) contributions
+    # are integer micro-units (round(idf*tfn*1e4) BIGINT, operators/
+    # lm.py scheme) so the cross-engine sum is order-independent.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_BM25_TOKS}) AS term FROM documents
+    ), postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), doc_stats AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), term_stats AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY 1
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats
+    ), qraw AS (
+      SELECT doc_id AS q_id, unnest(list_slice({_BM25_TOKS}, 1, 4)) AS term
+      FROM documents WHERE doc_id % 100 = 7
+    ), qt AS (
+      SELECT DISTINCT q_id, term FROM qraw
+    ), contrib AS (
+      SELECT qt.q_id, p.doc_id,
+             CAST(round(10000 * ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+                        * (p.tf * 2.2)
+                        / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)))
+                  AS BIGINT) AS cm
+      FROM qt
+      JOIN term_stats t USING (term)
+      JOIN postings p USING (term)
+      JOIN doc_stats d ON p.doc_id = d.doc_id
+      CROSS JOIN corpus c
+    ), scored AS (
+      SELECT q_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT q_id, doc_id, CAST(rank AS INTEGER) AS rank, score_micro FROM (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_micro DESC, doc_id) AS rank,
+             score_micro
+      FROM scored)
+    WHERE rank <= 10
+    """,
+    doc="Lexical retrieval for curation (retrieval-based decontamination, "
+    "seed-set quality scoring, hard-negative mining): Okapi BM25 over a "
+    "DataFrame inverted index.  The posting-list walk is an equi-join on "
+    "term — query terms broadcast, postings never reshuffle — and the only "
+    "corpus-sized shuffle is the write-once index build.  Stop-term cap "
+    "(max_df_ratio) bounds hot-term fan-out at scale; scores sum as "
+    "integer micro-units so results hash-match across engines.",
+)
+def rt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_topk,
+        build_inverted_index,
+        query_terms,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = build_inverted_index(docs)
+    q = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                ),
+                1,
+                4,
+            ),
+            " ",
+        ).alias("q_text"),
+    )
+    return bm25_topk(bm25_scores(index, query_terms(q)), k=10)

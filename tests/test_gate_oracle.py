@@ -144,6 +144,26 @@ def test_f_currency_roundtrip_golden(spark, sf_dir):
     assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
 
 
+_N_REPEAT_ORACLE = """
+    SELECT s.s_suppkey, g.i AS copy_idx, s.s_name
+    FROM supplier s JOIN generate_series(0, 2) AS g(i) ON g.i <= s.s_suppkey % 3
+"""
+
+
+def test_n_repeat_rows_golden(spark, sf_dir):
+    """n_repeat_rows rotated out of the driver registry in round 8
+    (slot given to rt_bm25_topk): the dual-engine value golden lives on
+    here, unchanged."""
+    from jobcan_data_integrator_spark.gate.analytic import n_repeat_rows
+
+    sdf = n_repeat_rows(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_N_REPEAT_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
+
+
 _J10_ORACLE = """
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)

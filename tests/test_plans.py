@@ -146,6 +146,10 @@ _INTENTIONAL_BNLJ = {
     # (operators/selection.dsir_weights); the delta-table join is a
     # broadcast hash equi-join on the bucket key
     "tx_stratified_sample",
+    # BM25 attaches the ONE-ROW (n_docs, avgdl) corpus stats broadcast
+    # (operators/retrieval.bm25_scores); the posting-list walk itself is
+    # a term-keyed broadcast hash equi-join
+    "rt_bm25_topk",
 }
 
 
