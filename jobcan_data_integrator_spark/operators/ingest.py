@@ -146,6 +146,38 @@ def read_curated(store: TableStore) -> DataFrame:
     return docs
 
 
+def bm25_search_curated(
+    store: TableStore,
+    queries: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Top-k BM25 over the LIVE curated corpus, served from the
+    maintained inverted-index family (``ingest_increment(bm25=True)``;
+    operators/retrieval.py).  Liveness is the ``read_curated`` mask:
+    tombstoned (demoted / floored / retracted) docs are excluded before
+    any statistic is derived, so the result ≡ one-shot BM25 over
+    ``read_curated(store)`` — pinned across ingest / out-of-order
+    repair / retract / compact sequences in tests/test_retrieval.py."""
+    from jobcan_data_integrator_spark.operators import retrieval as rt
+
+    exclude = None
+    if store.exists(TOMBSTONES):
+        exclude = store.read(TOMBSTONES).select("doc_id")
+    return rt.bm25_query_indexed(
+        store,
+        queries,
+        k1=k1,
+        b=b,
+        k=k,
+        max_df_ratio=max_df_ratio,
+        exclude=exclude,
+    )
+
+
 def repack_corpus(
     store: TableStore,
     budget: int,
@@ -214,10 +246,12 @@ def ingest_tables(
     new_emb: bool = False,
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
     allow_out_of_order: bool = False,
+    bm25: bool = False,
 ) -> list[str]:
     """The manifest table list a given configuration touches (the outer
     ``batch_commit``'s scope)."""
     from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
 
     tables = [LEDGER, CURATED, TOMBSTONES, "ex_docs", "ex_groups"]
     if allow_out_of_order:
@@ -250,6 +284,8 @@ def ingest_tables(
             tables += ["sd_pairs"]
         if "pq" in emb_families:
             tables += list(inc.PQ_TABLES)
+    if bm25:
+        tables += list(rt.BM25_TABLES)
     return sorted(set(tables))
 
 
@@ -596,7 +632,22 @@ def _rebuild_docs(
     ok_rows = ok.join(
         store.read(CURATED_PRE).select("doc_id", "batch_id"), "doc_id"
     )
+    # BM25 family mirrors cur_docs: capture the rows this upsert will
+    # replace (their text names exactly the posting rows to prune —
+    # checkpointed BEFORE the upsert so the read pins the old version)
+    from jobcan_data_integrator_spark.operators import retrieval as rt
+
+    old_bm = None
+    if store.exists(rt.BM25_DOC_LEN):
+        old_bm = (
+            store.read_for_keys(CURATED, ok, "doc_id")
+            .join(ok.select("doc_id"), "doc_id", "leftsemi")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
     store.merge_upsert(CURATED, ok_rows, ["doc_id"])
+    if old_bm is not None:
+        rt.replace_bm25_docs(store, old_bm, ok)
     stages.append(("span_repaired", ok))
 
     if minhash and store.exists("mh_bands"):
@@ -643,6 +694,7 @@ def ingest_increment(
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
     allow_out_of_order: bool = False,
     auto_compact_bytes: int | None = 8 << 20,
+    bm25: bool = False,
 ) -> IngestResult:
     """Curate one arriving (doc_id, text) batch against — and into —
     the persisted index families.  Knobs mirror ``curate_corpus``:
@@ -717,8 +769,16 @@ def ingest_increment(
     job when under threshold) — the auto-trigger that keeps the
     broadcast masks bounded under sustained repair/retraction traffic.
     None disables.
+
+    ``bm25``: maintain the BM25 inverted-index family
+    (operators/retrieval.py) over the batch's kept docs.  Opt-in on the
+    FIRST batch only — once ``bm_doc_len`` exists every later ingest,
+    repair, retraction, and compaction maintains it automatically
+    (exists-driven, like the other families); serve with
+    ``bm25_search_curated``.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
     from jobcan_data_integrator_spark.operators.dedup import (
         remove_flagged_spans,
     )
@@ -728,6 +788,8 @@ def ingest_increment(
     from jobcan_data_integrator_spark.operators.pii import scrub_pii
 
     spark = new_docs.sparkSession
+    # exists-driven after first sight, like every other family
+    bm25 = bm25 or store.exists(rt.BM25_DOC_LEN)
 
     if allow_out_of_order:
         if simhash:
@@ -800,6 +862,7 @@ def ingest_increment(
         new_emb=new_emb is not None,
         emb_families=emb_families,
         allow_out_of_order=allow_out_of_order,
+        bm25=bm25,
     )
     # JVM-native literal row (spark.range + lit), NOT createDataFrame: a
     # Python local relation costs ~3x more per downstream job (measured
@@ -1138,6 +1201,11 @@ def ingest_increment(
                 ["doc_id"],
             )
         ]
+        if bm25:
+            # mirrors the curated insert-missing exactly (the extend's
+            # own anti-join skips ids already in the family, so repairs
+            # that landed earlier in this batch are not double-inserted)
+            tail_ops.append(lambda: rt.extend_bm25_index(store, kept))
         if pack_budget is not None:
             from jobcan_data_integrator_spark.operators.packing import (
                 chunk_documents,
@@ -1343,6 +1411,7 @@ def retract_documents(
     families touched, snapshot version) in the same commit.
     """
     from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
     from jobcan_data_integrator_spark.operators.incremental import (
         _hash_groups,
         _span_flags,
@@ -1394,6 +1463,9 @@ def retract_documents(
 
     tables = [RETRACTIONS, RETRACTION_LOG, TOMBSTONES, CURATED, CURATED_PRE]
     tables += [inc.DOC_RETRACTIONS, "ex_docs", "ex_groups"]
+    bm25 = store.exists(rt.BM25_DOC_LEN)
+    if bm25:
+        tables += list(rt.BM25_TABLES)
     if span is not None:
         tables += list(inc.SPAN_TABLES) + [inc.FLAG_DROPS]
     if minhash:
@@ -1595,8 +1667,20 @@ def retract_documents(
             store.prune_keys(CHUNKS, r_ids, ["doc_id"])
             if store.exists(SHARDS):
                 store.prune_keys(SHARDS, r_chunks, ["chunk_id"])
+        if bm25:
+            # takedown reaches the BM25 family too: the curated rows
+            # about to be deleted carry the text whose tokens name the
+            # posting rows — capture before the prune, delete after
+            old_bm = (
+                store.read_for_keys(CURATED, r_ids, "doc_id")
+                .join(F.broadcast(r_ids), "doc_id", "leftsemi")
+                .select("doc_id", "text")
+                .localCheckpoint(eager=True)
+            )
         store.prune_keys(CURATED, r_ids, ["doc_id"])
         store.prune_keys(CURATED_PRE, r_ids, ["doc_id"])
+        if bm25:
+            rt.remove_bm25_docs(store, old_bm)
 
         # 5. MinHash retirement + component relabel: mates demoted only
         # through a retracted doc resurrect; one whose curated row never
@@ -1937,6 +2021,7 @@ def compact_store(store: TableStore) -> None:
     mask bytes near the broadcast threshold (``maybe_compact_store``
     does this check cheaply, driver-side)."""
     from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
 
     inc.compact_minhash_drops(store)
 
@@ -1958,6 +2043,8 @@ def compact_store(store: TableStore) -> None:
             TOMBSTONES,
             CURATED,
             CURATED_PRE,
+            rt.BM25_POSTINGS,
+            rt.BM25_DOC_LEN,
         )
         if store.exists(t)
     ]
@@ -2031,7 +2118,18 @@ def compact_store(store: TableStore) -> None:
                 .localCheckpoint(eager=True)
             )
             if perm.head(1):
-                store.merge_batch([
+                # the perm docs' tombstones disappear below, so their
+                # (query-masked) BM25 rows must physically leave too —
+                # old text captured before the curated prune
+                old_bm = None
+                if store.exists(rt.BM25_DOC_LEN):
+                    old_bm = (
+                        store.read_for_keys(CURATED, perm, "doc_id")
+                        .join(F.broadcast(perm), "doc_id", "leftsemi")
+                        .select("doc_id", "text")
+                        .localCheckpoint(eager=True)
+                    )
+                fold_ops = [
                     lambda: store.prune_keys(CURATED, perm, ["doc_id"]),
                     lambda: store.prune_keys(CURATED_PRE, perm, ["doc_id"]),
                     lambda: store.overwrite(
@@ -2040,7 +2138,12 @@ def compact_store(store: TableStore) -> None:
                             ~F.col("cause").isin("exact", "retracted")
                         ),
                     ),
-                ])
+                ]
+                if old_bm is not None:
+                    fold_ops.append(
+                        lambda: rt.remove_bm25_docs(store, old_bm)
+                    )
+                store.merge_batch(fold_ops)
     # sp_flag_drops is the ONE transient retraction mask (its effect —
     # flag rows deleted — is fully captured by the fold; a later batch
     # re-duplicating the span re-asserts the flag as a fresh insert).

@@ -487,6 +487,79 @@ def retract_experiment(
     return round(sorted(times)[1], 3), compact_sec
 
 
+#: BM25 query probe: a FIXED 20-query ``bm25_query_indexed`` batch
+#: against the 10x-seeded inverted index.  Query cost is bounded by the
+#: query terms' POSTING LISTS — and the synthetic corpus's tiny
+#: vocabulary makes every term a near-stop-term (each posting list is
+#: ~corpus/31 rows), so this probe is deliberately data-bound: the
+#: honest budget is the linear bound, not flat.  At real scale the
+#: max_df_ratio stop-term cap is the lever that bounds this; the probe
+#: measures the UNCAPPED worst case.
+BM25_QUERY_BUDGET = 10.0
+
+#: ...and a FIXED ~20-doc ``extend_bm25_index`` against the 10x index
+#: must be ~flat (the insert-missing anti-join probe is bucket-pruned
+#: by the batch's doc ids) — mirrors the ingest probes' budget.
+BM25_EXTEND_BUDGET = 3.0
+
+
+def bm25_experiment(
+    spark, sf_dir: str, n_buckets: int, workdir: Path
+) -> tuple[float, float]:
+    """(query_median_sec, extend_sec) for the persisted BM25 family
+    over ``sf_dir``'s documents on a term/doc-bucketed store: build the
+    index once, run a fixed 20-query top-10 search 3x (median), then
+    one fixed ~20-doc extend."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        index_layout,
+    )
+    from jobcan_data_integrator_spark.operators.retrieval import (
+        bm25_index_buckets,
+        bm25_query_indexed,
+        extend_bm25_index,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    store = TableStore(
+        spark, workdir, write_partitions=1, snapshot_isolation=True,
+        **index_layout(bm25_index_buckets(n_buckets)),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store.begin_commit("bm25-build", ["bm_postings", "bm_doc_len"])
+    extend_bm25_index(store, docs)
+    store.end_commit()
+    queries = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 11)
+        .limit(20)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.expr(
+                "array_join(slice(split(lower(text), '\\\\s+'), 1, 4), ' ')"
+            ).alias("q_text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bm25_query_indexed(store, queries).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        times.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    late = docs.limit(20).select(
+        (F.col("doc_id") + F.lit(hi) + 1).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    store.begin_commit("bm25-extend", ["bm_postings", "bm_doc_len"])
+    t0 = time.perf_counter()
+    extend_bm25_index(store, late)
+    ext_sec = round(time.perf_counter() - t0, 3)
+    store.end_commit()
+    return round(sorted(times)[1], 3), ext_sec
+
+
 #: BPE batched-training smoke: learn a production-ish merge count with
 #: batch=32 and assert the round count tracks ~n_merges/32, not
 #: n_merges — the difference between minutes and hours of scheduler
@@ -693,6 +766,17 @@ def main() -> None:
     rt_ratio = round(rt1 / rt01, 2) if rt01 else None
     cp_ratio = round(cp1 / cp01, 2) if cp01 else None
 
+    # BM25 family: fixed 20-query search (data-bound by posting lists)
+    # + fixed ~20-doc extend (must be ~flat) at 1x vs 10x index
+    bm01, bme01 = bm25_experiment(
+        spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_bmidx01"
+    )
+    bm1, bme1 = bm25_experiment(
+        spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_bmidx1"
+    )
+    bm_ratio = round(bm1 / bm01, 2) if bm01 else None
+    bme_ratio = round(bme1 / bme01, 2) if bme01 else None
+
     # BPE batched training: a 1k/2k/4k merge curve pins the
     # rounds-per-merge slope (the 32k-vocab claim's extrapolation base)
     bpe_curve = [
@@ -738,6 +822,10 @@ def main() -> None:
         flagged["retract_documents@10x"] = rt_ratio
     if cp_ratio and cp_ratio > COMPACT_BUDGET:
         flagged["compact_store@10x"] = cp_ratio
+    if bm_ratio and bm_ratio > BM25_QUERY_BUDGET:
+        flagged["bm25_query@10x"] = bm_ratio
+    if bme_ratio and bme_ratio > BM25_EXTEND_BUDGET:
+        flagged["bm25_extend@10x"] = bme_ratio
     for b in bpe_curve:
         if b["rounds"] > BPE_ROUND_SLACK * b["ideal_rounds"]:
             flagged[f"train_bpe@rounds{b['requested_merges']}"] = b["rounds"]
@@ -811,6 +899,22 @@ def main() -> None:
                                   "64 -> 640), only the affected-"
                                   "partition scans grow with the "
                                   "corpus"},
+                      "bm25": {"op": "bm25_query_indexed",
+                               "sf01_sec": bm01, "sf1_sec": bm1,
+                               "ratio": bm_ratio,
+                               "budget": BM25_QUERY_BUDGET,
+                               "extend_sf01_sec": bme01,
+                               "extend_sf1_sec": bme1,
+                               "extend_ratio": bme_ratio,
+                               "extend_budget": BM25_EXTEND_BUDGET,
+                               "note": "fixed 20-query top-10 over the "
+                               "persisted term-bucketed index (median of "
+                               "3; data-bound — the tiny synthetic vocab "
+                               "makes every term near-stop, so the "
+                               "uncapped budget is the linear bound) + "
+                               "fixed ~20-doc extend (bucket-pruned "
+                               "anti-join, must be ~flat); buckets "
+                               "64 -> 640"},
                       "bpe": bpe,
                       "bpe_curve": bpe_curve,
                       "temporal": {"op": "asof_join_errors_signups",
