@@ -95,6 +95,7 @@ class TableStore:
         sorted_by: dict[str, list[str]] | None = None,
         snapshot_isolation: bool = False,
         max_snapshot_layers: int = 8,
+        retain_snapshots: int = 1,
         backend: str = "parquet",
         delta_impl: str = "auto",
     ) -> None:
@@ -164,7 +165,19 @@ class TableStore:
         OPTIMIZE/compaction analog, amortized across batches).
         ``delete_scope`` stays unsupported for managed tables (same
         reason as plain mode: a layer cannot express an emptied
-        partition; use ``sync_children``)."""
+        partition; use ``sync_children``).
+
+        ``retain_snapshots`` (snapshot mode): how many SUPERSEDED
+        snapshots keep their data directories through the publish-time
+        GC.  1 (the default) is the one-version reader grace the
+        publish protocol needs anyway; larger values buy TIME TRAVEL —
+        ``read_version`` serves any retained version and ``rollback``
+        republishes one as the new current snapshot (an O(1)
+        driver-side pointer write, never a data copy — the Delta
+        ``RESTORE`` analog).  Every publish appends its manifest to the
+        ``_snaplog/`` history (tiny JSON, kept regardless), so history
+        STRUCTURE survives past retention even when the data dirs are
+        reclaimed."""
         if backend not in ("parquet", "delta"):
             raise ValueError(f"backend must be parquet|delta: {backend}")
         if delta_impl not in ("auto", "fake"):
@@ -221,6 +234,13 @@ class TableStore:
         self.sorted_by = dict(sorted_by or {})
         self.snapshot_isolation = snapshot_isolation
         self.max_snapshot_layers = max_snapshot_layers
+        if retain_snapshots < 1:
+            raise ValueError(
+                "retain_snapshots must be >= 1: a reader that pinned a "
+                "snapshot just before a publish may still be scanning "
+                "the previous version's directories"
+            )
+        self.retain_snapshots = retain_snapshots
         #: snapshot mode: versioned dirs written this batch, not yet
         #: published — {table: dirname} for unmanaged tables,
         #: {table: {"reset": bool, "layers": [{"dir", "parts"}...]}} for
@@ -1276,24 +1296,240 @@ class TableStore:
                     new_tables[table] = {"layers": layers}
                 else:
                     new_tables[table] = pend
-            payload = {"version": snap["version"] + 1, "tables": new_tables}
-            tmp = self.root / f"{self.SNAPSHOT}.tmp"
-            tmp.write_text(_json.dumps(payload))
-            os.replace(tmp, self.root / self.SNAPSHOT)
+            self._publish_snapshot(new_tables, snap)
             self._pending_versions = {}
-            keep = self._entry_dirs(new_tables) | self._entry_dirs(snap["tables"])
-            # spare the UNPUBLISHED pending dirs of any other live
-            # in-process writer composing on this root (they are
-            # referenced by no manifest yet — without this, the first
-            # publisher's GC would delete a concurrent instance's
-            # in-flight batch data)
-            for inst in list(self._lease_holders()):
-                keep |= inst._pending_dirs()
-            for p in self.root.glob("*.v-*"):
-                if p.name not in keep:
-                    shutil.rmtree(p, ignore_errors=True)
         (self.root / self.MANIFEST).unlink(missing_ok=True)
         self._release_lease()
+
+    #: snapshot-manifest history: one tiny JSON per published version,
+    #: appended immediately before each pointer swap — the structural
+    #: record ``snapshot_history``/``read_version``/``rollback`` resolve
+    SNAPLOG = "_snaplog"
+
+    def _snaplog_path(self, version: int) -> Path:
+        return self.root / self.SNAPLOG / f"v{version:012d}.json"
+
+    def _publish_snapshot(
+        self, new_tables: dict, prev: dict, *, rollback_of: int | None = None
+    ) -> int:
+        """Publish ``new_tables`` as the next snapshot version: append the
+        manifest to the ``_snaplog/`` history, atomically swap the
+        pointer, then GC versioned dirs no retained manifest references.
+
+        The history record lands BEFORE the pointer swap: a crash
+        between the two leaves an orphan log entry for a version that
+        was never published, which the next real publish of that same
+        version number overwrites (same filename, atomic replace) — so
+        the log never diverges from the pointer for more than one
+        interrupted publish, and replay needs no log repair step.
+
+        GC keeps the data dirs of the new snapshot plus the most recent
+        ``retain_snapshots`` superseded ones (resolved through the
+        history log; the immediately-previous manifest is always
+        available in-memory as ``prev`` for legacy stores whose early
+        versions predate the log)."""
+        import json as _json
+
+        version = prev["version"] + 1
+        payload: dict = {"version": version, "ts": time.time(), "tables": new_tables}
+        if rollback_of is not None:
+            payload["rollback_of"] = rollback_of
+        logdir = self.root / self.SNAPLOG
+        logdir.mkdir(exist_ok=True)
+        blob = _json.dumps(payload)
+        ltmp = logdir / f"v{version:012d}.json.tmp"
+        ltmp.write_text(blob)
+        os.replace(ltmp, self._snaplog_path(version))
+        tmp = self.root / f"{self.SNAPSHOT}.tmp"
+        tmp.write_text(blob)
+        os.replace(tmp, self.root / self.SNAPSHOT)
+        keep = self._entry_dirs(new_tables)
+        for retained in self._retained_manifests(version, prev):
+            keep |= self._entry_dirs(retained["tables"])
+        # spare the UNPUBLISHED pending dirs of any other live
+        # in-process writer composing on this root (they are
+        # referenced by no manifest yet — without this, the first
+        # publisher's GC would delete a concurrent instance's
+        # in-flight batch data)
+        for inst in list(self._lease_holders()):
+            keep |= inst._pending_dirs()
+        for p in self.root.glob("*.v-*"):
+            if p.name not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+        return version
+
+    def _retained_manifests(self, current: int, prev: dict) -> list[dict]:
+        """The manifests of the ``retain_snapshots`` versions superseded
+        most recently (newest first).  ``prev`` serves version
+        ``current - 1`` directly (covers legacy stores with no log);
+        older versions resolve through the log and are skipped when
+        their record predates it."""
+        import json as _json
+
+        out: list[dict] = []
+        for v in range(current - 1, max(current - 1 - self.retain_snapshots, 0), -1):
+            if v == prev.get("version"):
+                out.append(prev)
+                continue
+            p = self._snaplog_path(v)
+            try:
+                out.append(_json.loads(p.read_text()))
+            except (OSError, ValueError):
+                continue  # predates the log (or torn): nothing to retain
+        return out
+
+    def snapshot_history(self) -> list[dict]:
+        """Every logged snapshot version, oldest first:
+        ``{"version", "ts", "tables", "available", ["rollback_of"]}``.
+        ``available`` is True when every data directory the manifest
+        references still exists (i.e. the version is within
+        ``retain_snapshots`` of current, or is current) — only those
+        versions can serve ``read_version``/``rollback``.  Driver-side
+        directory listing, no Spark job."""
+        import json as _json
+
+        logdir = self.root / self.SNAPLOG
+        out: list[dict] = []
+        seen: set[int] = set()
+        if logdir.is_dir():
+            for p in sorted(logdir.glob("v*.json")):
+                try:
+                    rec = _json.loads(p.read_text())
+                except (OSError, ValueError):
+                    continue
+                rec["available"] = all(
+                    (self.root / d).exists()
+                    for d in self._entry_dirs(rec["tables"])
+                )
+                seen.add(rec["version"])
+                out.append(rec)
+        cur = self.current_snapshot()
+        if cur["version"] and cur["version"] not in seen:
+            # legacy store: the current pointer predates the log
+            cur = dict(cur)
+            cur["available"] = True
+            out.append(cur)
+        # an orphan log record of a crashed pre-swap publish sits one
+        # past the pointer and was never readable: hide it
+        return [r for r in out if r["version"] <= cur["version"]]
+
+    def snapshot_at(self, version: int) -> dict:
+        """The manifest of a specific published version (current, or any
+        logged predecessor).  Raises ``KeyError`` for unknown versions —
+        including pre-log history on stores that upgraded into the
+        snapshot log."""
+        import json as _json
+
+        cur = self.current_snapshot()
+        if version == cur["version"]:
+            return cur
+        if 0 < version < cur["version"]:
+            try:
+                return _json.loads(self._snaplog_path(version).read_text())
+            except (OSError, ValueError):
+                pass
+        raise KeyError(
+            f"store {self.root}: no snapshot log record for version "
+            f"{version} (current is {cur['version']}; versions written "
+            "before the log was introduced are not resolvable)"
+        )
+
+    def _version_dirs(self, snapshot: dict, table: str) -> list[str]:
+        entry = snapshot["tables"].get(table)
+        if entry is None:
+            return []
+        if isinstance(entry, str):
+            return [entry]
+        return [layer["dir"] for layer in entry["layers"]]
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: read ``table`` as of published ``version``.
+
+        Serves any version whose data dirs survived the publish-time GC
+        (current plus the last ``retain_snapshots`` superseded ones);
+        older versions raise with the retention knob to turn.  A table
+        absent from that version's manifest raises ``FileNotFoundError``
+        — it did not exist then, even if it does now."""
+        snap = self.snapshot_at(version)
+        if table not in snap["tables"]:
+            raise FileNotFoundError(
+                f"table {table!r} does not exist at snapshot version "
+                f"{version} of store {self.root}"
+            )
+        gone = [
+            d
+            for d in self._version_dirs(snap, table)
+            if not (self.root / d).exists()
+        ]
+        if gone:
+            raise ValueError(
+                f"store {self.root}: version {version} of table "
+                f"{table!r} was garbage-collected ({gone[0]} is gone) — "
+                f"retain_snapshots={self.retain_snapshots} keeps only "
+                "that many superseded versions; raise it at store "
+                "construction to time-travel further back"
+            )
+        return self.read_at(table, snap)
+
+    def rollback(self, version: int, *, batch_id: str | None = None) -> int:
+        """Republish a retained snapshot as the NEW current version and
+        return the new version number.
+
+        This is the Delta ``RESTORE`` analog: a driver-side manifest
+        write under the writer lease — no data is copied or rewritten,
+        so the cost is O(1) in corpus size.  The rolled-back state
+        becomes a fresh version on top of the history (never a pointer
+        rewind), so the undone versions stay in the log and a rollback
+        can itself be rolled back while retention lasts.  Tables created
+        after ``version`` drop out of the manifest; their data dirs
+        survive as superseded versions until retention expires.
+
+        Requires snapshot isolation, no batch in flight on this
+        instance, and every data dir of the target version still on
+        disk (``snapshot_history()[i]["available"]``)."""
+        if not self.snapshot_isolation:
+            raise ValueError(
+                "rollback needs snapshot_isolation=True: plain mode has "
+                "no versioned manifests to restore (backend='delta' has "
+                "its own RESTORE)"
+            )
+        if self._suspended or self._pending_versions:
+            raise RuntimeError(
+                "rollback inside an open batch_commit (or with "
+                "unpublished pending writes) is not supported — publish "
+                "or abandon the batch first"
+            )
+        snap = self.current_snapshot()
+        if version == snap["version"]:
+            return version  # already current: nothing to publish
+        target = self.snapshot_at(version)
+        gone = sorted(
+            d
+            for d in self._entry_dirs(target["tables"])
+            if not (self.root / d).exists()
+        )
+        if gone:
+            raise ValueError(
+                f"store {self.root}: cannot roll back to version "
+                f"{version} — {len(gone)} data dir(s) were garbage-"
+                f"collected (first: {gone[0]}); retain_snapshots="
+                f"{self.retain_snapshots} bounds how far back rollback "
+                "reaches"
+            )
+        self.begin_commit(
+            batch_id or f"rollback-to-v{version}", sorted(target["tables"])
+        )
+        try:
+            self._verify_lease()
+            new_version = self._publish_snapshot(
+                dict(target["tables"]), snap, rollback_of=version
+            )
+        except BaseException:
+            self._release_lease()
+            raise
+        (self.root / self.MANIFEST).unlink(missing_ok=True)
+        self._release_lease()
+        return new_version
 
     @contextmanager
     def batch_commit(self, batch_id: str, tables: list[str]):

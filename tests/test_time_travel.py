@@ -1,0 +1,204 @@
+"""Snapshot time travel: retention, ``read_version``, and ``rollback``.
+
+Every publish appends its manifest to ``_snaplog/`` (tiny JSON) and the
+GC keeps the data dirs of the last ``retain_snapshots`` superseded
+versions — so any retained version can be read as-of, and ``rollback``
+republishes one as the new current snapshot with a single driver-side
+pointer write (the Delta RESTORE analog: O(1) in corpus size, no data
+copied).  Reference analog: the reference converges a bad batch by
+re-running the idempotent sync (gateway.py's per-record commits); at
+100 TB re-running is a corpus-sized job, while a manifest rollback is
+constant-time — this is the operational escape hatch a production
+corpus needs when an ingest batch turns out poisoned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from jobcan_data_integrator_spark.storage import ConcurrentWriterError, TableStore
+
+
+def _df(spark, v: int, n: int = 1):
+    return spark.createDataFrame([(i, v) for i in range(n)], "k long, v long")
+
+
+def _store(spark, root, retain: int = 3) -> TableStore:
+    return TableStore(
+        spark,
+        root,
+        write_partitions=1,
+        snapshot_isolation=True,
+        retain_snapshots=retain,
+    )
+
+
+def _publish(store: TableStore, batch: str, tables: dict[str, int]) -> int:
+    with store.batch_commit(batch, sorted(tables)):
+        for t, v in tables.items():
+            store.overwrite(t, _df(store.spark, v))
+    return store.current_snapshot()["version"]
+
+
+def test_read_version_serves_every_retained_version(spark, tmp_path):
+    st = _store(spark, tmp_path, retain=3)
+    for v in range(4):
+        _publish(st, f"b{v}", {"t": v})
+    assert st.current_snapshot()["version"] == 4
+    for version, expect in [(1, 0), (2, 1), (3, 2), (4, 3)]:
+        assert st.read_version("t", version).collect()[0].v == expect
+
+
+def test_gc_respects_retention_and_errors_name_the_knob(spark, tmp_path):
+    st = _store(spark, tmp_path, retain=1)
+    for v in range(4):
+        _publish(st, f"b{v}", {"t": v})
+    # versions 1..2 are past retention: data gone, structure logged
+    hist = st.snapshot_history()
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["available"] for h in hist] == [False, False, True, True]
+    assert st.read_version("t", 3).collect()[0].v == 2
+    with pytest.raises(ValueError, match="retain_snapshots"):
+        st.read_version("t", 2)
+    with pytest.raises(KeyError, match="no snapshot log record"):
+        st.snapshot_at(99)
+
+
+def test_table_absent_at_old_version_raises(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    _publish(st, "b0", {"ta": 0})
+    _publish(st, "b1", {"ta": 1, "tb": 1})
+    with pytest.raises(FileNotFoundError, match="does not exist at snapshot"):
+        st.read_version("tb", 1)
+    assert st.read_version("tb", 2).collect()[0].v == 1
+
+
+def test_rollback_is_a_pointer_write_and_restores_the_batch(spark, tmp_path):
+    st = _store(spark, tmp_path, retain=5)
+    _publish(st, "good", {"ta": 1, "tb": 1})
+    _publish(st, "poisoned", {"ta": 2, "tb": 2, "tc": 2})
+    dirs_before = {p.name for p in tmp_path.glob("*.v-*")}
+
+    new_v = st.rollback(1)
+
+    assert new_v == 3
+    # O(1): no data dir was created or copied by the rollback
+    assert {p.name for p in tmp_path.glob("*.v-*")} == dirs_before
+    # the restored state IS the current snapshot for plain reads
+    assert st.read("ta").collect()[0].v == 1
+    assert st.read("tb").collect()[0].v == 1
+    # tc was created by the poisoned batch: gone from the manifest
+    assert not st.exists("tc")
+    # history keeps the undone version readable (within retention) and
+    # records what the rollback restored
+    assert st.read_version("ta", 2).collect()[0].v == 2
+    assert st.snapshot_history()[-1]["rollback_of"] == 1
+    # a rollback is itself a version: roll forward again
+    st.rollback(2)
+    assert st.read("ta").collect()[0].v == 2
+    assert st.exists("tc")
+    # writing continues on top of the restored state
+    _publish(st, "after", {"ta": 9})
+    assert st.read("ta").collect()[0].v == 9
+    assert st.read("tb").collect()[0].v == 2
+
+
+def test_rollback_refusals(spark, tmp_path):
+    st = _store(spark, tmp_path, retain=1)
+    for v in range(3):
+        _publish(st, f"b{v}", {"t": v})
+    # target past retention: data dirs were GC'd
+    with pytest.raises(ValueError, match="garbage-collected"):
+        st.rollback(1)
+    # no-op rollback to the current version
+    assert st.rollback(3) == 3
+    # mid-batch rollback is rejected
+    st.begin_commit("open", ["t"])
+    st.overwrite("t", _df(spark, 99))
+    with pytest.raises(RuntimeError, match="pending"):
+        st.rollback(2)
+    st.end_commit()
+    # plain mode has no manifests to restore
+    plain = TableStore(spark, tmp_path / "plain", write_partitions=1)
+    with pytest.raises(ValueError, match="snapshot_isolation"):
+        plain.rollback(1)
+
+
+def test_rollback_respects_the_writer_lease(spark, tmp_path):
+    st = _store(spark, tmp_path, retain=3)
+    _publish(st, "b0", {"t": 0})
+    _publish(st, "b1", {"t": 1})
+    lease = tmp_path / TableStore.LEASE
+    lease.write_text(json.dumps({"pid": 1, "ts": __import__("time").time(), "epoch": 7}))
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            st.rollback(1)
+        # nothing was published
+        assert st.current_snapshot()["version"] == 2
+    finally:
+        lease.unlink()
+    assert st.rollback(1) == 3
+
+
+def test_managed_table_time_travel_and_rollback(spark, tmp_path):
+    st = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=1,
+        snapshot_isolation=True,
+        retain_snapshots=4,
+        bucketed={"t": ("k", 4)},
+    )
+    with st.batch_commit("b0", ["t"]):
+        st.overwrite("t", _df(spark, 0, n=8))
+    with st.batch_commit("b1", ["t"]):
+        st.merge_upsert("t", _df(spark, 1, n=2), ["k"])
+    assert sorted(r.v for r in st.read_version("t", 1).collect()) == [0] * 8
+    assert sorted(r.v for r in st.read_version("t", 2).collect()) == [0] * 6 + [1] * 2
+    st.rollback(1)
+    assert sorted(r.v for r in st.read("t").collect()) == [0] * 8
+
+
+def test_orphan_snaplog_record_from_crashed_publish_is_overwritten(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    _publish(st, "b0", {"t": 0})
+    # simulate a crash between the log append and the pointer swap: a
+    # v2 record exists but the pointer still says v1
+    orphan = dict(st.current_snapshot())
+    orphan["version"] = 2
+    (tmp_path / TableStore.SNAPLOG / "v000000000002.json").write_text(
+        json.dumps(orphan)
+    )
+    # the orphan never became readable: history hides it
+    assert [h["version"] for h in st.snapshot_history()] == [1]
+    # the next real publish claims version 2 and overwrites the orphan
+    _publish(st, "b1", {"t": 1})
+    assert st.read_version("t", 2).collect()[0].v == 1
+    assert [h["version"] for h in st.snapshot_history()] == [1, 2]
+
+
+def test_retain_snapshots_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="retain_snapshots"):
+        TableStore(
+            spark, tmp_path, snapshot_isolation=True, retain_snapshots=0
+        )
+
+
+def test_legacy_store_without_log_keeps_one_version_grace(spark, tmp_path):
+    """A store whose early versions predate ``_snaplog`` still GCs with
+    the one-version grace (the in-memory previous manifest covers
+    version N-1), and history resolves from the pointer."""
+    st = _store(spark, tmp_path, retain=1)
+    _publish(st, "b0", {"t": 0})
+    # simulate pre-log history: drop the log dir entirely
+    import shutil
+
+    shutil.rmtree(tmp_path / TableStore.SNAPLOG)
+    _publish(st, "b1", {"t": 1})
+    # v1's dirs survived the publish (grace) even with no log record
+    snap_v1_dirs = [p for p in tmp_path.glob("t.v-*")]
+    assert len(snap_v1_dirs) == 2
+    assert [h["version"] for h in st.snapshot_history()] == [2]
