@@ -368,18 +368,16 @@ def j10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
-@gate(
-    "j11_semi_join_segment_orders",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority, o_totalprice
-    FROM orders o
-    WHERE EXISTS (SELECT 1 FROM customer c
-                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
-    """,
-    doc="J11 (create_views.sql:335-336, _requests.py:219-251): dynamic id-set "
-    "filtering as a left-semi join (scales where IN-lists cannot).",
-)
 def j11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (create_views.sql:335-336, _requests.py:219-251): dynamic
+    id-set filtering as a left-semi join (scales where IN-lists cannot).
+
+    ROTATED out of the 50-gate driver registry in round 8 (slot given
+    to rt_hybrid_rrf, like J1/J10/f_currency/n_repeat in earlier
+    rounds): the J family keeps six driver gates (J2-J5/J8/J9) and the
+    semi-join idiom also runs inside J5's chain; the dual-engine value
+    golden lives on in tests/test_gate_oracle.py::
+    test_j11_semi_join_golden."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(

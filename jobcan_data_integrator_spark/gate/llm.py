@@ -2228,3 +2228,142 @@ def rt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_text"),
     )
     return bm25_topk(bm25_scores(index, query_terms(q)), k=10)
+
+
+@gate(
+    "rt_hybrid_rrf",
+    # Hybrid retrieval: the rt_bm25_topk lexical list (self-hit excluded)
+    # and a brute-cosine dense list over the embeddings table (vec_id ==
+    # doc_id by testdata construction) fused with reciprocal-rank fusion
+    # (k=60): rrf(q,d) = Σ_lists round(1e6/(60+rank)).  Queries are the
+    # doc_id%100==7 docs; at sfs where the embeddings table is smaller
+    # than documents, queries past its range simply have no dense list —
+    # RRF degrades to the lexical contributions (both engines express
+    # the same union semantics).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_BM25_TOKS}) AS term FROM documents
+    ), postings AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), doc_stats AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), term_stats AS (
+      SELECT term, count(*) AS df FROM postings GROUP BY 1
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doc_stats
+    ), qraw AS (
+      SELECT doc_id AS q_id, unnest(list_slice({_BM25_TOKS}, 1, 4)) AS term
+      FROM documents WHERE doc_id % 100 = 7
+    ), qt AS (
+      SELECT DISTINCT q_id, term FROM qraw
+    ), contrib AS (
+      SELECT qt.q_id, p.doc_id,
+             CAST(round(10000 * ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+                        * (p.tf * 2.2)
+                        / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)))
+                  AS BIGINT) AS cm
+      FROM qt
+      JOIN term_stats t USING (term)
+      JOIN postings p USING (term)
+      JOIN doc_stats d ON p.doc_id = d.doc_id
+      CROSS JOIN corpus c
+      WHERE p.doc_id <> qt.q_id
+    ), lex_scored AS (
+      SELECT q_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY 1, 2
+    ), lex AS (
+      SELECT q_id, doc_id, rank FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score_micro DESC, doc_id) AS rank
+        FROM lex_scored)
+      WHERE rank <= 10
+    ), qv AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      FROM embeddings WHERE vec_id % 100 = 7
+    ), cv AS (
+      SELECT vec_id, embedding::DOUBLE[] AS c_emb FROM embeddings
+    ), sims AS (
+      SELECT qv.q_id, cv.vec_id AS doc_id,
+             {_COSINE_DUCK.format(a="q_emb", b="c_emb")} AS cosine_sim
+      FROM qv, cv WHERE cv.vec_id <> qv.q_id
+    ), dense AS (
+      SELECT q_id, doc_id, rank FROM (
+        SELECT q_id, doc_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine_sim DESC, doc_id) AS rank
+        FROM sims)
+      WHERE rank <= 10
+    ), unioned AS (
+      SELECT q_id, doc_id,
+             CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lex
+      UNION ALL
+      SELECT q_id, doc_id,
+             CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM dense
+    ), fused AS (
+      SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS INTEGER) AS n_lists
+      FROM unioned GROUP BY 1, 2
+    )
+    SELECT q_id, doc_id, CAST(rrf_rank AS INTEGER) AS rrf_rank,
+           rrf_micro, n_lists
+    FROM (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY rrf_micro DESC, doc_id) AS rrf_rank,
+             rrf_micro, n_lists
+      FROM fused)
+    WHERE rrf_rank <= 10
+    """,
+    doc="Hybrid retrieval (operators/retrieval.py rrf_fuse): fuse the "
+    "BM25 lexical top-10 with the brute-cosine dense top-10 per query "
+    "via reciprocal-rank fusion (Cormack et al. 2009, k=60) — the "
+    "standard lexical+dense combiner that needs no score calibration "
+    "because only RANKS enter the sum.  Contributions are integer "
+    "micro-units so the fused scores hash identically across engines.  "
+    "Plan: both retrievers' outputs are topk-bounded (≤20 rows/query), "
+    "so the fusion itself is a union + one tiny (q,d) sum — at 100 TB "
+    "the cost IS the retrievers, which stay posting-pruned (BM25) and "
+    "bucket-pruned (ANN; the brute pass here is the oracle-friendly "
+    "baseline, swap ann_topk_lsh_multiprobe in production).",
+)
+def rt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jobcan_data_integrator_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_topk,
+        build_inverted_index,
+        query_terms,
+        rrf_fuse,
+    )
+
+    docs = _docs(spark, sf_dir)
+    index = build_inverted_index(docs)
+    q = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                ),
+                1,
+                4,
+            ),
+            " ",
+        ).alias("q_text"),
+    )
+    scored = bm25_scores(index, query_terms(q)).filter(
+        F.col("doc_id") != F.col("q_id")
+    )
+    lex = bm25_topk(scored, k=10).select("q_id", "doc_id", "rank")
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.filter(F.col("vec_id") % 100 == 7)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    dense = (
+        _brute_topk(emb, qv, k=10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("q_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], k=60, topk=10)

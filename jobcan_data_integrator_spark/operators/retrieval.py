@@ -172,6 +172,74 @@ def bm25_scores(
     )
 
 
+#: RRF contribution scale: one list position contributes
+#: ``round(1e6 / (k + rank))`` integer micro-units.  With the standard
+#: k=60 and top-10 lists the divisor stays in [61, 70], where 1e6/n can
+#: never land on an exact .5 (that needs 2e6/n odd ⇒ n ≥ 2^7) — so
+#: HALF_UP vs banker's rounding can never diverge between engines.
+RRF_MICRO = 1_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    topk: int = 10,
+    query_col: str = "q_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    per-query rank lists: ``score(q, d) = Σ_lists 1 / (k + rank)``,
+    returned as ``(q_id, doc_id, rrf_rank, rrf_micro, n_lists)`` with
+    the deterministic (score DESC, id ASC) cut at ``topk``.
+
+    The standard hybrid-retrieval combiner: fuse a lexical (BM25) list
+    with a dense (embedding ANN) list without calibrating their
+    incomparable score scales — only RANKS enter the sum, so each
+    retriever can evolve independently.  A query missing from one list
+    (e.g. no embedding for it) degrades gracefully to the other list's
+    contributions.
+
+    Plan shape: the lists UNION (no join — missing entries need no
+    outer-join null handling) into one narrow (q, d, contribution)
+    stream, then ONE (q, d) sum and a per-query window top-k.  Each
+    input list is already top-k-bounded by its retriever, so the fused
+    volume is ≤ N·topk rows per query — broadcast-tiny relative to the
+    corpus, at any corpus size.  Contributions are integer micro-units
+    (``RRF_MICRO``) so the sum is exact and order-independent across
+    engines and partitionings."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking list")
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_col).alias("q_id"),
+            F.col(id_col).alias("doc_id"),
+            F.round(F.lit(float(RRF_MICRO)) / (F.lit(k) + F.col(rank_col)))
+            .cast("long")
+            .alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("q_id", "doc_id").agg(
+        F.sum("c").alias("rrf_micro"), F.count("*").cast("int").alias("n_lists")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= topk)
+        .select(
+            "q_id",
+            "doc_id",
+            F.col("rrf_rank").cast("int").alias("rrf_rank"),
+            "rrf_micro",
+            "n_lists",
+        )
+    )
+
+
 def bm25_topk(scored: DataFrame, k: int = 10) -> DataFrame:
     """Top-k docs per query with the deterministic (score DESC, doc_id
     ASC) tiebreak every gate window uses — the cut is identical across

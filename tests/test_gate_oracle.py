@@ -199,3 +199,25 @@ def test_j10_anti_join_golden(spark, sf_dir):
         for r in c.join(o, c.c_custkey == o.o_custkey, "left_anti").collect()
     )
     assert got == [900001, 900002]
+
+
+_J11_ORACLE = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+def test_j11_semi_join_golden(spark, sf_dir):
+    """J11 rotated out of the driver registry in round 8 (slot given to
+    rt_hybrid_rrf): the dual-engine value golden lives on here,
+    unchanged."""
+    from jobcan_data_integrator_spark.gate.analytic import j11_semi_join
+
+    sdf = j11_semi_join(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_J11_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())

@@ -142,3 +142,65 @@ def test_index_stats(index):
     assert stats.avgdl == pytest.approx(sum(len(t.split()) for _, t in CORPUS) / 6)
     df_map = {r.term: r.df for r in index.term_stats.collect()}
     assert df_map["apple"] == 4 and df_map["banana"] == 5 and df_map["date"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def _rrf_replica(lists, k=60, topk=10):
+    """Independent RRF: dict accumulation, float 1e6/(k+rank) HALF_UP."""
+    acc: dict[tuple[int, int], list] = {}
+    for lst in lists:
+        for q, d, rank in lst:
+            e = acc.setdefault((q, d), [0, 0])
+            e[0] += int(math.floor(1_000_000 / (k + rank) + 0.5))
+            e[1] += 1
+    out = []
+    byq: dict[int, list] = {}
+    for (q, d), (s, n) in acc.items():
+        byq.setdefault(q, []).append((d, s, n))
+    for q, rows in byq.items():
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for i, (d, s, n) in enumerate(rows[:topk], start=1):
+            out.append((q, d, i, s, n))
+    return sorted(out)
+
+
+def test_rrf_fuse_matches_replica(spark):
+    from jobcan_data_integrator_spark.operators.retrieval import rrf_fuse
+
+    lex = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)]
+    dense = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (3, 30, 1)]  # q3: dense-only
+    schema = "q_id long, doc_id long, rank int"
+    fused = rrf_fuse(
+        [spark.createDataFrame(lex, schema), spark.createDataFrame(dense, schema)]
+    )
+    got = sorted(
+        (r.q_id, r.doc_id, r.rrf_rank, r.rrf_micro, r.n_lists)
+        for r in fused.collect()
+    )
+    assert got == _rrf_replica([lex, dense])
+    # doc in both lists outranks any single-list doc at comparable ranks
+    by_qd = {(q, d): rank for q, d, rank, _, _ in got}
+    assert by_qd[(1, 11)] == 1
+
+
+def test_rrf_fuse_topk_and_tiebreak(spark):
+    from jobcan_data_integrator_spark.operators.retrieval import rrf_fuse
+
+    # equal contributions -> doc_id ascending breaks the tie
+    lst = [(1, d, 1) for d in (5, 3, 9)]  # same rank=1 in 3 "lists"
+    schema = "q_id long, doc_id long, rank int"
+    frames = [spark.createDataFrame([row], schema) for row in lst]
+    fused = rrf_fuse(frames, topk=2)
+    got = [(r.doc_id, r.rrf_rank) for r in fused.collect()]
+    assert sorted(got) == [(3, 1), (5, 2)]  # 9 cut by topk=2
+
+
+def test_rrf_fuse_rejects_empty_input():
+    from jobcan_data_integrator_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
