@@ -202,3 +202,50 @@ def test_legacy_store_without_log_keeps_one_version_grace(spark, tmp_path):
     snap_v1_dirs = [p for p in tmp_path.glob("t.v-*")]
     assert len(snap_v1_dirs) == 2
     assert [h["version"] for h in st.snapshot_history()] == [2]
+
+
+def _t(prefix: str, lo: int, hi: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(lo, hi))
+
+
+def test_rollback_composes_with_the_ingest_orchestrator(spark, tmp_path):
+    """The redelivery ledger (``ig_batches``) is a store table, so a
+    rollback rewinds it atomically with the corpus: a batch undone by
+    rollback is NOT treated as already-absorbed on redelivery — it
+    re-ingests and converges to the pre-rollback state — while a batch
+    the current snapshot still covers stays a no-op.  This is the
+    poisoned-batch escape hatch end-to-end: undo is O(1), replay is
+    increment-sized."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        read_curated,
+    )
+
+    b1 = [(1, _t("u", 0, 10)), (2, _t("v", 0, 10))]
+    b2 = [(11, _t("w", 0, 10)), (12, _t("u", 0, 10))]  # 12 = exact dup of 1
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        snapshot_isolation=True,
+        retain_snapshots=8,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ingest_increment(store, mk(b1), "b1", span=7, min_tokens=3)
+    v1 = store.current_snapshot()["version"]
+    after_b1 = {(r.doc_id, r.text) for r in read_curated(store).collect()}
+
+    ingest_increment(store, mk(b2), "b2", span=7, min_tokens=3)
+    after_b2 = {(r.doc_id, r.text) for r in read_curated(store).collect()}
+    assert after_b2 == after_b1 | {(11, _t("w", 0, 10))}  # 12 deduped
+
+    store.rollback(v1)
+    assert {(r.doc_id, r.text) for r in read_curated(store).collect()} == after_b1
+
+    # the ledger rewound with the snapshot: b2 redelivers as NEW work
+    ingest_increment(store, mk(b2), "b2", span=7, min_tokens=3)
+    assert {(r.doc_id, r.text) for r in read_curated(store).collect()} == after_b2
+    # ...and a batch the current snapshot covers stays a no-op
+    res = ingest_increment(store, mk(b2), "b2", span=7, min_tokens=3)
+    assert res.replayed
+    assert {(r.doc_id, r.text) for r in read_curated(store).collect()} == after_b2
