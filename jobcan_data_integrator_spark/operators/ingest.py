@@ -790,6 +790,21 @@ def ingest_increment(
     spark = new_docs.sparkSession
     # exists-driven after first sight, like every other family
     bm25 = bm25 or store.exists(rt.BM25_DOC_LEN)
+    if bm25 and not store.snapshot_isolation and store.backend != "delta":
+        # the family's repair path captures the docs' OLD text from
+        # cur_docs and prunes those (term, doc_id) rows after the
+        # curated upsert lands; on a plain store a crash between the two
+        # per-table swaps destroys the capture source, so the replay
+        # can no longer name the stale postings (the delta anti-join
+        # sees the text already current and skips) — stale rows would
+        # persist forever.  Snapshot mode publishes both (or neither)
+        # atomically, which is what makes the capture-then-prune
+        # sequence replay-safe.
+        raise ValueError(
+            "the BM25 family needs a snapshot-isolation store: its "
+            "old-text capture-then-prune maintenance is only crash-"
+            "replay-safe under an atomic multi-table publish"
+        )
 
     if allow_out_of_order:
         if simhash:
@@ -1505,7 +1520,7 @@ def retract_documents(
         _tombstone(
             store, r_ids, retract_id, "retracted", ooo=True, permanent=True
         )
-        store.merge_insert_missing(inc.DOC_RETRACTIONS, r_ids, ["doc_id"])
+        _mask_insert(store, inc.DOC_RETRACTIONS, r_ids, "doc_id")
 
         # 2. exact family: re-elect keepers for every hash group a
         # retracted doc belonged to.  One narrow broadcast-semi pass
@@ -1916,7 +1931,7 @@ def _retract_vec_rows(store: TableStore, r_ids: DataFrame) -> list[str]:
     from jobcan_data_integrator_spark.operators import incremental as inc
 
     touched: list[str] = [inc.EMB_RETRACTIONS]
-    store.merge_insert_missing(inc.EMB_RETRACTIONS, r_ids, ["vec_id"])
+    _mask_insert(store, inc.EMB_RETRACTIONS, r_ids, "vec_id")
     b = F.broadcast(r_ids.select(F.col("vec_id").alias("_rid")))
     for t, ca, cb in _EMB_PAIR_TABLES:
         if not store.exists(t):
@@ -1978,6 +1993,23 @@ def _log_retraction(
     store.merge_insert_missing(RETRACTION_LOG, row, ["retract_id"])
 
 
+def _mask_insert(store: TableStore, table: str, ids: DataFrame, key: str) -> None:
+    """Insert permanent-retraction mask rows carrying ``folded=False`` —
+    the compact_store fold WATERMARK: a fold prunes base tables with
+    only the not-yet-folded ids, then flips them to ``folded=True``, so
+    fold cost follows retraction volume SINCE THE LAST FOLD instead of
+    lifetime takedown history.  A pre-watermark store's mask (no
+    ``folded`` column) is migrated in place — masks are broadcast-small
+    by design."""
+    if store.exists(table) and "folded" not in store.read(table).columns:
+        store.overwrite(
+            table, store.read(table).withColumn("folded", F.lit(False))
+        )
+    store.merge_insert_missing(
+        table, ids.select(key).withColumn("folded", F.lit(False)), [key]
+    )
+
+
 def compact_store(store: TableStore) -> None:
     """Fold EVERY merge-on-read mask into its base table — the one-call
     OPTIMIZE analog for a store that has absorbed out-of-order repairs
@@ -2014,6 +2046,10 @@ def compact_store(store: TableStore) -> None:
     physically leave) but keeps the id sets; the auto-trigger accounts
     for this by measuring mask GROWTH since the last fold (a driver-side
     stat file), so an already-folded permanent mask never re-triggers.
+    The fold itself is delta-scoped the same way: mask rows carry a
+    ``folded`` watermark flag — each fold prunes with only the rows
+    added since the last fold and then flips them, so per-fold cost
+    follows recent retraction volume, never lifetime history.
 
     Reads before/after are identical by construction (each fold applies
     exactly the anti-join its probes were applying — pinned in
@@ -2068,16 +2104,24 @@ def compact_store(store: TableStore) -> None:
     # affected-partition scans).  Folds of different tables run as
     # concurrent chains (merge_batch); same-table prunes stay ordered
     # inside their chain.
-    emb_mask = (
-        store.read(inc.EMB_RETRACTIONS)
-        if store.exists(inc.EMB_RETRACTIONS)
-        else None
-    )
-    mask = (
-        store.read(inc.DOC_RETRACTIONS)
-        if store.exists(inc.DOC_RETRACTIONS)
-        else None
-    )
+    def _unfolded(table: str, key: str) -> DataFrame | None:
+        """The mask rows added since the last fold (``folded=False``; a
+        pre-watermark store's unflagged rows count as unfolded once).
+        None when nothing is new — the per-family prunes are skipped, so
+        a fold's cost follows retraction volume SINCE THE LAST FOLD, not
+        lifetime takedown history (every bucket any past retraction ever
+        touched would otherwise be re-read and re-written on every
+        8 MB-growth trigger, forever)."""
+        if not store.exists(table):
+            return None
+        m = store.read(table)
+        if "folded" in m.columns:
+            m = m.filter(~F.coalesce(F.col("folded"), F.lit(False)))
+        m = m.select(key).localCheckpoint(eager=True)
+        return m if m.head(1) else None
+
+    emb_mask = _unfolded(inc.EMB_RETRACTIONS, "vec_id")
+    mask = _unfolded(inc.DOC_RETRACTIONS, "doc_id")
 
     def _fold_sp_flags() -> None:
         if mask is not None:
@@ -2102,6 +2146,20 @@ def compact_store(store: TableStore) -> None:
         lambda: store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
     )
     store.merge_batch(ops)
+    # flip the folded delta's watermark: the permanent ids STAY (the
+    # takedown contract), but the next fold's prune scope starts empty
+    for t, key, m in (
+        (inc.DOC_RETRACTIONS, "doc_id", mask),
+        (inc.EMB_RETRACTIONS, "vec_id", emb_mask),
+    ):
+        if m is not None:
+            store.overwrite(
+                t,
+                store.read(t)
+                .select(key)
+                .distinct()
+                .withColumn("folded", F.lit(True)),
+            )
     if store.exists(TOMBSTONES):
         tomb = store.read(TOMBSTONES)
         if "cause" in tomb.columns:

@@ -247,6 +247,19 @@ class TableStore:
         #: managed ones; read() prefers these so a batch reads its own
         #: writes
         self._pending_versions: dict[str, str | dict] = {}
+        #: guards _pending_versions and _inflight_vdirs: merge_batch
+        #: worker threads register layers concurrently, and a
+        #: concurrently-publishing in-process instance reads BOTH via
+        #: _pending_dirs to spare this instance's dirs from its GC
+        self._pv_lock = threading.RLock()
+        #: versioned dirs whose Spark write has STARTED but which no
+        #: _pending_versions entry references yet — without this
+        #: registration a concurrent composer's publish-time GC would
+        #: delete a dir mid-write (the write-return-to-register window).
+        #: Cleared when the commit publishes or aborts; an abandoned
+        #: (failed-write) dir is reclaimed by the next publish after
+        #: that.
+        self._inflight_vdirs: set[str] = set()
         #: True while a ``batch_commit`` context is open: inner
         #: begin_commit/end_commit calls become no-ops so composed
         #: operators (each of which brackets its own writes) fold into
@@ -379,6 +392,8 @@ class TableStore:
             else:
                 df = df.coalesce(self.write_partitions)
         vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
+        with self._pv_lock:
+            self._inflight_vdirs.add(vdir)  # visible to concurrent GC NOW
         out = str(self.root / vdir)
         self._sorted(table, df).write.mode("overwrite").partitionBy(*pcols).parquet(out)
         parts = self._layer_parts(vdir, len(pcols))
@@ -396,11 +411,12 @@ class TableStore:
         ``reset=False`` (a merge) stacks on top — readers resolve
         newest-layer-wins per partition."""
         layer = self._materialize_layer(table, df)
-        pend = self._pending_versions.get(table)
-        if reset or not isinstance(pend, dict):
-            pend = {"reset": reset, "layers": []}
-        pend["layers"].append(layer)
-        self._pending_versions[table] = pend
+        with self._pv_lock:
+            pend = self._pending_versions.get(table)
+            if reset or not isinstance(pend, dict):
+                pend = {"reset": reset, "layers": []}
+            pend["layers"].append(layer)
+            self._pending_versions[table] = pend
 
     def _write_pruned_layer(
         self, table: str, df: DataFrame, dead_parts: set[str]
@@ -412,11 +428,12 @@ class TableStore:
         dead = sorted(set(dead_parts) - set(layer["parts"]))
         if dead:
             layer["dead"] = dead
-        pend = self._pending_versions.get(table)
-        if not isinstance(pend, dict):
-            pend = {"reset": False, "layers": []}
-        pend["layers"].append(layer)
-        self._pending_versions[table] = pend
+        with self._pv_lock:
+            pend = self._pending_versions.get(table)
+            if not isinstance(pend, dict):
+                pend = {"reset": False, "layers": []}
+            pend["layers"].append(layer)
+            self._pending_versions[table] = pend
 
     def prunes_scoped(self, table: str) -> bool:
         """True when ``prune_keys`` on this table takes the
@@ -551,9 +568,16 @@ class TableStore:
     def prune_predicate(self, table: str, cond) -> None:
         """Physically remove every row matching ``cond`` (a Column
         predicate) — same partition-scoped economics as ``prune_keys``
-        (one column-pruned scan finds the affected partitions)."""
+        (one column-pruned scan finds the affected partitions).
+
+        SQL DELETE semantics: only rows where ``cond`` is TRUE are
+        removed — rows where it evaluates to NULL are kept (the kept
+        side filters on ``~cond OR cond IS NULL``, since a bare
+        ``~cond`` would silently drop the NULLs a three-valued ``~``
+        keeps un-matched)."""
         if not self.exists(table):
             return
+        keep = ~cond | cond.isNull()
         if self.backend == "delta":
             self._delta_table(table).delete(cond)
             return
@@ -583,10 +607,10 @@ class TableStore:
                     last_segment_filter={f"{pcol}={s}" for s in segs},
                 )
             self._write_pruned_layer(
-                table, affected.filter(~cond), {f"{pcol}={s}" for s in segs}
+                table, affected.filter(keep), {f"{pcol}={s}" for s in segs}
             )
             return
-        self.overwrite(table, self.read(table).filter(~cond))
+        self.overwrite(table, self.read(table).filter(keep))
 
     def _published_layers(self, table: str) -> list[dict] | None:
         """The published manifest's layer list for a managed table, or
@@ -955,10 +979,13 @@ class TableStore:
             if self.write_partitions is not None:
                 df_out = df_out.coalesce(self.write_partitions)
             vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
+            with self._pv_lock:
+                self._inflight_vdirs.add(vdir)  # spare from concurrent GC
             self._sorted(table, df_out).write.mode("overwrite").parquet(
                 str(self.root / vdir)
             )
-            self._pending_versions[table] = vdir
+            with self._pv_lock:
+                self._pending_versions[table] = vdir
             return
         target = self.path(table)
         tmp = self.root / f"{table}.tmp-{self._token}-{uuid.uuid4().hex[:8]}"
@@ -1032,6 +1059,27 @@ class TableStore:
     #: cross-host backstop.  Generous: longer than any sane batch.
     LEASE_TTL_SECONDS = 6 * 3600.0
 
+    #: high-water mark of every epoch ever issued on this store — read
+    #: at acquire so epochs are MONOTONIC across clean release/unlink
+    #: cycles.  Without it a fencing token could be REUSED: writer A
+    #: stalls on epoch 1, is TTL-taken-over (epoch 2), the taker
+    #: releases and unlinks — a fresh acquire restarting at 1 would then
+    #: let zombie A's end_commit pass the pid+epoch verify and publish
+    #: stale pending dirs the taker's GC already deleted.
+    EPOCH_FILE = "_writer.epoch"
+
+    def _persisted_epoch(self) -> int:
+        try:
+            return int((self.root / self.EPOCH_FILE).read_text())
+        except (OSError, ValueError):
+            return 0
+
+    def _persist_epoch(self, epoch: int) -> None:
+        # serialized by the lease: only the O_EXCL winner writes it
+        tmp = self.root / f"{self.EPOCH_FILE}.tmp"
+        tmp.write_text(str(epoch))
+        os.replace(tmp, self.root / self.EPOCH_FILE)
+
     def _acquire_lease(self) -> int:
         """Take the store's writer lease (or re-enter it) and return the
         lease EPOCH this commit runs under; raise ConcurrentWriterError
@@ -1046,9 +1094,12 @@ class TableStore:
         foreign holder: a dead pid (same host) or a lease older than
         ``LEASE_TTL_SECONDS`` (the cross-host backstop — pids are
         meaningless across hosts) is STALE and taken over with epoch =
-        stale epoch + 1 (unlink + one retry; a racing second taker loses
-        the O_EXCL and raises); a live foreign holder raises, naming the
-        pid that owns the store.
+        max(stale epoch, persisted high-water mark) + 1 (unlink + one
+        retry; a racing second taker loses the O_EXCL and raises); a
+        live foreign holder raises, naming the pid that owns the store.
+        Every issued epoch is recorded in ``_writer.epoch`` while the
+        lease is held, so epochs stay monotonic across clean
+        release/unlink cycles and a fencing token is never reused.
 
         The EPOCH is the fencing token: ``end_commit`` re-verifies that
         the on-disk lease still carries this commit's (pid, epoch)
@@ -1061,7 +1112,7 @@ class TableStore:
         import json as _json
 
         path = self.root / self.LEASE
-        next_epoch = 1
+        next_epoch = self._persisted_epoch() + 1
         for _attempt in range(2):
             payload = _json.dumps(
                 {"pid": os.getpid(), "ts": time.time(), "epoch": next_epoch}
@@ -1072,6 +1123,9 @@ class TableStore:
                     os.write(fd, payload)
                 finally:
                     os.close(fd)
+                # record the high-water mark while holding the lease so
+                # the epoch can never be re-issued after a clean unlink
+                self._persist_epoch(next_epoch)
                 return next_epoch
             except FileExistsError:
                 try:
@@ -1107,10 +1161,11 @@ class TableStore:
                         "or remove the lease if that writer is gone"
                     ) from None
                 # fence the (possibly still-alive elsewhere) stale
-                # holder out: the takeover bumps the epoch, so its
-                # end_commit's verify fails even if it wakes later
-                if holder:
-                    next_epoch = int(holder.get("epoch", 0)) + 1
+                # holder out: the takeover bumps the epoch past BOTH the
+                # stale lease's and the persisted high-water mark, so
+                # its end_commit's verify fails even if it wakes later
+                stale_epoch = int(holder.get("epoch", 0)) if holder else 0
+                next_epoch = max(stale_epoch, self._persisted_epoch()) + 1
                 try:
                     path.unlink()
                 except FileNotFoundError:
@@ -1158,6 +1213,7 @@ class TableStore:
             # this writer was fenced out: drop its unpublished work and
             # leave the (foreign) lease alone
             self._pending_versions = {}
+            self._inflight_vdirs = set()
             self._lease_holders().discard(self)
             epoch_held, self._commit_epoch = self._commit_epoch, None
             held = (
@@ -1298,6 +1354,7 @@ class TableStore:
                     new_tables[table] = pend
             self._publish_snapshot(new_tables, snap)
             self._pending_versions = {}
+            self._inflight_vdirs = set()
         (self.root / self.MANIFEST).unlink(missing_ok=True)
         self._release_lease()
 
@@ -1562,20 +1619,25 @@ class TableStore:
             # and a hard crash (no release) is covered by the dead-pid
             # takeover
             self._pending_versions = {}
+            self._inflight_vdirs = set()
             self._release_lease()
             raise
         self._suspended = False
         self.end_commit()
 
     def _pending_dirs(self) -> set[str]:
-        """Versioned dirnames this instance has written but not yet
-        published (spared by a concurrent composer's GC)."""
-        dirs: set[str] = set()
-        for pend in self._pending_versions.values():
-            if isinstance(pend, dict):
-                dirs.update(layer["dir"] for layer in pend["layers"])
-            else:
-                dirs.add(pend)
+        """Versioned dirnames this instance has written — or has a Spark
+        job CURRENTLY WRITING (``_inflight_vdirs``) — but not yet
+        published (spared by a concurrent composer's GC).  Locked: a
+        publishing instance calls this on OTHER live instances while
+        their merge_batch worker threads register layers."""
+        with self._pv_lock:
+            dirs: set[str] = set(self._inflight_vdirs)
+            for pend in self._pending_versions.values():
+                if isinstance(pend, dict):
+                    dirs.update(layer["dir"] for layer in pend["layers"])
+                else:
+                    dirs.add(pend)
         return dirs
 
     @staticmethod

@@ -416,10 +416,15 @@ RETRACT_BUDGET = 3.0
 #: with the corpus.
 COMPACT_BUDGET = 2.5
 
+#: rollback probe: undoing (and redoing) the compaction publish is a
+#: driver-side manifest write — its cost must be corpus-size-
+#: INDEPENDENT (no data copied), so the 10x/1x ratio budget is tight.
+ROLLBACK_BUDGET = 2.0
+
 
 def retract_experiment(
     spark, sf_dir: str, n_buckets: int, workdir: Path
-) -> tuple[float, float]:
+) -> tuple[float, float, float]:
     """Median seconds for one fixed ~20-id ``retract_documents`` call
     against a store seeded with ``sf_dir``'s whole corpus in repair
     (out-of-order) mode.  Three sequential ~20-id combs (doc_id % 250
@@ -431,9 +436,12 @@ def retract_experiment(
     constant); the curated tables are bucketed too, so the physical
     deletes take the partition-scoped prune path.
 
-    Returns ``(retract_median_sec, compact_sec)`` — the second number
-    times ``compact_store`` folding all three retractions' masks after
-    the loop (the bucket-scoped fold probe)."""
+    Returns ``(retract_median_sec, compact_sec, rollback_sec)`` — the
+    second number times ``compact_store`` folding all three
+    retractions' masks after the loop (the bucket-scoped fold probe);
+    the third times ``rollback`` undoing + redoing the compaction
+    publish (two manifest pointer writes averaged — the O(1)-in-corpus-
+    size claim, measured)."""
     from jobcan_data_integrator_spark.operators.incremental import (
         exact_index_buckets,
         index_layout,
@@ -484,7 +492,15 @@ def retract_experiment(
     t0 = time.perf_counter()
     compact_store(store)
     compact_sec = round(time.perf_counter() - t0, 3)
-    return round(sorted(times)[1], 3), compact_sec
+    # time-travel probe: undo the compaction publish (one retained
+    # version back), then roll forward to it again — two driver-side
+    # manifest writes; the store ends in the compacted state
+    cur = store.current_snapshot()["version"]
+    t0 = time.perf_counter()
+    store.rollback(cur - 1)
+    store.rollback(cur)
+    rollback_sec = round((time.perf_counter() - t0) / 2, 4)
+    return round(sorted(times)[1], 3), compact_sec, rollback_sec
 
 
 #: BM25 query probe: a FIXED 20-query ``bm25_query_indexed`` batch
@@ -757,14 +773,15 @@ def main() -> None:
 
     # targeted deletion: fixed ~20-id retraction, sf0.1-seeded vs
     # 10x-seeded store
-    rt01, cp01 = retract_experiment(
+    rt01, cp01, rb01 = retract_experiment(
         spark, SRC_SF, 64, out_dir.parent / f"{out_dir.name}_rtidx01"
     )
-    rt1, cp1 = retract_experiment(
+    rt1, cp1, rb1 = retract_experiment(
         spark, str(out_dir), 640, out_dir.parent / f"{out_dir.name}_rtidx1"
     )
     rt_ratio = round(rt1 / rt01, 2) if rt01 else None
     cp_ratio = round(cp1 / cp01, 2) if cp01 else None
+    rb_ratio = round(rb1 / rb01, 2) if rb01 else None
 
     # BM25 family: fixed 20-query search (data-bound by posting lists)
     # + fixed ~20-doc extend (must be ~flat) at 1x vs 10x index
@@ -822,6 +839,8 @@ def main() -> None:
         flagged["retract_documents@10x"] = rt_ratio
     if cp_ratio and cp_ratio > COMPACT_BUDGET:
         flagged["compact_store@10x"] = cp_ratio
+    if rb_ratio and rb_ratio > ROLLBACK_BUDGET:
+        flagged["rollback@10x"] = rb_ratio
     if bm_ratio and bm_ratio > BM25_QUERY_BUDGET:
         flagged["bm25_query@10x"] = bm_ratio
     if bme_ratio and bme_ratio > BM25_EXTEND_BUDGET:
@@ -899,6 +918,15 @@ def main() -> None:
                                   "64 -> 640), only the affected-"
                                   "partition scans grow with the "
                                   "corpus"},
+                      "rollback": {"op": "TableStore.rollback",
+                                   "sf01_sec": rb01, "sf1_sec": rb1,
+                                   "ratio": rb_ratio,
+                                   "budget": ROLLBACK_BUDGET,
+                                   "note": "undo + redo of the "
+                                   "compaction publish, averaged — a "
+                                   "driver-side manifest pointer write "
+                                   "(no data copied), so the cost must "
+                                   "be corpus-size-independent"},
                       "bm25": {"op": "bm25_query_indexed",
                                "sf01_sec": bm01, "sf1_sec": bm1,
                                "ratio": bm_ratio,
@@ -964,6 +992,8 @@ def main() -> None:
           f"({rt_ratio}x, budget {RETRACT_BUDGET}x)", file=sys.stderr)
     print(f"# compact: {cp01:.2f} @sf0.1-store -> {cp1:.2f} @sf1-store "
           f"({cp_ratio}x, budget {COMPACT_BUDGET}x)", file=sys.stderr)
+    print(f"# rollback: {rb01:.3f} @sf0.1-store -> {rb1:.3f} @sf1-store "
+          f"({rb_ratio}x, budget {ROLLBACK_BUDGET}x)", file=sys.stderr)
     for b in bpe_curve:
         print(f"# bpe@{b['requested_merges']}: {b['learned_merges']} merges "
               f"in {b['rounds']} rounds (ideal {b['ideal_rounds']}, batch "

@@ -209,3 +209,26 @@ def test_prune_range_banded_table(spark, tmp_path):
     # only band k div 10 == 1 was rewritten
     layers = store.current_snapshot()["tables"]["t"]["layers"]
     assert layers[-1]["parts"] == ["_prange=1"]
+
+
+def test_prune_predicate_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are NOT deleted — on both the partition-scoped path and the
+    unmanaged full-rewrite fallback (a bare ``~cond`` would silently
+    drop them)."""
+    rows = [(1, 2, "null-g-neighbor"), (2, None, "keep-me"), (3, 5, "keep-too")]
+    df = spark.createDataFrame(rows, "k long, g long, v string")
+
+    scoped = _store(spark, tmp_path / "scoped")
+    scoped.begin_commit("seed", ["t"])
+    scoped.overwrite("t", df)
+    scoped.end_commit()
+    scoped.begin_commit("prune", ["t"])
+    scoped.prune_predicate("t", F.col("g") == 2)
+    scoped.end_commit()
+    assert _rows(scoped) == [(2, None, "keep-me"), (3, 5, "keep-too")]
+
+    flat = TableStore(spark, tmp_path / "flat", write_partitions=1)
+    flat.overwrite("t", df)
+    flat.prune_predicate("t", F.col("g") == 2)
+    assert _rows(flat) == [(2, None, "keep-me"), (3, 5, "keep-too")]

@@ -562,3 +562,60 @@ def test_retract_requires_repair_tables_and_snapshot(spark, tmp_path):
     plain = TableStore(spark, tmp_path / "plain", write_partitions=2)
     with pytest.raises(ValueError, match="snapshot"):
         _retract(plain, _ids(spark, [1]), "r1")
+
+
+def test_compact_folds_only_mask_rows_added_since_last_fold(spark, tmp_path):
+    """The fold watermark: a second compaction's prune scope contains
+    ONLY the retraction ids added since the first fold — never the
+    lifetime history (which would re-rewrite every bucket any past
+    takedown ever touched, on every 8 MB-growth trigger, forever)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.storage import TableStore as _TS
+
+    store, _ = _ingest_ooo(spark, tmp_path, (BATCH1, BATCH2, BATCH3))
+    _retract(store, _ids(spark, [1, 2]), "r1")
+    compact_store(store)
+    m = {
+        (r.doc_id, r.folded)
+        for r in store.read(inc.DOC_RETRACTIONS).collect()
+    }
+    assert m == {(1, True), (2, True)}  # history folded + retained
+
+    _retract(store, _ids(spark, [23]), "r2")
+    unfolded = {
+        r.doc_id
+        for r in store.read(inc.DOC_RETRACTIONS)
+        .filter(~F.col("folded"))
+        .collect()
+    }
+    assert unfolded == {23}
+
+    # capture every doc_id-keyed prune the second fold issues
+    seen: list[set] = []
+    orig = _TS.prune_keys
+
+    def spy(self, table, keys, key_cols):
+        if key_cols == ["doc_id"] and table in ("ex_docs", "sp_occs"):
+            seen.append({r.doc_id for r in keys.select("doc_id").collect()})
+        return orig(self, table, keys, key_cols)
+
+    _TS.prune_keys = spy
+    try:
+        compact_store(store)
+    finally:
+        _TS.prune_keys = orig
+    assert seen, "the delta fold must prune the new retraction"
+    assert all(s == {23} for s in seen), seen  # never ids 1/2 again
+
+    # a third fold with NO new retractions prunes nothing at all
+    seen.clear()
+    _TS.prune_keys = spy
+    try:
+        compact_store(store)
+    finally:
+        _TS.prune_keys = orig
+    assert seen == []
+    # reads stay pinned to the one-shot over survivors
+    _assert_store_equals(
+        spark, store, [r for r in ALL if r[0] not in (1, 2, 23)]
+    )

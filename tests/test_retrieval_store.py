@@ -17,6 +17,8 @@ if the stored rows track the curated table exactly.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jobcan_data_integrator_spark.operators.ingest import (
@@ -228,3 +230,20 @@ def test_plain_corpus_without_family_raises_nothing_is_masked(
         cluster_threshold=THRESH,
     )
     assert not store.exists("bm_doc_len")
+
+
+def test_bm25_family_requires_snapshot_store(spark, tmp_path):
+    """The family's old-text capture-then-prune repair is only
+    crash-replay-safe under an atomic multi-table publish; a plain
+    store is refused loudly up front instead of diverging on the first
+    crashed repair."""
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    with pytest.raises(ValueError, match="snapshot-isolation"):
+        ingest_increment(
+            store,
+            _mk(spark, BATCH1),
+            "q1",
+            span=SPAN,
+            min_tokens=MIN_TOKENS,
+            bm25=True,
+        )

@@ -342,3 +342,35 @@ def test_read_for_keys_range_banded_prunes(spark, tmp_path):
     assert [(r.k, r.v) for r in got2.collect()] == [(31, "v31")]
     plan = got2._jdf.queryExecution().executedPlan().toString()
     assert "_prange" in plan  # band filter reached the scan
+
+
+def test_publish_gc_spares_concurrent_composers_inflight_write(spark, tmp_path):
+    """The write-return-to-register window: a versioned dir whose Spark
+    job is still writing is registered in ``_inflight_vdirs`` BEFORE the
+    write starts, so a concurrently-publishing in-process composer's GC
+    spares it; once the composer releases (abort or no-op commit), the
+    abandoned dir is reclaimable again."""
+    a = _snap_store(spark, tmp_path)
+    b = _snap_store(spark, tmp_path)
+    a.begin_commit("b0", ["ta"])
+    a.overwrite("ta", _df(spark, 0))
+    a.end_commit()
+
+    # b is mid-write: dir exists on disk, no _pending_versions entry yet
+    b.begin_commit("b1", ["tb"])
+    vdir = f"tb.v-{b._token}-deadbeef"
+    (tmp_path / vdir).mkdir()
+    (tmp_path / vdir / "part-00000.parquet").write_bytes(b"x")
+    with b._pv_lock:
+        b._inflight_vdirs.add(vdir)
+
+    a.begin_commit("b2", ["ta"])
+    a.overwrite("ta", _df(spark, 1))
+    a.end_commit()
+    assert (tmp_path / vdir).exists()  # spared mid-write
+
+    b.end_commit()  # b abandons (publishes nothing) and releases
+    a.begin_commit("b3", ["ta"])
+    a.overwrite("ta", _df(spark, 2))
+    a.end_commit()
+    assert not (tmp_path / vdir).exists()  # reclaimed once b released

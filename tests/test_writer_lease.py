@@ -214,3 +214,48 @@ def test_readers_never_take_the_lease(spark, tmp_path):
     )
     b = TableStore(spark, tmp_path, snapshot_isolation=True)
     assert b.read("t").count() == 1
+
+
+def test_epochs_are_monotonic_across_clean_releases(spark, tmp_path):
+    """Fencing tokens are never reused: the per-store high-water mark
+    (_writer.epoch) makes every fresh acquisition's epoch strictly
+    greater than any epoch ever issued, even after clean unlinks."""
+    st = TableStore(spark, tmp_path, snapshot_isolation=True)
+    epochs = []
+    for i in range(3):
+        st.begin_commit(f"b{i}", ["t"])
+        epochs.append(st._commit_epoch)
+        st.overwrite("t", _mk(spark, [(i, "x")]))
+        st.end_commit()
+    assert epochs == sorted(set(epochs))
+    assert len(set(epochs)) == 3
+
+
+def test_zombie_fenced_even_after_taker_released_and_epoch_cycled(
+    spark, tmp_path
+):
+    """The reuse hole the high-water mark closes: writer A stalls on
+    epoch e; a foreign taker fences it (e+1), publishes, releases and
+    UNLINKS the lease; a fresh same-process batch then acquires — it
+    must get an epoch > e+1, not restart at 1, so stalled A's
+    end_commit still fails the verify."""
+    a = TableStore(spark, tmp_path, snapshot_isolation=True)
+    a.begin_commit("stall", ["t"])
+    e = a._commit_epoch
+    a.overwrite("t", _mk(spark, [(1, "stale")]))
+    # simulate the foreign TTL takeover + clean release: the taker
+    # bumped the epoch (lease + high-water mark) and unlinked on exit
+    (tmp_path / TableStore.EPOCH_FILE).write_text(str(e + 1))
+    (tmp_path / TableStore.LEASE).unlink()
+
+    # a NEW batch in this process acquires fresh (no lease file on disk)
+    b = TableStore(spark, tmp_path, snapshot_isolation=True)
+    b.begin_commit("new", ["t"])
+    assert b._commit_epoch == e + 2  # monotonic, never back to e
+    b.overwrite("t", _mk(spark, [(2, "live")]))
+
+    # the stalled zombie wakes: pid matches, epoch does not -> fenced
+    with pytest.raises(ConcurrentWriterError):
+        a.end_commit()
+    b.end_commit()
+    assert {r.doc_id for r in b.read("t").collect()} == {2}
