@@ -150,6 +150,11 @@ _INTENTIONAL_BNLJ = {
     # (operators/retrieval.bm25_scores); the posting-list walk itself is
     # a term-keyed broadcast hash equi-join
     "rt_bm25_topk",
+    # the hybrid gate composes BOTH allowed shapes: the BM25 corpus-stats
+    # one-row broadcast and the dense side's broadcast-tiny query
+    # crossJoin (the sim_cosine_topk brute baseline); the RRF fusion
+    # itself is a union + keyed aggregation, no join at all
+    "rt_hybrid_rrf",
 }
 
 
