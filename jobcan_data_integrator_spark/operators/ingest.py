@@ -131,11 +131,32 @@ class IngestResult:
         return {name: df.count() for name, df in self.stages}
 
 
-def read_curated(store: TableStore) -> DataFrame:
+def read_curated(store: TableStore, version: int | None = None) -> DataFrame:
     """The curated corpus as of the last published batch: ``cur_docs``
     minus tombstoned (retroactively demoted) docs.  Merge-on-read: the
     tombstone set is bounded by observed cluster merges — broadcast-size
-    by construction — so the anti-join never shuffles the corpus."""
+    by construction — so the anti-join never shuffles the corpus.
+
+    ``version`` (time travel): read the corpus as of a RETAINED
+    snapshot version instead — both tables resolve through the same
+    pinned manifest (``TableStore.read_version``), so the docs and the
+    tombstone mask are consistent for that version.  Audit/debug tool
+    (what did batch N's corpus look like before the repair?); note a
+    pre-retraction version still shows the later-retracted docs — that
+    is the point of retention bounds (``retain_snapshots``) and
+    ``vacuum_snapshots`` for takedown-sensitive stores."""
+    if version is not None:
+        snap = store.snapshot_at(version)
+        docs = store.read_version(CURATED, version)
+        if TOMBSTONES in snap["tables"]:
+            docs = docs.join(
+                F.broadcast(
+                    store.read_version(TOMBSTONES, version).select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        return docs
     docs = store.read(CURATED)
     if store.exists(TOMBSTONES):
         docs = docs.join(

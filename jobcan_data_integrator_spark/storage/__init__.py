@@ -1528,6 +1528,54 @@ class TableStore:
             )
         return self.read_at(table, snap)
 
+    def vacuum_snapshots(self, retain: int = 0) -> list[str]:
+        """Reclaim the data dirs of superseded versions beyond ``retain``
+        (default 0: keep only the current snapshot) — the VACUUM analog
+        to ``rollback``'s RESTORE.  Returns the reclaimed dirnames.
+
+        Runs under the writer lease (a concurrent writer's unpublished
+        pending dirs are spared, like the publish-time GC); history
+        STRUCTURE (the ``_snaplog/`` records) is kept — vacuumed
+        versions just report ``available=False`` and refuse
+        ``read_version``/``rollback``.  Use after an incident window
+        closes to release the disk a deep ``retain_snapshots`` was
+        holding."""
+        if not self.snapshot_isolation:
+            raise ValueError(
+                "vacuum_snapshots needs snapshot_isolation=True (plain "
+                "mode keeps no superseded versions)"
+            )
+        if retain < 0:
+            raise ValueError(f"retain must be >= 0: {retain}")
+        if self._suspended or self._pending_versions:
+            raise RuntimeError(
+                "vacuum inside an open batch_commit (or with unpublished "
+                "pending writes) is not supported — publish first"
+            )
+        self._commit_epoch = self._acquire_lease()
+        self._lease_holders().add(self)
+        try:
+            import json as _json
+
+            snap = self.current_snapshot()
+            keep = self._entry_dirs(snap["tables"])
+            for v in range(snap["version"] - 1, max(snap["version"] - 1 - retain, 0), -1):
+                try:
+                    rec = _json.loads(self._snaplog_path(v).read_text())
+                except (OSError, ValueError):
+                    continue  # predates the log: nothing retained
+                keep |= self._entry_dirs(rec["tables"])
+            for inst in list(self._lease_holders()):
+                keep |= inst._pending_dirs()
+            gone = []
+            for p in self.root.glob("*.v-*"):
+                if p.name not in keep:
+                    shutil.rmtree(p, ignore_errors=True)
+                    gone.append(p.name)
+        finally:
+            self._release_lease()
+        return sorted(gone)
+
     def rollback(self, version: int, *, batch_id: str | None = None) -> int:
         """Republish a retained snapshot as the NEW current version and
         return the new version number.

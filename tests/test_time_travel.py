@@ -249,3 +249,68 @@ def test_rollback_composes_with_the_ingest_orchestrator(spark, tmp_path):
     res = ingest_increment(store, mk(b2), "b2", span=7, min_tokens=3)
     assert res.replayed
     assert {(r.doc_id, r.text) for r in read_curated(store).collect()} == after_b2
+
+
+def test_vacuum_snapshots_reclaims_beyond_retain(spark, tmp_path):
+    """vacuum_snapshots is the VACUUM analog to rollback's RESTORE:
+    reclaim superseded versions' data past an explicit depth, keep the
+    log structure (versions report available=False afterwards)."""
+    st = _store(spark, tmp_path, retain=5)
+    for v in range(4):
+        _publish(st, f"b{v}", {"t": v})
+    assert st.read_version("t", 1).collect()[0].v == 0  # all retained
+
+    gone = st.vacuum_snapshots(retain=1)
+    assert gone  # v1/v2 data reclaimed
+    hist = st.snapshot_history()
+    assert [h["available"] for h in hist] == [False, False, True, True]
+    assert st.read_version("t", 3).collect()[0].v == 2  # still retained
+    with pytest.raises(ValueError, match="retain_snapshots"):
+        st.read_version("t", 1)
+    with pytest.raises(ValueError, match="garbage-collected"):
+        st.rollback(1)
+    # current reads unaffected; writing continues
+    assert st.read("t").collect()[0].v == 3
+    _publish(st, "b5", {"t": 9})
+    assert st.read("t").collect()[0].v == 9
+
+
+def test_vacuum_refuses_mid_batch_and_plain_mode(spark, tmp_path):
+    st = _store(spark, tmp_path)
+    _publish(st, "b0", {"t": 0})
+    st.begin_commit("open", ["t"])
+    st.overwrite("t", _df(spark, 1))
+    with pytest.raises(RuntimeError, match="pending"):
+        st.vacuum_snapshots()
+    st.end_commit()
+    plain = TableStore(spark, tmp_path / "plain", write_partitions=1)
+    with pytest.raises(ValueError, match="snapshot_isolation"):
+        plain.vacuum_snapshots()
+
+
+def test_read_curated_at_version(spark, tmp_path):
+    """Time travel through the orchestrator's reader: the docs and the
+    tombstone mask resolve through the SAME pinned manifest."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        read_curated,
+    )
+
+    b1 = [(1, _t("u", 0, 10)), (2, _t("v", 0, 10))]
+    b2 = [(11, _t("w", 0, 10))]
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        snapshot_isolation=True,
+        retain_snapshots=8,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ingest_increment(store, mk(b1), "b1", span=7, min_tokens=3)
+    v1 = store.current_snapshot()["version"]
+    ingest_increment(store, mk(b2), "b2", span=7, min_tokens=3)
+
+    now = {(r.doc_id, r.text) for r in read_curated(store).collect()}
+    then = {(r.doc_id, r.text) for r in read_curated(store, version=v1).collect()}
+    assert then == {(1, _t("u", 0, 10)), (2, _t("v", 0, 10))}
+    assert now == then | {(11, _t("w", 0, 10))}
