@@ -167,6 +167,44 @@ def read_curated(store: TableStore, version: int | None = None) -> DataFrame:
     return docs
 
 
+def diff_curated(
+    store: TableStore, version_a: int, version_b: int
+) -> DataFrame:
+    """What changed in the curated corpus between two RETAINED snapshot
+    versions: one row per doc whose liveness or text differs, with
+    ``change`` ∈ added/removed/changed (b relative to a) and both texts.
+
+    The audit companion to ``rollback``/``retraction_log``: "which docs
+    did batch N actually add?", "what exactly did this takedown remove?",
+    "did the out-of-order repair change any text it shouldn't have?" —
+    answered from the snapshot log without replaying anything.  Cost:
+    one full-outer join of the two versions' curated reads on the doc
+    key — corpus-linear, the unavoidable lower bound for a whole-corpus
+    diff; both sides are the SAME bucketed table two manifests apart,
+    so the join co-partitions without a pre-shuffle where the layout
+    allows."""
+    a = read_curated(store, version=version_a).select(
+        "doc_id", F.col("text").alias("text_a")
+    )
+    b = read_curated(store, version=version_b).select(
+        "doc_id", F.col("text").alias("text_b")
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("text_a").isNull(), "added")
+        .when(F.col("text_b").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return (
+        joined.filter(
+            F.col("text_a").isNull()
+            | F.col("text_b").isNull()
+            | (F.col("text_a") != F.col("text_b"))
+        )
+        .select("doc_id", change.alias("change"), "text_a", "text_b")
+    )
+
+
 def bm25_search_curated(
     store: TableStore,
     queries: DataFrame,

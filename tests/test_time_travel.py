@@ -314,3 +314,45 @@ def test_read_curated_at_version(spark, tmp_path):
     then = {(r.doc_id, r.text) for r in read_curated(store, version=v1).collect()}
     assert then == {(1, _t("u", 0, 10)), (2, _t("v", 0, 10))}
     assert now == then | {(11, _t("w", 0, 10))}
+
+
+def test_diff_curated_between_versions(spark, tmp_path):
+    """The whole-corpus audit diff: added / removed / changed docs
+    between two retained versions, including a retraction's removals."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        diff_curated,
+        ingest_increment,
+        retract_documents,
+    )
+
+    b1 = [(1, _t("u", 0, 10)), (2, _t("v", 0, 10))]
+    b2 = [(11, _t("w", 0, 10))]
+    store = TableStore(
+        spark,
+        tmp_path,
+        write_partitions=2,
+        snapshot_isolation=True,
+        retain_snapshots=8,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ingest_increment(
+        store, mk(b1), "b1", span=7, min_tokens=3, allow_out_of_order=True
+    )
+    v1 = store.current_snapshot()["version"]
+    ingest_increment(
+        store, mk(b2), "b2", span=7, min_tokens=3, allow_out_of_order=True
+    )
+    v2 = store.current_snapshot()["version"]
+    retract_documents(store, spark.createDataFrame([(2,)], "doc_id long"),
+                      "takedown-1", span=7, min_tokens=3)
+    v3 = store.current_snapshot()["version"]
+
+    d12 = {(r.doc_id, r.change) for r in diff_curated(store, v1, v2).collect()}
+    assert d12 == {(11, "added")}
+    d23 = {(r.doc_id, r.change) for r in diff_curated(store, v2, v3).collect()}
+    assert d23 == {(2, "removed")}
+    # reversed direction flips the verdicts
+    d32 = {(r.doc_id, r.change) for r in diff_curated(store, v3, v2).collect()}
+    assert d32 == {(2, "added")}
+    # identical versions diff empty
+    assert diff_curated(store, v3, v3).count() == 0
