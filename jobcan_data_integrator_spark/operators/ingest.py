@@ -75,6 +75,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from jobcan_data_integrator_spark.storage import TableStore
 
@@ -235,6 +236,86 @@ def bm25_search_curated(
         max_df_ratio=max_df_ratio,
         exclude=exclude,
     )
+
+
+def hybrid_search_curated(
+    store: TableStore,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 2,
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Hybrid top-k over the LIVE curated corpus, served entirely from
+    the PERSISTED families: the BM25 lexical list
+    (``bm25_search_curated`` — posting reads bucket-pruned) and the
+    IVF-ANN dense list (``ann_search_indexed`` — cell-probe-pruned,
+    mapped to docs through the ``doc_vecs`` table the embedding ingest
+    records), fused with reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse).
+
+    ``queries``: ``(q_id, q_text[, embedding])`` — rows with a non-null
+    ``embedding`` get a dense list; rows without degrade to lexical-only
+    contributions (RRF's union semantics).  A store without the
+    embedding families or the ``doc_vecs`` mapping serves lexical-only.
+    Liveness matches ``read_curated`` on BOTH sides: the tombstone set
+    masks the lexical stats before df/avgdl are derived and the dense
+    hits after the doc mapping (``ann_search_indexed`` already masks
+    vector retractions); a doc with several vectors counts once, by its
+    best similarity.  This is the write-once/query-many production path
+    — the stateless gate ``rt_hybrid_rrf`` is its oracle-friendly
+    rebuild-per-run sibling."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
+
+    lex = bm25_search_curated(
+        store,
+        queries.select("q_id", "q_text"),
+        k1=k1,
+        b=b,
+        k=k,
+        max_df_ratio=max_df_ratio,
+    ).select("q_id", "doc_id", "rank")
+    lists = [lex]
+    if (
+        "embedding" in queries.columns
+        and store.exists("ivf_assignments")
+        and store.exists(DOC_VECS)
+    ):
+        qv = (
+            queries.filter(F.col("embedding").isNotNull())
+            .select(F.col("q_id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        if qv.head(1):
+            ann = inc.ann_search_indexed(store, qv, k=k, n_probe=n_probe)
+            mapped = ann.join(
+                inc._mask_retracted(
+                    store, store.read(DOC_VECS).select("vec_id", "doc_id")
+                ),
+                "vec_id",
+            )
+            if store.exists(TOMBSTONES):
+                mapped = mapped.join(
+                    F.broadcast(store.read(TOMBSTONES).select("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                )
+            best = mapped.groupBy("q_id", "doc_id").agg(
+                F.max("cosine_sim").alias("cosine_sim")
+            )
+            w = Window.partitionBy("q_id").orderBy(
+                F.col("cosine_sim").desc(), F.col("doc_id")
+            )
+            lists.append(
+                best.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("q_id", "doc_id", "rank")
+            )
+    return rt.rrf_fuse(lists, k=rrf_k, topk=k)
 
 
 def repack_corpus(

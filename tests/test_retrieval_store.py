@@ -247,3 +247,126 @@ def test_bm25_family_requires_snapshot_store(spark, tmp_path):
             min_tokens=MIN_TOKENS,
             bm25=True,
         )
+
+
+def test_hybrid_search_curated_matches_composed_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """The write-once/query-many hybrid path: BM25 over the persisted
+    inverted index ⊕ IVF-ANN over the persisted embedding family
+    (doc-mapped via doc_vecs), RRF-fused — after an ingest AND a
+    doc-keyed takedown, the result must equal the same fusion composed
+    from one-shot parts over the SURVIVORS (BM25 rebuilt on
+    read_curated; ANN re-run on the store — the family itself is pinned
+    ≡ survivor-built elsewhere)."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.ingest import (
+        hybrid_search_curated,
+        read_curated,
+        retract_documents,
+    )
+    from jobcan_data_integrator_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_topk,
+        build_inverted_index,
+        query_terms,
+        rrf_fuse,
+    )
+    from jobcan_data_integrator_spark.session import load_table
+    from test_ingest import _t
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 40)
+        .localCheckpoint(eager=True)
+    )
+    # one vector per doc: doc_id == vec_id -> docs 0..39
+    emb_docs = emb.select(F.col("vec_id").alias("doc_id"), "vec_id", "embedding")
+    docs = spark.createDataFrame(
+        [(i, _t(f"w{i % 7}", 0, 12)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    store = TableStore(
+        spark, tmp_path / "main", write_partitions=2, snapshot_isolation=True
+    )
+    ingest_increment(
+        store, docs, "b1",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH, allow_out_of_order=True,
+        bm25=True, new_emb=emb_docs, emb_families=("ivf",),
+    )
+    retract_documents(
+        store,
+        spark.createDataFrame([(i,) for i in range(40) if i % 5 == 2], "doc_id long"),
+        "takedown-h",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH,
+    )
+
+    q = (
+        docs.filter(F.col("doc_id").isin(1, 3))
+        .join(emb_docs.select("doc_id", "embedding"), "doc_id")
+        .select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"), "embedding")
+    )
+    got = {
+        (r.q_id, r.doc_id, r.rrf_rank, r.rrf_micro, r.n_lists)
+        for r in hybrid_search_curated(store, q, k=5).collect()
+    }
+
+    # composed one-shot: BM25 rebuilt on the live corpus; dense from the
+    # persisted family (pinned survivor-equal in test_retract_vectors)
+    live = read_curated(store).select("doc_id", "text")
+    index = build_inverted_index(live)
+    lex = bm25_topk(
+        bm25_scores(index, query_terms(q.select("q_id", "q_text"))), k=5
+    ).select("q_id", "doc_id", "rank")
+    ann = inc.ann_search_indexed(
+        store, q.select(F.col("q_id").alias("vec_id"), "embedding"), k=5, n_probe=2
+    )
+    dv = store.read("doc_vecs").select("vec_id", "doc_id")
+    from pyspark.sql.window import Window as W
+
+    best = (
+        ann.join(dv, "vec_id")
+        .groupBy("q_id", "doc_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("doc_id"))
+    dense = (
+        best.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "doc_id", "rank")
+    )
+    want = {
+        (r.q_id, r.doc_id, r.rrf_rank, r.rrf_micro, r.n_lists)
+        for r in rrf_fuse([lex, dense], topk=5).collect()
+    }
+    assert got == want
+    # every retracted doc is gone from the fused results
+    assert not {d for _, d, _, _, _ in got} & {i for i in range(40) if i % 5 == 2}
+
+
+def test_hybrid_degrades_to_lexical_without_embeddings(spark, tmp_path):
+    """No embedding families / no query vectors -> the hybrid path IS
+    the BM25 path (n_lists == 1 everywhere)."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        hybrid_search_curated,
+    )
+    from test_ingest import _t
+
+    docs = spark.createDataFrame(
+        [(i, _t(f"w{i % 5}", 0, 10)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    store = TableStore(
+        spark, tmp_path, write_partitions=2, snapshot_isolation=True
+    )
+    ingest_increment(
+        store, docs, "b1", span=SPAN, min_tokens=MIN_TOKENS, bm25=True
+    )
+    q = spark.createDataFrame(
+        [(1, _t("w1", 0, 4))], "q_id long, q_text string"
+    )
+    rows = hybrid_search_curated(store, q, k=5).collect()
+    assert rows and all(r.n_lists == 1 for r in rows)
