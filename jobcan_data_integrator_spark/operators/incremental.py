@@ -967,7 +967,14 @@ def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
 
 
 def ann_search_indexed(
-    store: TableStore, queries: DataFrame, k: int = 5, n_probe: int = 2
+    store: TableStore,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    *,
+    exclude_self: bool = True,
+    exclude: DataFrame | None = None,
+    restrict_to: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, cosine_sim) top-k over the PERSISTED IVF index —
     the serving path: queries probe their ``n_probe`` best cells under
@@ -981,7 +988,22 @@ def ann_search_indexed(
     pushed as a partition filter, so each search scans ~n_probe/n_cells
     of the table instead of all of it.  Results match ``ann_topk_ivf``
     run with the stored codebook exactly (same rounded-cosine + vec_id
-    ranking) in either layout."""
+    ranking) in either layout.
+
+    ``exclude_self`` (default True — the corpus-internal near-dup
+    shape): drop the hit whose vec_id EQUALS the query's id.  Pass
+    False when query ids live in a DIFFERENT id space than the corpus
+    (e.g. hybrid_search_curated's external q_ids): a numeric collision
+    between a query id and a corpus vec_id must not silently drop that
+    vector.  ``exclude`` (a vec_id frame) masks corpus vectors BEFORE
+    the top-k cut — the liveness lever (same contract as
+    bm25_query_indexed's exclude), so a caller needing k LIVE hits gets
+    k, not k minus however many masked rows made the cut.  ``exclude``
+    is for BROADCAST-SMALL sets (it anti-joins broadcast); when the
+    allowed set is the corpus-sized one (e.g. "vectors of live curated
+    docs", hybrid_search_curated), pass it as ``restrict_to`` instead —
+    a left-semi join applied pre-cut, which Spark plans as an ordinary
+    keyed join on the cell-pruned candidate set."""
     from jobcan_data_integrator_spark.operators.similarity import (
         cosine_expr,
         probe_cells,
@@ -991,6 +1013,14 @@ def ann_search_indexed(
 
     cent = store.read("ivf_codebook")
     assign = _mask_emb_retracted(store, store.read("ivf_assignments"))
+    if exclude is not None:
+        assign = assign.join(
+            F.broadcast(exclude.select("vec_id")), "vec_id", "left_anti"
+        )
+    if restrict_to is not None:
+        assign = assign.join(
+            restrict_to.select("vec_id"), "vec_id", "leftsemi"
+        )
     probe = probe_cells(
         queries.select("vec_id", quantized_expr("embedding").alias("q")),
         cent,
@@ -1005,12 +1035,11 @@ def ann_search_indexed(
     q_emb = queries.select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    sims = (
-        F.broadcast(probe)
-        .join(assign, "cell_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .join(F.broadcast(q_emb), "q_id")
-        .withColumn("cosine_sim", cosine_expr("q_emb", "embedding"))
+    sims = F.broadcast(probe).join(assign, "cell_id")
+    if exclude_self:
+        sims = sims.filter(F.col("vec_id") != F.col("q_id"))
+    sims = sims.join(F.broadcast(q_emb), "q_id").withColumn(
+        "cosine_sim", cosine_expr("q_emb", "embedding")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
     return (

@@ -147,12 +147,16 @@ def read_curated(store: TableStore, version: int | None = None) -> DataFrame:
     is the point of retention bounds (``retain_snapshots``) and
     ``vacuum_snapshots`` for takedown-sensitive stores."""
     if version is not None:
+        # pin the manifest ONCE: both tables resolve through the same
+        # log read, consistent even across a concurrent publish
         snap = store.snapshot_at(version)
-        docs = store.read_version(CURATED, version)
+        docs = store.read_version(CURATED, version, snapshot=snap)
         if TOMBSTONES in snap["tables"]:
             docs = docs.join(
                 F.broadcast(
-                    store.read_version(TOMBSTONES, version).select("doc_id")
+                    store.read_version(
+                        TOMBSTONES, version, snapshot=snap
+                    ).select("doc_id")
                 ),
                 "doc_id",
                 "left_anti",
@@ -184,23 +188,26 @@ def diff_curated(
     diff; both sides are the SAME bucketed table two manifests apart,
     so the join co-partitions without a pre-shuffle where the layout
     allows."""
+    # presence rides explicit per-side markers, NOT text nullity — a
+    # doc whose text column is NULL in one version must classify as
+    # present (changed/unchanged via null-safe compare), never 'added'
     a = read_curated(store, version=version_a).select(
-        "doc_id", F.col("text").alias("text_a")
+        "doc_id", F.col("text").alias("text_a"), F.lit(True).alias("in_a")
     )
     b = read_curated(store, version=version_b).select(
-        "doc_id", F.col("text").alias("text_b")
+        "doc_id", F.col("text").alias("text_b"), F.lit(True).alias("in_b")
     )
     joined = a.join(b, "doc_id", "full_outer")
     change = (
-        F.when(F.col("text_a").isNull(), "added")
-        .when(F.col("text_b").isNull(), "removed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
         .otherwise("changed")
     )
     return (
         joined.filter(
-            F.col("text_a").isNull()
-            | F.col("text_b").isNull()
-            | (F.col("text_a") != F.col("text_b"))
+            F.col("in_a").isNull()
+            | F.col("in_b").isNull()
+            | ~F.col("text_a").eqNullSafe(F.col("text_b"))
         )
         .select("doc_id", change.alias("change"), "text_a", "text_b")
     )
@@ -261,13 +268,20 @@ def hybrid_search_curated(
     ``embedding`` get a dense list; rows without degrade to lexical-only
     contributions (RRF's union semantics).  A store without the
     embedding families or the ``doc_vecs`` mapping serves lexical-only.
-    Liveness matches ``read_curated`` on BOTH sides: the tombstone set
-    masks the lexical stats before df/avgdl are derived and the dense
-    hits after the doc mapping (``ann_search_indexed`` already masks
-    vector retractions); a doc with several vectors counts once, by its
-    best similarity.  This is the write-once/query-many production path
-    — the stateless gate ``rt_hybrid_rrf`` is its oracle-friendly
-    rebuild-per-run sibling."""
+    Liveness matches ``read_curated`` on BOTH sides, applied BEFORE
+    each retriever's top-k cut: the tombstone set masks the lexical
+    stats before df/avgdl are derived, and the dense candidate set is
+    semi-joined (inside ``ann_search_indexed``) to the vectors of LIVE
+    curated docs — so neither a cluster-demoted doc whose vectors were
+    never retracted NOR a doc the curation itself dropped (exact dupe /
+    floor: no cur_docs row, no tombstone) can consume dense slots or
+    serve at all (vector retractions are masked there too).  Query ids
+    are an EXTERNAL id space: the ANN self-exclusion is off, so a
+    numeric collision between a q_id and a corpus vec_id drops nothing.
+    A doc with several vectors counts once, by its best similarity.
+    This is the write-once/query-many production path — the stateless
+    gate ``rt_hybrid_rrf`` is its oracle-friendly rebuild-per-run
+    sibling."""
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators import retrieval as rt
 
@@ -291,20 +305,27 @@ def hybrid_search_curated(
             .localCheckpoint(eager=True)
         )
         if qv.head(1):
-            ann = inc.ann_search_indexed(store, qv, k=k, n_probe=n_probe)
-            mapped = ann.join(
-                inc._mask_retracted(
-                    store, store.read(DOC_VECS).select("vec_id", "doc_id")
-                ),
-                "vec_id",
+            doc_map = inc._mask_retracted(
+                store, store.read(DOC_VECS).select("vec_id", "doc_id")
             )
-            if store.exists(TOMBSTONES):
-                mapped = mapped.join(
-                    F.broadcast(store.read(TOMBSTONES).select("doc_id")),
-                    "doc_id",
-                    "left_anti",
-                )
-            best = mapped.groupBy("q_id", "doc_id").agg(
+            # liveness = "maps to a read_curated doc": tombstoned docs
+            # AND docs the curation itself dropped (exact dupes, floors
+            # — no cur_docs row, no tombstone) both have vectors in the
+            # family, and neither may serve.  The live set is corpus-
+            # sized, so it rides a semi-join inside the ANN (pre-cut),
+            # never a broadcast mask.
+            live_vecs = doc_map.join(
+                read_curated(store).select("doc_id"), "doc_id", "leftsemi"
+            ).select("vec_id")
+            ann = inc.ann_search_indexed(
+                store,
+                qv,
+                k=k,
+                n_probe=n_probe,
+                exclude_self=False,
+                restrict_to=live_vecs,
+            )
+            best = ann.join(doc_map, "vec_id").groupBy("q_id", "doc_id").agg(
                 F.max("cosine_sim").alias("cosine_sim")
             )
             w = Window.partitionBy("q_id").orderBy(

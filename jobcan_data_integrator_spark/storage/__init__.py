@@ -1499,15 +1499,22 @@ class TableStore:
             return [entry]
         return [layer["dir"] for layer in entry["layers"]]
 
-    def read_version(self, table: str, version: int) -> DataFrame:
+    def read_version(
+        self, table: str, version: int, *, snapshot: dict | None = None
+    ) -> DataFrame:
         """Time travel: read ``table`` as of published ``version``.
 
         Serves any version whose data dirs survived the publish-time GC
         (current plus the last ``retain_snapshots`` superseded ones);
         older versions raise with the retention knob to turn.  A table
         absent from that version's manifest raises ``FileNotFoundError``
-        — it did not exist then, even if it does now."""
-        snap = self.snapshot_at(version)
+        — it did not exist then, even if it does now.
+
+        ``snapshot``: a manifest already pinned via ``snapshot_at`` —
+        multi-table readers pass it so every table resolves through ONE
+        log read (and one consistent manifest, even if the pointer moves
+        between their calls)."""
+        snap = snapshot if snapshot is not None else self.snapshot_at(version)
         if table not in snap["tables"]:
             raise FileNotFoundError(
                 f"table {table!r} does not exist at snapshot version "
@@ -1571,7 +1578,11 @@ class TableStore:
             for p in self.root.glob("*.v-*"):
                 if p.name not in keep:
                     shutil.rmtree(p, ignore_errors=True)
-                    gone.append(p.name)
+                    # report only what actually left the disk: a held-
+                    # open/EACCES survivor must not read as reclaimed
+                    # (takedown-sensitive callers trust this list)
+                    if not p.exists():
+                        gone.append(p.name)
         finally:
             self._release_lease()
         return sorted(gone)

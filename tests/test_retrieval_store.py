@@ -254,13 +254,20 @@ def test_hybrid_search_curated_matches_composed_one_shot(
 ):
     """The write-once/query-many hybrid path: BM25 over the persisted
     inverted index ⊕ IVF-ANN over the persisted embedding family
-    (doc-mapped via doc_vecs), RRF-fused — after an ingest AND a
-    doc-keyed takedown, the result must equal the same fusion composed
-    from one-shot parts over the SURVIVORS (BM25 rebuilt on
-    read_curated; ANN re-run on the store — the family itself is pinned
-    ≡ survivor-built elsewhere)."""
+    (doc-mapped via doc_vecs), RRF-fused — after an ingest, a doc-keyed
+    takedown (vectors cascade-retracted), AND a cluster-style demotion
+    (tombstoned doc whose vectors were NEVER retracted), the result
+    must equal the same fusion composed from one-shot parts over the
+    LIVE docs: BM25 rebuilt on read_curated; dense served from a
+    REFERENCE store holding only live docs' vectors under the same
+    frozen codebook (physical absence vs the main store's masks +
+    pre-cut exclusion — a real check, not a tautology).  Query ids are
+    an external id space: each query doc is itself live, so its own
+    vector (cosine 1.0) MUST appear in its dense list — the collision
+    with vec_id == q_id drops nothing."""
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.ingest import (
+        TOMBSTONES,
         hybrid_search_curated,
         read_curated,
         retract_documents,
@@ -274,6 +281,7 @@ def test_hybrid_search_curated_matches_composed_one_shot(
     )
     from jobcan_data_integrator_spark.session import load_table
     from test_ingest import _t
+    from pyspark.sql.window import Window as W
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -298,37 +306,63 @@ def test_hybrid_search_curated_matches_composed_one_shot(
     )
     retract_documents(
         store,
-        spark.createDataFrame([(i,) for i in range(40) if i % 5 == 2], "doc_id long"),
+        spark.createDataFrame(
+            [(i,) for i in range(40) if i % 5 == 2], "doc_id long"
+        ),
         "takedown-h",
         span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
         cluster_threshold=THRESH,
     )
+    # cluster-style demotion: doc 4 tombstoned, vectors NOT retracted —
+    # the dense side must exclude it BEFORE the top-k cut
+    demoted = store.read(TOMBSTONES).limit(1).withColumn("doc_id", F.lit(4))
+    store.begin_commit("demote-4", [TOMBSTONES])
+    store.merge_insert_missing(TOMBSTONES, demoted, ["doc_id"])
+    store.end_commit()
 
     q = (
         docs.filter(F.col("doc_id").isin(1, 3))
         .join(emb_docs.select("doc_id", "embedding"), "doc_id")
-        .select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"), "embedding")
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.col("text").alias("q_text"),
+            "embedding",
+        )
     )
     got = {
         (r.q_id, r.doc_id, r.rrf_rank, r.rrf_micro, r.n_lists)
         for r in hybrid_search_curated(store, q, k=5).collect()
     }
 
-    # composed one-shot: BM25 rebuilt on the live corpus; dense from the
-    # persisted family (pinned survivor-equal in test_retract_vectors)
-    live = read_curated(store).select("doc_id", "text")
+    # composed one-shot over the LIVE docs
+    live = read_curated(store).select("doc_id", "text").localCheckpoint(eager=True)
     index = build_inverted_index(live)
     lex = bm25_topk(
         bm25_scores(index, query_terms(q.select("q_id", "q_text"))), k=5
     ).select("q_id", "doc_id", "rank")
-    ann = inc.ann_search_indexed(
-        store, q.select(F.col("q_id").alias("vec_id"), "embedding"), k=5, n_probe=2
+    # dense reference: same frozen codebook (trained on the FULL vector
+    # set, as the ingest build did), only live docs' vectors present
+    ref = TableStore(
+        spark, tmp_path / "ref", write_partitions=2, snapshot_isolation=True
     )
-    dv = store.read("doc_vecs").select("vec_id", "doc_id")
-    from pyspark.sql.window import Window as W
-
+    inc.build_ivf_index(ref, emb)
+    dead_vecs = (
+        emb_docs.join(live.select("doc_id"), "doc_id", "left_anti")
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    ref.begin_commit("prune-dead", ["ivf_assignments"])
+    ref.delete_scope("ivf_assignments", dead_vecs, ["vec_id"])
+    ref.end_commit()
+    ann_ref = inc.ann_search_indexed(
+        ref,
+        q.select(F.col("q_id").alias("vec_id"), "embedding"),
+        k=5,
+        n_probe=2,
+        exclude_self=False,
+    )
     best = (
-        ann.join(dv, "vec_id")
+        ann_ref.join(emb_docs.select("vec_id", "doc_id"), "vec_id")
         .groupBy("q_id", "doc_id")
         .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
@@ -343,8 +377,16 @@ def test_hybrid_search_curated_matches_composed_one_shot(
         for r in rrf_fuse([lex, dense], topk=5).collect()
     }
     assert got == want
-    # every retracted doc is gone from the fused results
-    assert not {d for _, d, _, _, _ in got} & {i for i in range(40) if i % 5 == 2}
+    fused_docs = {d for _, d, _, _, _ in got}
+    # takedown + demotion both invisible
+    assert not fused_docs & ({i for i in range(40) if i % 5 == 2} | {4})
+    # external-id-space semantics: each live query doc's own vector is
+    # its top dense hit, so it appears in its fused list
+    by_q = {}
+    for qid, d, rank, _, n in got:
+        by_q.setdefault(qid, set()).add(d)
+    assert 1 in by_q[1] and 3 in by_q[3]
+
 
 
 def test_hybrid_degrades_to_lexical_without_embeddings(spark, tmp_path):
