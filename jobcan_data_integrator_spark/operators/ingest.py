@@ -950,6 +950,7 @@ def ingest_increment(
 
     spark = new_docs.sparkSession
     # exists-driven after first sight, like every other family
+    bm25_requested = bm25
     bm25 = bm25 or store.exists(rt.BM25_DOC_LEN)
     if bm25 and not store.snapshot_isolation and store.backend != "delta":
         # the family's repair path captures the docs' OLD text from
@@ -961,11 +962,31 @@ def ingest_increment(
         # persist forever.  Snapshot mode publishes both (or neither)
         # atomically, which is what makes the capture-then-prune
         # sequence replay-safe.
-        raise ValueError(
-            "the BM25 family needs a snapshot-isolation store: its "
-            "old-text capture-then-prune maintenance is only crash-"
-            "replay-safe under an atomic multi-table publish"
+        if bm25_requested:
+            raise ValueError(
+                "the BM25 family needs a snapshot-isolation store: its "
+                "old-text capture-then-prune maintenance is only crash-"
+                "replay-safe under an atomic multi-table publish.  "
+                "Rebuild the store with snapshot_isolation=True, or "
+                "drop an existing family with "
+                "operators.retrieval.drop_bm25_family(store)"
+            )
+        # exists-driven auto-trigger on a LEGACY plain store (the family
+        # predates the snapshot requirement, or was built through the
+        # per-family API): do not brick its ingest path — freeze the
+        # family this batch, loudly, and name the migration paths
+        import warnings
+
+        warnings.warn(
+            f"store {store.root} carries the BM25 family but is not "
+            "snapshot-isolated; skipping BM25 maintenance this batch, "
+            "so the family is now STALE for serving.  Migrate by "
+            "rebuilding the store with snapshot_isolation=True, or run "
+            "operators.retrieval.drop_bm25_family(store) to retire the "
+            "family and silence this warning",
+            stacklevel=2,
         )
+        bm25 = False
 
     if allow_out_of_order:
         if simhash:

@@ -363,6 +363,37 @@ def replace_bm25_docs(
     _insert_docs(store, new_docs.select("doc_id", "text"))
 
 
+def drop_bm25_family(store: "TableStore") -> None:
+    """Retire the BM25 family from a PLAIN (non-snapshot) store — the
+    migration path for a legacy store that acquired the family before
+    the snapshot-isolation requirement (or through the per-family API):
+    once dropped, ``ingest_increment`` stops auto-maintaining the family
+    and its stale-index warning goes away.  Rebuild on a
+    snapshot-isolation store with ``ingest_increment(bm25=True)`` when
+    BM25 serving is still wanted.
+
+    Snapshot/delta stores maintain the family natively and have no
+    migration to run — dropping there is refused."""
+    import shutil
+
+    if store.snapshot_isolation or store.backend == "delta":
+        raise ValueError(
+            "drop_bm25_family is the legacy plain-store migration path; "
+            "snapshot/delta stores maintain the BM25 family natively "
+            "(retire docs with retract_documents instead)"
+        )
+    store.begin_commit("drop-bm25-family", list(BM25_TABLES))
+    try:
+        for t in BM25_TABLES:
+            shutil.rmtree(store.path(t), ignore_errors=True)
+            for leftover in list(store.root.glob(f"{t}.old-*")) + list(
+                store.root.glob(f"{t}.tmp-*")
+            ):
+                shutil.rmtree(leftover, ignore_errors=True)
+    finally:
+        store.end_commit()
+
+
 def bm25_query_indexed(
     store: "TableStore",
     queries: DataFrame,

@@ -1535,10 +1535,18 @@ class TableStore:
             )
         return self.read_at(table, snap)
 
-    def vacuum_snapshots(self, retain: int = 0) -> list[str]:
+    def vacuum_snapshots(self, retain: int = 1) -> list[str]:
         """Reclaim the data dirs of superseded versions beyond ``retain``
-        (default 0: keep only the current snapshot) — the VACUUM analog
-        to ``rollback``'s RESTORE.  Returns the reclaimed dirnames.
+        — the VACUUM analog to ``rollback``'s RESTORE.  Returns the
+        reclaimed dirnames.
+
+        The default ``retain=1`` keeps the immediately-previous
+        version's data, matching the publish protocol's one-version
+        reader grace (a reader that pinned just before the last publish
+        may still be lazily scanning those dirs — the same hazard the
+        constructor rejects ``retain_snapshots < 1`` for).  Pass
+        ``retain=0`` to keep only the current snapshot ONLY after
+        quiescing readers first.
 
         Runs under the writer lease (a concurrent writer's unpublished
         pending dirs are spared, like the publish-time GC); history
@@ -1615,32 +1623,45 @@ class TableStore:
                 "unpublished pending writes) is not supported — publish "
                 "or abandon the batch first"
             )
-        snap = self.current_snapshot()
-        if version == snap["version"]:
-            return version  # already current: nothing to publish
-        target = self.snapshot_at(version)
-        gone = sorted(
-            d
-            for d in self._entry_dirs(target["tables"])
-            if not (self.root / d).exists()
-        )
-        if gone:
-            raise ValueError(
-                f"store {self.root}: cannot roll back to version "
-                f"{version} — {len(gone)} data dir(s) were garbage-"
-                f"collected (first: {gone[0]}); retain_snapshots="
-                f"{self.retain_snapshots} bounds how far back rollback "
-                "reaches"
-            )
-        self.begin_commit(
-            batch_id or f"rollback-to-v{version}", sorted(target["tables"])
-        )
+        # take the lease BEFORE reading the pointer or checking the
+        # target's data dirs: a concurrent publish landing between an
+        # unfenced read and the lease grab would be silently clobbered —
+        # this rollback would reuse its version number, overwrite its
+        # _snaplog record, swap the pointer over it, and the GC (keyed
+        # off the stale prev manifest) would delete that publish's data
+        # dirs.  end_commit reads the pointer only after _verify_lease
+        # for the same reason.
+        self.begin_commit(batch_id or f"rollback-to-v{version}", [])
         try:
             self._verify_lease()
-            new_version = self._publish_snapshot(
-                dict(target["tables"]), snap, rollback_of=version
-            )
+            snap = self.current_snapshot()
+            if version == snap["version"]:
+                new_version = version  # already current: nothing to publish
+            else:
+                target = self.snapshot_at(version)
+                gone = sorted(
+                    d
+                    for d in self._entry_dirs(target["tables"])
+                    if not (self.root / d).exists()
+                )
+                if gone:
+                    raise ValueError(
+                        f"store {self.root}: cannot roll back to version "
+                        f"{version} — {len(gone)} data dir(s) were garbage-"
+                        f"collected (first: {gone[0]}); retain_snapshots="
+                        f"{self.retain_snapshots} bounds how far back "
+                        "rollback reaches"
+                    )
+                new_version = self._publish_snapshot(
+                    dict(target["tables"]), snap, rollback_of=version
+                )
         except BaseException:
+            # nothing of this rollback is published on these paths (a
+            # validation error, a takeover fence, or a pre-swap crash in
+            # _publish_snapshot) and rollback writes no table data — so
+            # clear the manifest rather than report a phantom
+            # interrupted batch, then drop the lease
+            (self.root / self.MANIFEST).unlink(missing_ok=True)
             self._release_lease()
             raise
         (self.root / self.MANIFEST).unlink(missing_ok=True)

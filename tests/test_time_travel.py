@@ -356,3 +356,80 @@ def test_diff_curated_between_versions(spark, tmp_path):
     assert d32 == {(2, "added")}
     # identical versions diff empty
     assert diff_curated(store, v3, v3).count() == 0
+
+
+def test_rollback_resolves_target_under_the_lease(spark, tmp_path):
+    """A publish landing between rollback's pointer read and its lease
+    grab must not be clobbered (round-8 advice): rollback reads the
+    current snapshot and the target manifest only while HOLDING the
+    writer lease, so the concurrent publish keeps its version number,
+    its _snaplog record, and its data dirs."""
+    st = _store(spark, tmp_path, retain=5)
+    _publish(st, "b1", {"t": 1})
+    _publish(st, "b2", {"t": 2})
+
+    other = _store(spark, tmp_path, retain=5)
+    real_begin = st.begin_commit
+    fired = {}
+
+    def begin_with_concurrent_publish(batch_id, tables):
+        # simulate the race deterministically: another writer publishes
+        # at the exact moment rollback reaches for the lease
+        if not fired:
+            fired["v"] = _publish(other, "concurrent", {"t": 99})
+        return real_begin(batch_id, tables)
+
+    st.begin_commit = begin_with_concurrent_publish
+    try:
+        new_v = st.rollback(1)
+    finally:
+        del st.begin_commit
+
+    assert fired["v"] == 3  # the concurrent publish landed as v3
+    assert new_v == 4  # rollback published ON TOP of it, not over it
+    hist = {h["version"]: h for h in st.snapshot_history()}
+    assert hist[3]["available"]  # its snaplog record + data dirs survived
+    assert st.read_version("t", 3).collect()[0].v == 99
+    assert st.read("t").collect()[0].v == 1  # restored state is current
+    # and the undone concurrent batch can itself be restored
+    st.rollback(3)
+    assert st.read("t").collect()[0].v == 99
+
+
+def test_failed_rollback_releases_lease_and_leaves_no_manifest(
+    spark, tmp_path
+):
+    """Validation failures now happen under the lease: they must drop
+    it and clear the batch manifest (no phantom interrupted batch), and
+    writing must continue."""
+    st = _store(spark, tmp_path, retain=1)
+    for v in range(3):
+        _publish(st, f"b{v}", {"t": v})
+    with pytest.raises(ValueError, match="garbage-collected"):
+        st.rollback(1)  # v1 data is past retention: GC'd
+    with pytest.raises(KeyError, match="no snapshot log record"):
+        st.rollback(99)
+    assert st.pending_commit() is None
+    assert not (tmp_path / TableStore.LEASE).exists()
+    _publish(st, "after", {"t": 9})
+    assert st.read("t").collect()[0].v == 9
+
+
+def test_vacuum_default_retains_reader_grace(spark, tmp_path):
+    """Default retain=1 spares the immediately-previous version's data
+    (the publish-protocol's one-version reader grace — the hazard the
+    constructor rejects retain_snapshots < 1 for); retain=0 is the
+    explicit quiesced-readers escape hatch."""
+    st = _store(spark, tmp_path, retain=5)
+    for v in range(3):
+        _publish(st, f"b{v}", {"t": v})  # versions 1..3
+    gone = st.vacuum_snapshots()  # default: keep current + previous
+    assert gone  # v1 reclaimed
+    avail = {h["version"]: h["available"] for h in st.snapshot_history()}
+    assert avail == {1: False, 2: True, 3: True}
+    assert st.read_version("t", 2).collect()[0].v == 1
+    gone0 = st.vacuum_snapshots(retain=0)  # explicit: current only
+    assert gone0
+    avail = {h["version"]: h["available"] for h in st.snapshot_history()}
+    assert avail == {1: False, 2: False, 3: True}
+    assert st.read("t").collect()[0].v == 2
