@@ -643,11 +643,29 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
     endpoint already sharing a label, the label graph has only self-free
     components, and the remap is empty.
     """
+    labels = store.read("cc_labels")
+    out, remap = merged_cluster_labels(labels, new_pairs)
+    store.begin_commit("cc-index-extend", ["cc_labels"])
+    store.overwrite("cc_labels", out)
+    store.end_commit()
+    return remap
+
+
+def merged_cluster_labels(
+    labels: DataFrame, new_pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The PURE half of ``extend_clusters``: merge new near-dup edges
+    into an existing (doc_id, cluster_id) label table without touching
+    storage.  Returns ``(updated_labels, remap)`` — the post-merge label
+    table (both frames materialized via localCheckpoint) and the
+    (old_label, new_label) remap of every cluster whose id changed.
+    ``extend_clusters`` persists the result; read-only consumers
+    (``probe_duplicates``) use it directly to answer "what WOULD the
+    labels be" without mutating the store."""
     from jobcan_data_integrator_spark.operators.dedup import (
         connected_components,
     )
 
-    labels = store.read("cc_labels")
     e = new_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     la = (
         e.join(labels.alias("l1"), e["src"] == F.col("l1.doc_id"), "left")
@@ -685,10 +703,7 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
         .select("doc_id", "cluster_id")
     )
     out = updated.unionByName(new_nodes).localCheckpoint(eager=True)
-    store.begin_commit("cc-index-extend", ["cc_labels"])
-    store.overwrite("cc_labels", out)
-    store.end_commit()
-    return remap
+    return out, remap
 
 
 # ---------------------------------------------------------------------------
@@ -1841,6 +1856,119 @@ def extend_pq_index(store: TableStore, new_codes: DataFrame) -> None:
     store.begin_commit("pq-index-extend", list(PQ_TABLES))
     store.merge_insert_missing("pq_codes", new_codes, ["vec_id"])
     store.end_commit()
+
+
+def refresh_embedding_codebooks(
+    store: TableStore,
+    *,
+    ivf_cells: int | None = None,
+    ivf_iters: int = 2,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
+    pq_iters: int = 2,
+) -> dict[str, int]:
+    """Retrain the FROZEN trained aggregates — the IVF k-means codebook
+    and the PQ sub-codebooks — on the store's CURRENT live vectors and
+    rebuild their per-vector tables under the new codebooks, atomically.
+
+    The standard IVF/PQ stance freezes codebooks at build time and
+    assigns increments under them (``assign_increment`` /
+    ``encode_pq_increment``); as the corpus drifts away from the
+    training distribution, cell balance and ADC quality decay.  This is
+    the amortized offline maintenance call that closes that loop — the
+    codebook sibling of ``compact_store``: run it on a drift signal or
+    a cron, NOT per batch.  Cost is corpus-sized BY DESIGN (one
+    training pass + one assignment/encode pass over the live vectors);
+    every serving path picks up the new codebooks atomically at the
+    single snapshot publish.
+
+    Equivalence contract (tests/test_codebook_refresh.py): after any
+    sequence of builds, extends, and vector retractions, the refreshed
+    ``ivf_codebook``/``ivf_assignments``/``pq_codebooks``/``pq_codes``
+    equal a from-scratch ``build_ivf_index``/``build_pq_index`` over
+    the surviving vectors — exactly, because the integer k-means is
+    bit-stable (train_ivf_centroids) and retraction masks are applied
+    to the training input.
+
+    Defaults re-use each family's current geometry (cell count from
+    ``ivf_codebook``, ``m``/``k`` from ``pq_codebooks``); pass explicit
+    values when cells have dropped out and the original geometry should
+    be restored.  The LSH family (``eb_*``) has no trained state — its
+    hyperplanes are data-independent — so it is left untouched, as is
+    the ``emb_retractions`` mask (folded by ``compact_store``)."""
+    from jobcan_data_integrator_spark.operators.pq import pq_encode, train_pq
+    from jobcan_data_integrator_spark.operators.similarity import (
+        assign_cells,
+        quantized_expr,
+        train_ivf_centroids,
+    )
+
+    has_ivf = store.exists("ivf_codebook")
+    has_pq = store.exists("pq_codebooks")
+    if not has_ivf and not has_pq:
+        raise ValueError(
+            "refresh_embedding_codebooks: store has neither the IVF nor "
+            "the PQ family (the LSH family's hyperplanes are "
+            "data-independent and never need retraining)"
+        )
+    if has_ivf:
+        src = store.read("ivf_assignments").select("vec_id", "embedding")
+    elif store.exists("eb_vectors"):
+        src = store.read("eb_vectors").select("vec_id", "embedding")
+    else:
+        raise ValueError(
+            "refresh_embedding_codebooks: no vector-bearing family to "
+            "retrain from (pq_codes stores codes only) — keep the IVF "
+            "assignments or the LSH vector table alongside PQ"
+        )
+    live = (
+        _mask_emb_retracted(store, src)
+        .dropDuplicates(["vec_id"])
+        .localCheckpoint(eager=True)
+    )
+
+    tables = (list(IVF_TABLES) if has_ivf else []) + (
+        list(PQ_TABLES) if has_pq else []
+    )
+    summary: dict[str, int] = {"n_vectors": live.count()}
+    with store.batch_commit("codebook-refresh", tables):
+        if has_ivf:
+            n_cells = ivf_cells or store.read("ivf_codebook").count()
+            cent, _ = train_ivf_centroids(
+                live, n_cells=n_cells, iters=ivf_iters
+            )
+            cent = cent.localCheckpoint(eager=True)
+            assign = assign_cells(
+                live.select(
+                    "vec_id",
+                    "embedding",
+                    quantized_expr("embedding").alias("q"),
+                ),
+                cent,
+                keep=("embedding",),
+            )
+            store.merge_batch([
+                lambda: store.overwrite("ivf_codebook", cent),
+                lambda: store.overwrite("ivf_assignments", assign),
+            ])
+            summary["ivf_cells"] = cent.count()
+        if has_pq:
+            cur = store.read("pq_codebooks")
+            m = pq_m or cur.agg(F.max("sub")).first()[0] + 1
+            k = (
+                pq_k
+                or cur.groupBy("sub").count().agg(F.max("count")).first()[0]
+            )
+            cb = train_pq(live, m=m, k=k, iters=pq_iters).localCheckpoint(
+                eager=True
+            )
+            codes = pq_encode(live, cb, m=m)
+            store.merge_batch([
+                lambda: store.overwrite("pq_codebooks", cb),
+                lambda: store.overwrite("pq_codes", codes),
+            ])
+            summary["pq_m"], summary["pq_k"] = m, k
+    return summary
 
 
 def pq_search_indexed(

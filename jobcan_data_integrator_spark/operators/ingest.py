@@ -104,6 +104,11 @@ DOC_VECS = "doc_vecs"
 #: inside the retraction's own commit, so the receipt exists iff the
 #: deletion published.
 RETRACTION_LOG = "retraction_log"
+#: the receipt's per-id companion: (retract_id, doc_id) — WHICH ids
+#: each retraction removed (the log row records only the count).  Same
+#: commit, same redelivery guarantees; ``doc_history`` joins it back to
+#: the log for the timestamp and snapshot version.
+RETRACTION_IDS = "retraction_ids"
 
 
 @dataclass
@@ -211,6 +216,129 @@ def diff_curated(
         )
         .select("doc_id", change.alias("change"), "text_a", "text_b")
     )
+
+
+def doc_history(store: TableStore, ids: DataFrame) -> DataFrame:
+    """Per-document lifecycle timeline — the id-keyed audit companion to
+    ``diff_curated`` (whole-corpus) and ``retraction_log`` (per-call):
+    "what happened to THESE docs?", answered from the store's own
+    records without replaying anything.
+
+    ``ids`` is a (doc_id) frame; returns one row per recorded event:
+    ``(doc_id, event, ref, cause, over_version, ts)`` with ``event`` ∈
+
+    - ``curated`` — the doc holds (or held, if later demoted) a curated
+      row; ``ref`` = the ingest batch that inserted it.  Retracted docs
+      lose this row (the takedown deletes the text physically).
+    - ``demoted`` — tombstoned by a dedup decision; ``ref`` = the batch,
+      ``cause`` = exact/cluster/floor on out-of-order stores (monotone
+      stores record no cause).  Revoked (resurrected) demotions leave no
+      row — the timeline reflects the CURRENT adjudication, matching
+      what ``read_curated`` serves.
+    - ``retracted`` — permanently deleted; ``ref`` = the retract_id,
+      with the receipt's snapshot version and timestamp joined from
+      ``retraction_log``.  Stores whose retractions predate the per-id
+      ``retraction_ids`` receipt still report the masked id, with a
+      null ``ref``.
+
+    Scale shape: every read is either bucket-pruned to the requested
+    ids (curated) or an already-broadcast-small mask/receipt table;
+    cost is bounded by the id list and the stores' retraction history,
+    never the corpus."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    spark = store.spark
+    ids = ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    b = F.broadcast(ids)
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+    out = spark.createDataFrame(
+        [],
+        "doc_id long, event string, ref string, cause string, "
+        "over_version long, ts double",
+    )
+    if store.exists(CURATED):
+        out = out.unionByName(
+            store.read_for_keys(CURATED, ids, "doc_id")
+            .join(b, "doc_id", "leftsemi")
+            .select(
+                "doc_id",
+                F.lit("curated").alias("event"),
+                F.col("batch_id").alias("ref"),
+                null_s.alias("cause"),
+                null_l.alias("over_version"),
+                null_d.alias("ts"),
+            )
+        )
+    if store.exists(TOMBSTONES):
+        t = store.read(TOMBSTONES).join(b, "doc_id", "leftsemi")
+        cause = F.col("cause") if "cause" in t.columns else null_s
+        if "cause" in t.columns:
+            # a 'retracted'-cause tombstone is surfaced as the richer
+            # ``retracted`` event below, not twice
+            t = t.filter(F.col("cause") != "retracted")
+        out = out.unionByName(
+            t.select(
+                "doc_id",
+                F.lit("demoted").alias("event"),
+                F.col("batch_id").alias("ref"),
+                cause.alias("cause"),
+                null_l.alias("over_version"),
+                null_d.alias("ts"),
+            )
+        )
+    receipts = None
+    if store.exists(RETRACTION_IDS):
+        receipts = (
+            store.read(RETRACTION_IDS)
+            .join(b, "doc_id", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        r = receipts
+        if store.exists(RETRACTION_LOG):
+            r = r.join(
+                F.broadcast(
+                    store.read(RETRACTION_LOG).select(
+                        "retract_id", "over_version", "ts"
+                    )
+                ),
+                "retract_id",
+                "left",
+            )
+        else:
+            r = r.withColumn("over_version", null_l).withColumn("ts", null_d)
+        out = out.unionByName(
+            r.select(
+                "doc_id",
+                F.lit("retracted").alias("event"),
+                F.col("retract_id").alias("ref"),
+                null_s.alias("cause"),
+                F.col("over_version").cast("bigint").alias("over_version"),
+                F.col("ts").cast("double").alias("ts"),
+            )
+        )
+    if store.exists(inc.DOC_RETRACTIONS):
+        legacy = (
+            store.read(inc.DOC_RETRACTIONS)
+            .join(b, "doc_id", "leftsemi")
+            .select("doc_id")
+        )
+        if receipts is not None:
+            legacy = legacy.join(
+                receipts.select("doc_id"), "doc_id", "left_anti"
+            )
+        out = out.unionByName(
+            legacy.select(
+                "doc_id",
+                F.lit("retracted").alias("event"),
+                null_s.alias("ref"),
+                null_s.alias("cause"),
+                null_l.alias("over_version"),
+                null_d.alias("ts"),
+            )
+        )
+    return out
 
 
 def bm25_search_curated(
@@ -337,6 +465,260 @@ def hybrid_search_curated(
                 .select("q_id", "doc_id", "rank")
             )
     return rt.rrf_fuse(lists, k=rrf_k, topk=k)
+
+
+def probe_duplicates(
+    store: TableStore,
+    candidate_docs: DataFrame,
+    *,
+    normalize: bool = False,
+    nfkc: bool = False,
+    line_clean: bool = False,
+    line_max_doc_freq: int | None = None,
+    max_pii_hits: int | None = None,
+    span: int | None = 8,
+    min_tokens: int = 10,
+    minhash: bool = True,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    cluster_threshold: float = 0.5,
+    quality_scorer: Callable[[DataFrame], DataFrame] | None = None,
+    classifier_floor: float | None = None,
+    lm_filter: tuple[str, ...] | None = None,
+    perplexity_cuts: tuple[float, float] = (-1.0, -1.5),
+) -> DataFrame:
+    """READ-ONLY dedup-as-a-service: the exact keep/drop verdict
+    ``ingest_increment`` would reach for each candidate doc against the
+    store's persisted index families — without writing anything.  Use it
+    to filter an incoming crawl against the curated corpus before paying
+    for ingest, to cost a batch, or to serve "is this a dup?" queries
+    from a frozen index.
+
+    Returns one row per input doc:
+    ``(doc_id, verdict, dup_of, text)`` where ``verdict`` is the FIRST
+    pipeline stage that drops the doc — ``retracted`` (permanently
+    masked id), ``line_filtered`` (emptied by line cleaning),
+    ``pii_filtered``, ``exact_dup`` (``dup_of`` = the content hash's
+    keeper, corpus or batch), ``too_short`` (post span-removal under
+    ``min_tokens``), ``near_dup`` (``dup_of`` = the would-be cluster
+    label), ``low_quality``, ``ppl_filtered`` — or ``keep``, in which
+    case ``text`` carries the curated text the doc WOULD get (normalized,
+    scrubbed, span-deduped).  Knobs mirror ``ingest_increment``; pass
+    the same values you would ingest with, or the verdicts answer a
+    different pipeline's question.
+
+    Equivalence contract (pinned in tests/test_probe.py): on a monotone
+    store, ``probe.filter(verdict = 'keep')`` equals the (doc_id, text)
+    set ``ingest_increment`` then curates for the same batch.  Verdicts
+    assume monotone ids — a probe cannot see the retroactive repairs an
+    out-of-order ingest would perform on OTHER stored docs (it mutates
+    nothing), but the batch's own keep set matches ingest in both modes
+    whenever the batch introduces no retro demotions.
+
+    Scale shape: identical to the ingest probes it reuses — every
+    corpus-side read is bucket-pruned to the increment's key fan-out
+    (``read_for_keys``), masks are broadcast, and the only corpus-sized
+    table ever scanned is ``cc_labels`` restricted via the pure label
+    merge.  Cost is increment-linear; nothing is persisted, so replay
+    and crash semantics do not arise."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators.dedup import (
+        connected_components,
+        remove_flagged_spans,
+    )
+    from jobcan_data_integrator_spark.operators.minhash import (
+        band_rows,
+        candidate_pairs,
+        hashed_shingle_rows,
+        shingle_sizes,
+        verify_candidate_pairs,
+    )
+    from jobcan_data_integrator_spark.operators.pii import scrub_pii
+
+    docs = candidate_docs.select("doc_id", "text")
+    all_ids = docs.select("doc_id").localCheckpoint(eager=True)
+    _null_dup = F.lit(None).cast("bigint").alias("dup_of")
+
+    def _verdict(ids: DataFrame, verdict: str) -> DataFrame:
+        return ids.select("doc_id", F.lit(verdict).alias("verdict"), _null_dup)
+
+    verdicts: list[DataFrame] = []
+    if store.exists(inc.DOC_RETRACTIONS):
+        mask = F.broadcast(store.read(inc.DOC_RETRACTIONS))
+        verdicts.append(
+            _verdict(docs.join(mask, "doc_id", "leftsemi"), "retracted")
+        )
+        docs = docs.join(mask, "doc_id", "left_anti")
+
+    if normalize:
+        from jobcan_data_integrator_spark.operators.normalize import (
+            normalize_text,
+        )
+
+        docs = normalize_text(docs, nfkc=nfkc)
+    if line_clean:
+        from jobcan_data_integrator_spark.operators import lines as L
+
+        docs = L.dedup_lines_within_doc(L.clean_lines(docs, min_words=1)).drop(
+            "n_lines_dropped"
+        )
+        if line_max_doc_freq is not None:
+            if store.exists("bl_stats"):
+                docs = inc.clean_increment(
+                    store, docs, max_doc_freq=line_max_doc_freq
+                ).drop("n_boilerplate_dropped")
+            else:
+                docs = L.remove_boilerplate_lines(
+                    docs, max_doc_freq=line_max_doc_freq
+                ).drop("n_boilerplate_dropped")
+
+    scrubbed_full = scrub_pii(docs)
+    if max_pii_hits is not None:
+        hits = F.col("n_email") + F.col("n_ip") + F.col("n_phone")
+        verdicts.append(
+            _verdict(scrubbed_full.filter(hits > max_pii_hits), "pii_filtered")
+        )
+        scrubbed_full = scrubbed_full.filter(hits <= max_pii_hits)
+    scrubbed = scrubbed_full.select(
+        "doc_id", F.col("redacted_text").alias("text")
+    ).localCheckpoint(eager=True)
+
+    # exact: the doc survives iff it is its content hash's keeper over
+    # corpus ∪ batch — same election ingest runs, computed purely when
+    # the store has no family yet
+    if store.exists("ex_docs"):
+        groups = inc.exact_increment(store, scrubbed)
+    else:
+        groups = inc._hash_groups(inc._doc_hashes(scrubbed))
+    exact_dups = (
+        inc._doc_hashes(scrubbed)
+        .join(groups, "text_md5")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(
+            "doc_id",
+            F.lit("exact_dup").alias("verdict"),
+            F.col("keep_doc_id").cast("bigint").alias("dup_of"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    verdicts.append(exact_dups)
+    survivors = scrubbed.join(
+        exact_dups.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    # span removal + length floor (monotone view: the batch's own flags)
+    if span is not None:
+        if store.exists("sp_occs"):
+            _, flags = inc.span_increment(store, survivors, span=span)
+        else:
+            occ = inc._span_occ_rows(survivors, span)
+            flags = inc._span_flags(occ, inc._span_hash_groups(occ))
+        batch_flags = flags.join(
+            survivors.select("doc_id"), "doc_id", "leftsemi"
+        )
+        kept = remove_flagged_spans(survivors, batch_flags, span=span).select(
+            "doc_id", F.col("deduped_text").alias("text")
+        )
+    else:
+        kept = survivors
+    kept = kept.filter(
+        F.size(F.split(F.col("text"), " ")) >= min_tokens
+    ).localCheckpoint(eager=True)
+    verdicts.append(
+        _verdict(
+            survivors.select("doc_id").join(
+                kept.select("doc_id"), "doc_id", "left_anti"
+            ),
+            "too_short",
+        )
+    )
+
+    # minhash canonicalization: merge the batch's ≥-threshold pairs into
+    # the stored labels PURELY and drop non-minimum members
+    if minhash:
+        hashed = hashed_shingle_rows(kept)
+        if store.exists("mh_bands"):
+            pairs = inc.dedup_increment(store, hashed, n_hashes, band_size)
+        else:
+            sh = hashed.select("doc_id", "shingle").distinct()
+            pairs = verify_candidate_pairs(
+                candidate_pairs(band_rows(hashed, n_hashes, band_size)),
+                sh,
+                shingle_sizes(sh),
+            )
+        th = pairs.filter(F.col("jaccard") >= cluster_threshold)
+        if store.exists("cc_labels"):
+            labels, _ = inc.merged_cluster_labels(store.read("cc_labels"), th)
+        else:
+            labels = connected_components(
+                th.select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                )
+            )
+        near = (
+            kept.select("doc_id")
+            .join(labels, "doc_id")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(
+                "doc_id",
+                F.lit("near_dup").alias("verdict"),
+                F.col("cluster_id").cast("bigint").alias("dup_of"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        verdicts.append(near)
+        kept = kept.join(
+            near.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+
+    # quality gates (read-only: perplexity scores against the persisted
+    # LM, classifier via the caller's scorer)
+    if classifier_floor is not None:
+        if quality_scorer is None:
+            raise ValueError("classifier_floor needs a quality_scorer callback")
+        scored = quality_scorer(kept)
+        verdicts.append(
+            _verdict(
+                scored.filter(F.col("classifier_score") < classifier_floor),
+                "low_quality",
+            )
+        )
+        kept = (
+            scored.filter(F.col("classifier_score") >= classifier_floor)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+    if lm_filter is not None:
+        scored = inc.perplexity_increment(store, kept, cuts=perplexity_cuts)
+        ok = scored.filter(F.col("ppl_bucket").isin(*lm_filter)).select(
+            "doc_id"
+        )
+        verdicts.append(
+            _verdict(
+                kept.select("doc_id").join(ok, "doc_id", "left_anti"),
+                "ppl_filtered",
+            )
+        )
+        kept = kept.join(ok, "doc_id", "leftsemi").localCheckpoint(eager=True)
+
+    out = kept.select(
+        "doc_id", F.lit("keep").alias("verdict"), _null_dup, "text"
+    )
+    for v in verdicts:
+        out = out.unionByName(
+            v.withColumn("text", F.lit(None).cast("string"))
+        )
+    # ids consumed before any verdict frame saw them (e.g. docs emptied
+    # away by line cleaning) — make the output total over the input
+    leftover = all_ids.join(out.select("doc_id"), "doc_id", "left_anti")
+    return out.unionByName(
+        leftover.select(
+            "doc_id",
+            F.lit("line_filtered").alias("verdict"),
+            _null_dup,
+            F.lit(None).cast("string").alias("text"),
+        )
+    )
 
 
 def repack_corpus(
@@ -1658,7 +2040,8 @@ def retract_documents(
         F.lit(n_ids).cast("bigint").alias("n_ids"),
     )
 
-    tables = [RETRACTIONS, RETRACTION_LOG, TOMBSTONES, CURATED, CURATED_PRE]
+    tables = [RETRACTIONS, RETRACTION_LOG, RETRACTION_IDS, TOMBSTONES]
+    tables += [CURATED, CURATED_PRE]
     tables += [inc.DOC_RETRACTIONS, "ex_docs", "ex_groups"]
     bm25 = store.exists(rt.BM25_DOC_LEN)
     if bm25:
@@ -1703,6 +2086,14 @@ def retract_documents(
             store, r_ids, retract_id, "retracted", ooo=True, permanent=True
         )
         _mask_insert(store, inc.DOC_RETRACTIONS, r_ids, "doc_id")
+        # per-id compliance receipt (the log row below records counts;
+        # audits and doc_history want the ids) — keyed insert, so a
+        # crash replay converges to one row per (retraction, id)
+        store.merge_insert_missing(
+            RETRACTION_IDS,
+            r_ids.select(F.lit(retract_id).alias("retract_id"), "doc_id"),
+            ["retract_id", "doc_id"],
+        )
 
         # 2. exact family: re-elect keepers for every hash group a
         # retracted doc belonged to.  One narrow broadcast-semi pass

@@ -629,3 +629,45 @@ def ingest_documents_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def retract_documents_stream(
+    requests: DataFrame,
+    store: TableStore,
+    checkpoint_dir: str,
+    **retract_kwargs,
+):
+    """Streaming face of the takedown path: each micro-batch of
+    (doc_id) rows runs ``operators/ingest.retract_documents`` — the
+    one-call deletion across the curated corpus and every doc-keyed
+    family, with the doc→vec cascade, receipt log, and per-id receipt,
+    one snapshot commit per micro-batch — under the retraction id
+    ``stream-retract-<epoch_id>``.  The operational shape a production
+    corpus needs: takedown requests arrive as a FEED (DSAR queues,
+    copyright claims), not as one offline job.
+
+    Exactly-once mirrors ``ingest_documents_stream``: a redelivered
+    epoch short-circuits on the ``retractions`` ledger (and the
+    permanent ``doc_retractions`` mask makes even a re-sent id a
+    no-op at every family).  ``retract_kwargs`` pass through to
+    ``retract_documents`` (span, min_tokens, minhash params, ...) —
+    pass the same stage knobs the store was ingested with."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        retract_documents,
+    )
+
+    def _retract(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        retract_documents(
+            store,
+            batch_df.select("doc_id"),
+            f"stream-retract-{batch_id}",
+            **retract_kwargs,
+        )
+
+    return (
+        requests.writeStream.foreachBatch(_retract)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

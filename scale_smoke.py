@@ -592,6 +592,40 @@ BPE_MERGES = 1000
 BPE_ROUND_SLACK = 2.0
 
 
+#: codebook refresh: retrain IVF + PQ over the live vectors and rebuild
+#: assignments/codes — corpus-linear BY DESIGN (one train pass + one
+#: assign/encode pass; the k-means shuffle is fixed-group), so the
+#: honest budget for 10x vectors is the linear bound.  This is the
+#: amortized maintenance op (run on drift, never per batch); the probe
+#: pins that nothing super-linear hides in the rebuild.
+REFRESH_BUDGET = 10.0
+
+
+def refresh_experiment(spark, sf_dir: str, workdir: Path) -> float:
+    """Seconds for ``refresh_embedding_codebooks`` over ``sf_dir``'s
+    embeddings, IVF + PQ families built at the same scale first (build
+    time excluded — the probe times the refresh alone)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_ivf_index,
+        build_pq_index,
+        refresh_embedding_codebooks,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    store = TableStore(
+        spark, workdir, write_partitions=1, snapshot_isolation=True
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    build_ivf_index(store, emb)
+    build_pq_index(store, emb)
+    t0 = time.perf_counter()
+    refresh_embedding_codebooks(store)
+    return round(time.perf_counter() - t0, 3)
+
+
 def bpe_experiment(spark, sf_dir: str, merges: int = BPE_MERGES) -> dict:
     """Train BPE (batch=32, up to ``merges`` merges) on ``sf_dir``'s
     document corpus re-tokenized as hyphenated BIGRAM words; returns
@@ -799,6 +833,16 @@ def main() -> None:
     bm_ratio = round(bm1 / bm01, 2) if bm01 else None
     bme_ratio = round(bme1 / bme01, 2) if bme01 else None
 
+    # codebook refresh: retrain + rebuild over 1x vs 10x vectors —
+    # corpus-linear by design, flag past the linear bound
+    rf01 = refresh_experiment(
+        spark, SRC_SF, out_dir.parent / f"{out_dir.name}_rfidx01"
+    )
+    rf1 = refresh_experiment(
+        spark, str(out_dir), out_dir.parent / f"{out_dir.name}_rfidx1"
+    )
+    rf_ratio = round(rf1 / rf01, 2) if rf01 else None
+
     # BPE batched training: a 1k/2k/4k merge curve pins the
     # rounds-per-merge slope (the 32k-vocab claim's extrapolation base)
     bpe_curve = [
@@ -850,6 +894,8 @@ def main() -> None:
         flagged["bm25_query@10x"] = bm_ratio
     if bme_ratio and bme_ratio > BM25_EXTEND_BUDGET:
         flagged["bm25_extend@10x"] = bme_ratio
+    if rf_ratio and rf_ratio > REFRESH_BUDGET:
+        flagged["codebook_refresh@10x"] = rf_ratio
     for b in bpe_curve:
         if b["rounds"] > BPE_ROUND_SLACK * b["ideal_rounds"]:
             flagged[f"train_bpe@rounds{b['requested_merges']}"] = b["rounds"]
@@ -951,6 +997,16 @@ def main() -> None:
                                "fixed ~20-doc extend (bucket-pruned "
                                "anti-join, must be ~flat); buckets "
                                "64 -> 640"},
+                      "codebook_refresh": {
+                          "op": "refresh_embedding_codebooks",
+                          "sf01_sec": rf01, "sf1_sec": rf1,
+                          "ratio": rf_ratio, "budget": REFRESH_BUDGET,
+                          "note": "retrain IVF k-means + PQ sub-"
+                          "codebooks over the live vectors and rebuild "
+                          "assignments/codes under one publish — "
+                          "corpus-linear by design (amortized "
+                          "maintenance, run on drift); budget is the "
+                          "linear bound"},
                       "bpe": bpe,
                       "bpe_curve": bpe_curve,
                       "temporal": {"op": "asof_join_errors_signups",
@@ -1000,6 +1056,8 @@ def main() -> None:
           f"({rt_ratio}x, budget {RETRACT_BUDGET}x)", file=sys.stderr)
     print(f"# compact: {cp01:.2f} @sf0.1-store -> {cp1:.2f} @sf1-store "
           f"({cp_ratio}x, budget {COMPACT_BUDGET}x)", file=sys.stderr)
+    print(f"# codebook refresh: {rf01:.2f} @sf0.1 -> {rf1:.2f} @sf1 "
+          f"({rf_ratio}x, budget {REFRESH_BUDGET}x)", file=sys.stderr)
     print(f"# rollback: {rb01:.3f} @sf0.1-store -> {rb1:.3f} @sf1-store "
           f"({rb_ratio}x; abs cap {ROLLBACK_ABS_BUDGET_SEC}s at 10x)",
           file=sys.stderr)

@@ -1,0 +1,133 @@
+"""refresh_embedding_codebooks: offline retraining of the frozen IVF /
+PQ trained aggregates (operators/incremental.py).
+
+The load-bearing contract: after ANY sequence of builds, extends, and
+vector retractions, a refresh leaves
+``ivf_codebook``/``ivf_assignments``/``pq_codebooks``/``pq_codes``
+EXACTLY equal to a from-scratch ``build_ivf_index``/``build_pq_index``
+over the surviving vectors — the integer k-means is bit-stable, so the
+equality is value-for-value, not approximate.  Plus the drift story the
+operator exists for: a codebook frozen on yesterday's distribution
+piles today's vectors into one cell; the refresh re-balances.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.incremental import (
+    assign_increment,
+    build_ivf_index,
+    build_pq_index,
+    encode_pq_increment,
+    extend_ivf_index,
+    extend_pq_index,
+    refresh_embedding_codebooks,
+)
+from jobcan_data_integrator_spark.operators.ingest import retract_vectors
+from jobcan_data_integrator_spark.session import load_table
+from jobcan_data_integrator_spark.storage import TableStore
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def _rows(store, table, cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in store.read(table).select(*cols).collect()
+    )
+
+
+_TABLES = [
+    ("ivf_codebook", ("cell_id", "cq")),
+    ("ivf_assignments", ("vec_id", "cell_id")),
+    ("pq_codebooks", ("sub", "cell_id", "cq")),
+    ("pq_codes", ("vec_id", "codes")),
+]
+
+
+def test_refresh_matches_from_scratch_build(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir).cache()
+    old = emb.filter(F.col("vec_id") % 2 == 0)
+    new = emb.filter(F.col("vec_id") % 2 == 1)
+
+    store = TableStore(spark, tmp_path / "a", write_partitions=2)
+    build_ivf_index(store, old)
+    extend_ivf_index(store, assign_increment(store, new))
+    build_pq_index(store, old)
+    extend_pq_index(store, encode_pq_increment(store, new))
+
+    # the even-id half holds only 8 of the 16 seed ids (seeds are
+    # vec_id < n_cells), so the stored codebook genuinely has 8 cells /
+    # 8 PQ codes — restore the full geometry explicitly for the
+    # fresh-build comparison
+    summary = refresh_embedding_codebooks(store, ivf_cells=16, pq_k=16)
+    assert summary["n_vectors"] == emb.count()
+
+    fresh = TableStore(spark, tmp_path / "b", write_partitions=2)
+    build_ivf_index(fresh, emb)
+    build_pq_index(fresh, emb)
+    for table, cols in _TABLES:
+        assert _rows(store, table, cols) == _rows(fresh, table, cols), table
+
+
+def test_refresh_after_retraction_trains_on_survivors(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir).cache()
+    store = TableStore(
+        spark, tmp_path / "a", write_partitions=2, snapshot_isolation=True
+    )
+    build_ivf_index(store, emb)
+    build_pq_index(store, emb)
+    gone = emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    retract_vectors(store, gone, "rv-1")
+
+    refresh_embedding_codebooks(store)
+
+    survivors = emb.join(gone, "vec_id", "left_anti")
+    fresh = TableStore(spark, tmp_path / "b", write_partitions=2)
+    build_ivf_index(fresh, survivors)
+    build_pq_index(fresh, survivors)
+    for table, cols in _TABLES:
+        assert _rows(store, table, cols) == _rows(fresh, table, cols), table
+    # the retracted ids left the per-vector tables physically
+    kept_ids = {r.vec_id for r in store.read("ivf_assignments").collect()}
+    assert not kept_ids & {r.vec_id for r in gone.collect()}
+
+
+def test_refresh_rebalances_after_drift(spark, tmp_path):
+    """The operational motivation: a codebook frozen on region A piles
+    every region-B arrival into one cell (probe cost degrades toward a
+    full scan); the refresh gives B its own centroid."""
+    dim = 4
+    a = [(i, [100.0 + i, float(i % 3), 0.0, 0.0]) for i in range(10)]
+    b = [(10 + i, [float(i % 3), 0.0, 100.0 + i, 0.0]) for i in range(10)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_ivf_index(store, mk(a), n_cells=2)
+    extend_ivf_index(store, assign_increment(store, mk(b)))
+
+    def max_cell(st):
+        return (
+            st.read("ivf_assignments")
+            .groupBy("cell_id")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    before = max_cell(store)
+    assert before >= 10  # all of region B shares one frozen cell
+    summary = refresh_embedding_codebooks(store, ivf_cells=2)
+    assert summary == {"n_vectors": 20, "ivf_cells": 2}
+    assert max_cell(store) == 10  # one cell per region after retraining
+
+
+def test_refresh_refuses_stores_without_trained_families(spark, tmp_path):
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    with pytest.raises(ValueError, match="neither the IVF nor the PQ"):
+        refresh_embedding_codebooks(store)

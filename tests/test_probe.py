@@ -1,0 +1,164 @@
+"""probe_duplicates: read-only dedup-as-a-service over the persisted
+index families (operators/ingest.py).
+
+The load-bearing contract: for a candidate batch against any store
+state,
+
+    probe_duplicates(store, batch).filter(verdict = 'keep')
+        ≡  the (doc_id, text) set ingest_increment curates for batch
+
+with the store byte-identical before and after the probe (no version
+published, no table written, no scratch dir left) — so a pipeline can
+cost or filter an incoming crawl against the curated corpus WITHOUT
+paying for ingest, and a frozen index can serve "is this a dup?"
+queries concurrently with readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobcan_data_integrator_spark.operators.ingest import (
+    ingest_increment,
+    probe_duplicates,
+    retract_documents,
+)
+from jobcan_data_integrator_spark.storage import TableStore
+from test_ingest import (
+    BATCH1,
+    BATCH2,
+    BATCH3,
+    BS,
+    MERGER,
+    MIN_TOKENS,
+    NH,
+    SPAN,
+    THRESH,
+    _mk,
+    _t,
+)
+
+CFG = dict(
+    span=SPAN,
+    min_tokens=MIN_TOKENS,
+    n_hashes=NH,
+    band_size=BS,
+    cluster_threshold=THRESH,
+)
+
+
+def _store(spark, root) -> TableStore:
+    return TableStore(spark, root, write_partitions=2, snapshot_isolation=True)
+
+
+def _snap_state(store):
+    return (store.current_snapshot(), sorted(p.name for p in store.root.glob("*")))
+
+
+def test_probe_is_read_only_and_matches_ingest(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    ingest_increment(store, _mk(spark, BATCH1), "b1", **CFG)
+
+    before = _snap_state(store)
+    probe = probe_duplicates(store, _mk(spark, BATCH2), **CFG).localCheckpoint(
+        eager=True
+    )
+    assert _snap_state(store) == before  # nothing written, no version
+
+    # total over the input: every candidate id appears exactly once
+    assert sorted(r.doc_id for r in probe.collect()) == sorted(
+        d for d, _ in BATCH2
+    )
+
+    kept = {
+        (r.doc_id, r.text)
+        for r in probe.filter(F.col("verdict") == "keep").collect()
+    }
+    res = ingest_increment(store, _mk(spark, BATCH2), "b2", **CFG)
+    assert kept == {(r.doc_id, r.text) for r in res.docs.collect()}
+
+    # and again for the span-dup batch on the deeper store
+    probe3 = probe_duplicates(store, _mk(spark, BATCH3), **CFG)
+    kept3 = {
+        (r.doc_id, r.text)
+        for r in probe3.filter(F.col("verdict") == "keep").collect()
+    }
+    res3 = ingest_increment(store, _mk(spark, BATCH3), "b3", **CFG)
+    assert kept3 == {(r.doc_id, r.text) for r in res3.docs.collect()}
+
+
+def test_probe_empty_store_matches_first_ingest(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    probe = probe_duplicates(store, _mk(spark, BATCH1), **CFG).localCheckpoint(
+        eager=True
+    )
+    # the probe built nothing — the store is still version 0, no dirs
+    assert store.current_snapshot()["version"] == 0
+    assert not list(store.root.glob("*.v-*"))
+    kept = {
+        (r.doc_id, r.text)
+        for r in probe.filter(F.col("verdict") == "keep").collect()
+    }
+    res = ingest_increment(store, _mk(spark, BATCH1), "b1", **CFG)
+    assert kept == {(r.doc_id, r.text) for r in res.docs.collect()}
+
+
+def test_probe_verdicts_and_dup_targets(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    ingest_increment(
+        store, _mk(spark, BATCH1), "b1", allow_out_of_order=True, **CFG
+    )
+    retract_documents(
+        store,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        "rt-1",
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        n_hashes=NH,
+        band_size=BS,
+        cluster_threshold=THRESH,
+    )
+
+    cand = [
+        (41, _t("u", 0, 10)),  # exact dup of stored doc 1
+        (42, MERGER),  # near dup pairing with stored 3 and 7
+        (43, "tiny doc"),  # 2 tokens < MIN_TOKENS
+        (2, _t("q", 0, 10)),  # permanently retracted id
+        (44, _t("r", 0, 10)),  # unique: keep
+    ]
+    probe = probe_duplicates(store, _mk(spark, cand), **CFG)
+    rows = {r.doc_id: (r.verdict, r.dup_of) for r in probe.collect()}
+    assert rows[41] == ("exact_dup", 1)
+    assert rows[42] == ("near_dup", 3)  # cluster {3, 7, 42} -> min id 3
+    assert rows[43] == ("too_short", None)
+    assert rows[2] == ("retracted", None)
+    assert rows[44] == ("keep", None)
+    # kept docs carry the curated-candidate text; dropped docs none
+    texts = {r.doc_id: r.text for r in probe.collect()}
+    assert texts[44] == _t("r", 0, 10)
+    assert texts[41] is None
+
+
+def test_probe_within_batch_duplicates(spark, tmp_path):
+    """new-vs-new verdicts on a fresh store: the keeper election and
+    cluster labeling run inside the batch exactly as ingest would."""
+    store = _store(spark, tmp_path)
+    cand = [
+        (1, _t("u", 0, 10)),
+        (2, _t("u", 0, 10)),  # exact dup of 1 within the batch
+        (3, _t("v", 0, 5) + " X " + _t("v", 5, 10)),
+        (4, _t("v", 0, 10)),  # near dup of 3; min id 3 keeps
+    ]
+    probe = probe_duplicates(store, _mk(spark, cand), **CFG)
+    rows = {r.doc_id: (r.verdict, r.dup_of) for r in probe.collect()}
+    assert rows[1] == ("keep", None)
+    assert rows[2] == ("exact_dup", 1)
+    assert rows[3] == ("keep", None)
+    assert rows[4] == ("near_dup", 3)
+
+    kept = {
+        (r.doc_id, r.text)
+        for r in probe.filter(F.col("verdict") == "keep").collect()
+    }
+    res = ingest_increment(store, _mk(spark, cand), "b1", **CFG)
+    assert kept == {(r.doc_id, r.text) for r in res.docs.collect()}

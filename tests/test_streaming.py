@@ -625,3 +625,96 @@ def test_decode_state_rejects_unknown_version():
         [1, 2, 3],
         [4, 5, 6],
     ]
+
+
+def test_streaming_retraction_equals_direct(spark, tmp_path):
+    """retract_documents_stream: the takedown path per micro-batch —
+    two request-file drains leave the store identical to direct
+    retract_documents calls with the same ids, duplicate requests are
+    no-ops, and the per-id receipts converge."""
+    from jobcan_data_integrator_spark import streaming as S
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        read_curated,
+        retract_documents,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+    from test_ingest import (
+        BATCH1,
+        BATCH2,
+        BS,
+        MIN_TOKENS,
+        NH,
+        SPAN,
+        THRESH,
+        _mk,
+    )
+
+    cfg = dict(
+        span=SPAN,
+        min_tokens=MIN_TOKENS,
+        n_hashes=NH,
+        band_size=BS,
+        cluster_threshold=THRESH,
+    )
+
+    def mkstore(name):
+        st = TableStore(
+            spark,
+            tmp_path / name,
+            write_partitions=2,
+            snapshot_isolation=True,
+        )
+        for i, rows in enumerate((BATCH1, BATCH2), 1):
+            ingest_increment(
+                st, _mk(spark, rows), f"b{i}", allow_out_of_order=True, **cfg
+            )
+        return st
+
+    store, direct = mkstore("s"), mkstore("d")
+    src = tmp_path / "req"
+    src.mkdir()
+
+    def _drain():
+        stream = spark.readStream.schema("doc_id long").json(str(src))
+        q = S.retract_documents_stream(
+            stream, store, str(tmp_path / "ckpt"), **cfg
+        ).start()
+        q.awaitTermination()
+
+    (src / "r1.json").write_text('{"doc_id": 2}')
+    _drain()
+    (src / "r2.json").write_text('{"doc_id": 3}\n{"doc_id": 23}')
+    _drain()
+
+    retract_documents(
+        direct,
+        spark.createDataFrame([(2,)], "doc_id long"),
+        "stream-retract-0",
+        **cfg,
+    )
+    retract_documents(
+        direct,
+        spark.createDataFrame([(3,), (23,)], "doc_id long"),
+        "stream-retract-1",
+        **cfg,
+    )
+    rows = lambda st: sorted(
+        (r.doc_id, r.text) for r in read_curated(st).collect()
+    )
+    assert rows(store) == rows(direct)
+
+    # a re-sent id is a no-op at every family (permanent mask) and
+    # writes no second receipt
+    (src / "r3.json").write_text('{"doc_id": 2}')
+    _drain()
+    assert rows(store) == rows(direct)
+    got = {
+        (r.retract_id, r.doc_id)
+        for r in store.read("retraction_ids").collect()
+    }
+    assert got == {
+        ("stream-retract-0", 2),
+        ("stream-retract-1", 3),
+        ("stream-retract-1", 23),
+    }
