@@ -721,6 +721,97 @@ def probe_duplicates(
     )
 
 
+def probe_contamination(
+    store: TableStore, bench: DataFrame, *, span: int = 8
+) -> DataFrame:
+    """READ-ONLY benchmark decontamination check against the persisted
+    span index: "is this eval set leaked into the training corpus?",
+    answered from ``sp_occs`` without scanning the corpus text.
+
+    ``bench`` is (bench_id, text); returns one row per benchmark item:
+    ``(bench_id, n_spans, n_hit, hit_ratio)`` where ``n_spans`` counts
+    the item's DISTINCT ``span``-token hashes, ``n_hit`` how many of
+    them occur in at least one LIVE curated doc (retracted docs are
+    masked, demoted docs excluded — a span carried only by a tombstoned
+    duplicate does not train), and ``hit_ratio`` = n_hit / n_spans
+    (0.0 for items shorter than ``span``).  The standard n-gram-overlap
+    contamination verdict (tx_contamination's stateless shape) served
+    from the index: threshold ``hit_ratio`` at the caller's policy, or
+    feed flagged ids to ``retract_documents`` via the matching docs.
+
+    ``span`` must equal the store's span family geometry — the hashes
+    only collide when the token-window length matches.
+
+    Scale shape: the benchmark's hashes prune the ``sp_occs`` read to
+    their buckets (``span_index_buckets``), the hit docs' liveness
+    check prunes the curated read to those doc ids, and every joined
+    side is benchmark-bounded — cost follows the eval set, never the
+    corpus."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+
+    if not store.exists("sp_occs"):
+        raise ValueError(
+            "probe_contamination needs the span family (sp_occs) — "
+            "ingest with span=<n> first"
+        )
+    occ_b = (
+        inc._span_occ_rows(
+            bench.select(F.col("bench_id").alias("doc_id"), "text"), span
+        )
+        .select(F.col("doc_id").alias("bench_id"), "h")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stored = inc._mask_retracted(
+        store, store.read_for_keys("sp_occs", occ_b.select("h"))
+    ).join(F.broadcast(occ_b.select("h").distinct()), "h", "leftsemi")
+    # liveness: only spans carried by a doc read_curated would serve —
+    # the hit set is benchmark-bounded, so both prunes stay narrow
+    hit_docs = stored.select("doc_id").distinct().localCheckpoint(eager=True)
+    live_ids = (
+        store.read_for_keys(CURATED, hit_docs)
+        .join(F.broadcast(hit_docs), "doc_id", "leftsemi")
+        .select("doc_id")
+    )
+    if store.exists(TOMBSTONES):
+        live_ids = live_ids.join(
+            store.read(TOMBSTONES).select("doc_id"), "doc_id", "left_anti"
+        )
+    live_hits = (
+        stored.join(F.broadcast(live_ids), "doc_id", "leftsemi")
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        occ_b.join(live_hits.withColumn("_hit", F.lit(1)), "h", "left")
+        .groupBy("bench_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        bench.select("bench_id")
+        .distinct()
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_spans").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_ratio"),
+        )
+    )
+
+
 def repack_corpus(
     store: TableStore,
     budget: int,

@@ -162,3 +162,67 @@ def test_probe_within_batch_duplicates(spark, tmp_path):
     }
     res = ingest_increment(store, _mk(spark, cand), "b1", **CFG)
     assert kept == {(r.doc_id, r.text) for r in res.docs.collect()}
+
+
+def test_probe_contamination_from_span_index(spark, tmp_path):
+    """probe_contamination: eval-set leakage answered from sp_occs —
+    exact copies score 1.0, partial overlaps score their window
+    fraction, spans carried only by demoted docs do not count, and a
+    retraction drops its spans from the verdict."""
+    from jobcan_data_integrator_spark.operators.ingest import (
+        probe_contamination,
+    )
+
+    store = _store(spark, tmp_path)
+    for i, rows in enumerate((BATCH1, BATCH2), 1):
+        ingest_increment(
+            store, _mk(spark, rows), f"b{i}", allow_out_of_order=True, **CFG
+        )
+
+    bench = spark.createDataFrame(
+        [
+            (1, _t("u", 0, 10)),  # verbatim copy of live doc 1
+            (2, _t("u", 0, 7) + " qq ww ee rr tt yy uu"),  # 1 of 8 windows
+            (3, _t("zz", 0, 12)),  # clean
+            (4, _t("b", 0, 12)),  # only the DEMOTED doc 7 carries these
+            (5, "one two"),  # shorter than the span window
+        ],
+        "bench_id long, text string",
+    )
+    got = {
+        r.bench_id: (r.n_spans, r.n_hit, r.hit_ratio)
+        for r in probe_contamination(store, bench, span=SPAN).collect()
+    }
+    assert got[1] == (4, 4, 1.0)
+    assert got[2] == (8, 1, 0.125)
+    assert got[3] == (6, 0, 0.0)
+    assert got[4][1] == 0  # demoted-only spans do not train
+    assert got[5] == (0, 0, 0.0)
+
+    # takedown nuance: retracting doc 1 PROMOTES its exact mate (21),
+    # whose identical text still trains — the verdict must not drop
+    retract_documents(
+        store, spark.createDataFrame([(1,)], "doc_id long"), "rt-c1", **CFG
+    )
+    got2 = {
+        r.bench_id: r.n_hit
+        for r in probe_contamination(store, bench, span=SPAN).collect()
+    }
+    assert got2[1] == 4 and got2[2] == 1
+
+    # ...while retracting a twin-less doc really removes its spans
+    bench_w = spark.createDataFrame(
+        [(9, _t("w", 0, 10))], "bench_id long, text string"
+    )
+    assert probe_contamination(store, bench_w, span=SPAN).first().n_hit == 4
+    retract_documents(
+        store, spark.createDataFrame([(23,)], "doc_id long"), "rt-c2", **CFG
+    )
+    assert probe_contamination(store, bench_w, span=SPAN).first().n_hit == 0
+
+    # stores without the span family are refused loudly
+    import pytest as _pytest
+
+    plain = _store(spark, tmp_path / "nospan")
+    with _pytest.raises(ValueError, match="span family"):
+        probe_contamination(plain, bench, span=SPAN)
