@@ -589,18 +589,16 @@ def f_currency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@gate(
-    "f_date_format_jst",
-    oracle="""
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y/%m/%d  %H:%M:%S') AS order_date_utc,
-           strftime(o_orderdate + INTERVAL 9 HOUR, '%Y/%m/%d  %H:%M:%S') AS order_date_jst
-    FROM orders
-    """,
-    doc="§2.8 (create_views.sql:143,161): strftime('%Y/%m/%d  %H:%M:%S', ts, "
-    "'localtime') — UTC→JST render with the double-space format.",
-)
 def f_date_format_jst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 (create_views.sql:143,161): strftime('%Y/%m/%d  %H:%M:%S',
+    ts, 'localtime') — UTC→JST render with the double-space format.
+
+    ROTATED out of the 50-gate driver registry in round 9 (slot given
+    to ig_probe, like J1/J10/J11/f_currency/n_repeat in earlier
+    rounds): the scalar-function family keeps its other driver gates
+    and the same date_format idiom runs inside the view layer; the
+    dual-engine value golden lives on in tests/test_gate_oracle.py::
+    test_f_date_format_golden."""
     o = load_table(spark, sf_dir, "orders")
     fmt = "yyyy/MM/dd  HH:mm:ss"
     return o.select(

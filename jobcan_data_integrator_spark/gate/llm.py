@@ -2035,6 +2035,70 @@ def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
+    "ig_probe",
+    # the read-only verdict contract: probe keep set ≡ what ingest
+    # would curate for the batch ≡ (monotone ids) the one-shot curation
+    # of the UNION restricted to the probed ids — so the oracle is the
+    # same one-shot CTE chain as ig_incremental_curation with ONE extra
+    # predicate selecting the probed half (2*doc_id > max ⟺
+    # doc_id > max // 2 for integer ids)
+    oracle=_ig_oracle()
+    + "\n      AND d.doc_id * 2 > (SELECT max(doc_id) FROM documents)",
+    doc="Read-only dedup probe (operators/ingest.py, probe_duplicates): "
+    "the store is seeded with the corpus's lower-id half through "
+    "ingest_increment (exact + span + MinHash + cluster families), then "
+    "the upper half is PROBED — per-doc keep/drop verdicts with dup_of "
+    "targets and the would-be curated text, computed against the "
+    "persisted index families WITHOUT writing anything (the pure "
+    "merged_cluster_labels label merge stands in for extend_clusters). "
+    "The gate returns the probe's keep set; the oracle is the one-shot "
+    "curation of the WHOLE corpus restricted to the probed ids, so a "
+    "green hash proves verdict ≡ ingest ≡ one-shot — dedup-as-a-service "
+    "for costing/filtering an incoming crawl before paying for ingest. "
+    "Reference analog: the integrator's dry-run status reporting "
+    "(status.py) answers 'what would sync do' without mutating state.",
+)
+def ig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        probe_duplicates,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    root = _index_root(sf_dir) + "-prb"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    store = TableStore(
+        spark, root, write_partitions=1, snapshot_isolation=True
+    )
+    # increment-sized shuffles, same rationale as ig_incremental_curation
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ingest_increment(
+            store,
+            docs.filter(F.col("doc_id") <= hi // 2),
+            "prb-base",
+            span=8,
+            min_tokens=10,
+            minhash=True,
+        )
+        probe = probe_duplicates(
+            store,
+            docs.filter(F.col("doc_id") > hi // 2),
+            span=8,
+            min_tokens=10,
+            minhash=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return probe.filter(F.col("verdict") == "keep").select("doc_id", "text")
+
+
+@gate(
     "tx_contamination",
     oracle="""
     WITH toks AS (

@@ -221,3 +221,25 @@ def test_j11_semi_join_golden(spark, sf_dir):
     d_cols = [d[0] for d in res.description]
     assert sorted(sdf.columns) == sorted(d_cols)
     assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
+
+
+_F_DATE_ORACLE = """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y/%m/%d  %H:%M:%S') AS order_date_utc,
+           strftime(o_orderdate + INTERVAL 9 HOUR, '%Y/%m/%d  %H:%M:%S') AS order_date_jst
+    FROM orders
+"""
+
+
+def test_f_date_format_golden(spark, sf_dir):
+    """f_date_format_jst rotated out of the driver registry in round 9
+    (slot given to ig_probe): the dual-engine value golden lives on
+    here, unchanged."""
+    from jobcan_data_integrator_spark.gate.analytic import f_date_format_jst
+
+    sdf = f_date_format_jst(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_F_DATE_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
