@@ -165,6 +165,19 @@ def minhash_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
     }
 
 
+def cluster_label_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
+    """Bucket layout for the cluster-label table — SNAPSHOT stores only.
+    With it, per-batch label maintenance (``extend_clusters`` and the
+    retraction relabel) takes the DELTA path: scoped upserts/prunes of
+    the changed rows' buckets instead of a corpus-sized overwrite per
+    batch — the label table is the one per-increment write whose cost
+    otherwise grows with the corpus.  Plain stores must not declare it:
+    their managed writes cannot express an empty table (a label table
+    starts empty whenever the seed corpus has no ≥-threshold pair), and
+    the scoped prune needs the layer machinery."""
+    return {"cc_labels": ("doc_id", n)}
+
+
 def exact_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
     return {"ex_docs": ("text_md5", n)}
 
@@ -644,6 +657,22 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
     components, and the remap is empty.
     """
     labels = store.read("cc_labels")
+    if store.snapshot_isolation and store.is_managed("cc_labels"):
+        # DELTA write on a bucketed label table: only the rows whose
+        # label actually changed (stored members of remapped clusters,
+        # bounded by merge fan-out) plus the increment's new nodes are
+        # upserted — the rewrite touches only their buckets, so label
+        # maintenance is increment-bounded instead of a corpus-sized
+        # overwrite per batch (the scale term behind the ooo-ingest
+        # smoke creep).  Unbucketed stores keep the one-pass overwrite
+        # below — a keyed upsert there would read+rewrite the whole
+        # table anyway, twice.
+        changed, remap = _cluster_label_delta(labels, new_pairs)
+        if changed.head(1):
+            store.begin_commit("cc-index-extend", ["cc_labels"])
+            store.merge_upsert("cc_labels", changed, ["doc_id"])
+            store.end_commit()
+        return remap
     out, remap = merged_cluster_labels(labels, new_pairs)
     store.begin_commit("cc-index-extend", ["cc_labels"])
     store.overwrite("cc_labels", out)
@@ -651,17 +680,14 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
     return remap
 
 
-def merged_cluster_labels(
+def _cluster_merge_parts(
     labels: DataFrame, new_pairs: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """The PURE half of ``extend_clusters``: merge new near-dup edges
-    into an existing (doc_id, cluster_id) label table without touching
-    storage.  Returns ``(updated_labels, remap)`` — the post-merge label
-    table (both frames materialized via localCheckpoint) and the
-    (old_label, new_label) remap of every cluster whose id changed.
-    ``extend_clusters`` persists the result; read-only consumers
-    (``probe_duplicates``) use it directly to answer "what WOULD the
-    labels be" without mutating the store."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the label merge: project the new edges into label
+    space, run CC on the contracted graph, and return
+    ``(merged, remap, new_nodes)`` — the label-graph CC result, the
+    (old_label, new_label) remap (materialized), and the
+    first-seen-this-batch nodes with their final labels."""
     from jobcan_data_integrator_spark.operators.dedup import (
         connected_components,
     )
@@ -687,6 +713,29 @@ def merged_cluster_labels(
     remap = merged.select(
         F.col("doc_id").alias("old_label"), F.col("cluster_id").alias("new_label")
     ).filter(F.col("old_label") != F.col("new_label")).localCheckpoint(eager=True)
+    # nodes seen for the first time in this batch: their label-space id IS
+    # their doc id, so the merged label graph already carries their final
+    # label; stored nodes are excluded (they are covered by the remap)
+    new_nodes = (
+        merged.join(labels, "doc_id", "left_anti")
+        .select("doc_id", "cluster_id")
+    )
+    return merged, remap, new_nodes
+
+
+def merged_cluster_labels(
+    labels: DataFrame, new_pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The PURE full-table half of the label merge: merge new near-dup
+    edges into an existing (doc_id, cluster_id) label table without
+    touching storage.  Returns ``(updated_labels, remap)`` — the
+    post-merge label table (materialized via localCheckpoint) and the
+    (old_label, new_label) remap of every cluster whose id changed.
+    ``extend_clusters`` persists the equivalent result (via the delta
+    path on bucketed stores); read-only consumers (``probe_duplicates``)
+    use this directly to answer "what WOULD the labels be" without
+    mutating the store."""
+    merged, remap, new_nodes = _cluster_merge_parts(labels, new_pairs)
     updated = (
         labels.join(
             F.broadcast(remap), labels["cluster_id"] == F.col("old_label"), "left"
@@ -695,15 +744,29 @@ def merged_cluster_labels(
             "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
         )
     )
-    # nodes seen for the first time in this batch: their label-space id IS
-    # their doc id, so the merged label graph already carries their final
-    # label; stored nodes are excluded (they are covered by the remap)
-    new_nodes = (
-        merged.join(labels, "doc_id", "left_anti")
-        .select("doc_id", "cluster_id")
-    )
     out = updated.unionByName(new_nodes).localCheckpoint(eager=True)
     return out, remap
+
+
+def _cluster_label_delta(
+    labels: DataFrame, new_pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The DELTA half: only the rows whose label changes — stored
+    members of remapped clusters plus the batch's new nodes —
+    materialized for a keyed upsert.  ``merge_upsert`` of this frame is
+    content-equivalent to overwriting ``merged_cluster_labels``'s full
+    table (no row is ever deleted by a merge), at a cost bounded by
+    merge fan-out + increment size instead of the corpus."""
+    merged, remap, new_nodes = _cluster_merge_parts(labels, new_pairs)
+    changed = (
+        labels.join(
+            F.broadcast(remap), labels["cluster_id"] == F.col("old_label")
+        )
+        .select("doc_id", F.col("new_label").alias("cluster_id"))
+        .unionByName(new_nodes)
+        .localCheckpoint(eager=True)
+    )
+    return changed, remap
 
 
 # ---------------------------------------------------------------------------

@@ -1015,11 +1015,28 @@ def _relabel_after_retraction(
     )
     fresh = connected_components(
         live.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    ).select("doc_id", "cluster_id")
-    updated = labels.join(
-        F.broadcast(nodes.select("doc_id")), "doc_id", "left_anti"
-    ).unionByName(fresh)
-    store.overwrite("cc_labels", updated)
+    ).select("doc_id", "cluster_id").localCheckpoint(eager=True)
+    if store.snapshot_isolation and store.is_managed("cc_labels"):
+        # bucketed label table (snapshot stores): the relabel touches
+        # only the affected
+        # components' rows — prune the members whose surviving edge set
+        # emptied (they leave the table, as in the overwrite below) and
+        # upsert the recomputed labels; both writes are scoped to the
+        # touched doc_ids' buckets, never the corpus
+        vanished = (
+            nodes.select("doc_id")
+            .join(fresh.select("doc_id"), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if vanished.head(1):
+            store.prune_keys("cc_labels", vanished, ["doc_id"])
+        if fresh.head(1):
+            store.merge_upsert("cc_labels", fresh, ["doc_id"])
+    else:
+        updated = labels.join(
+            F.broadcast(nodes.select("doc_id")), "doc_id", "left_anti"
+        ).unionByName(fresh)
+        store.overwrite("cc_labels", updated)
     # resurrection: demoted-before, keeper-or-singleton now
     old_demoted = nodes.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"

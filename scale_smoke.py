@@ -357,6 +357,7 @@ def ingest_ooo_experiment(
     against the big store while batch size stays FIXED as the corpus
     grows 10x.  Median of the three batch times."""
     from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
         exact_index_buckets,
         index_layout,
         minhash_index_buckets,
@@ -366,14 +367,20 @@ def ingest_ooo_experiment(
     from jobcan_data_integrator_spark.operators.ingest import ingest_increment
     from jobcan_data_integrator_spark.storage import TableStore
 
+    # r9: snapshot store + bucketed cc_labels — the production shape,
+    # and the config where per-batch label maintenance takes the DELTA
+    # path (scoped upsert) instead of a corpus-sized overwrite; the
+    # probe's ratio is comparable across rounds (the mode applies at
+    # BOTH scales), absolute seconds shift with the publish overhead
     buckets = (
         minhash_index_buckets(n_buckets)
         | exact_index_buckets(n_buckets)
         | span_index_buckets(n_buckets)
+        | cluster_label_buckets(n_buckets)
     )
     shutil.rmtree(workdir, ignore_errors=True)
     store = TableStore(
-        spark, workdir, write_partitions=1,
+        spark, workdir, write_partitions=1, snapshot_isolation=True,
         **index_layout(buckets, minhash_pair_bands(1 << 20)),
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -448,6 +455,7 @@ def retract_experiment(
     publish (two manifest pointer writes averaged — the O(1)-in-corpus-
     size claim, measured)."""
     from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
         exact_index_buckets,
         index_layout,
         minhash_index_buckets,
@@ -465,6 +473,7 @@ def retract_experiment(
         minhash_index_buckets(n_buckets)
         | exact_index_buckets(n_buckets)
         | span_index_buckets(n_buckets)
+        | cluster_label_buckets(n_buckets)
         | {
             "cur_docs": ("doc_id", n_buckets),
             "cur_pre": ("doc_id", n_buckets),

@@ -572,3 +572,53 @@ def test_semantic_split_equals_full_and_clusters_maintain(spark, sf_dir, tmp_pat
     assert {(r.vec_a, r.vec_b, r.cosine_sim) for r in replay.collect()} == {
         (r.vec_a, r.vec_b, r.cosine_sim) for r in inc.collect()
     }
+
+
+def test_cluster_extend_bucketed_delta_equals_overwrite(spark, tmp_path):
+    """On a bucketed label table, extend_clusters takes the DELTA path
+    (keyed upsert of remapped members + new nodes, scoped to their
+    buckets) and the retraction relabel prunes/upserts instead of
+    overwriting — contents must match the unbucketed overwrite path
+    row-for-row through merges, bridges, and replays."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_cluster_index,
+        cluster_label_buckets,
+        extend_clusters,
+        index_layout,
+    )
+
+    def mk(name, **kw):
+        return TableStore(spark, tmp_path / name, write_partitions=1, **kw)
+
+    plain = mk("plain")
+    buck = mk(
+        "buck",
+        snapshot_isolation=True,
+        **index_layout(cluster_label_buckets(4)),
+    )
+    assert buck.is_managed("cc_labels") and not plain.is_managed("cc_labels")
+
+    seed = spark.createDataFrame([(1, 2), (10, 11)], "doc_a long, doc_b long")
+    batches = [
+        spark.createDataFrame(rows, "doc_a long, doc_b long")
+        for rows in (
+            [(2, 20), (20, 10)],  # bridge through a new node
+            [(30, 31)],  # fresh cluster
+            [(31, 1)],  # merge it into the big one
+        )
+    ]
+    for st in (plain, buck):
+        build_cluster_index(st, seed)
+        for b in batches:
+            r1 = {tuple(r) for r in extend_clusters(st, b).collect()}
+            r2 = {tuple(r) for r in extend_clusters(st, b).collect()}
+            assert r2 == set()  # replay: empty remap, no-op write
+            del r1
+
+    rows = lambda st: sorted(
+        (r.doc_id, r.cluster_id) for r in st.read("cc_labels").collect()
+    )
+    assert rows(plain) == rows(buck)
+    assert rows(buck) == [
+        (1, 1), (2, 1), (10, 1), (11, 1), (20, 1), (30, 1), (31, 1)
+    ]

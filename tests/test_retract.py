@@ -494,6 +494,7 @@ def test_retract_on_bucketed_snapshot_layout(spark, tmp_path):
     tables take keyed/partition-scoped merges, unmanaged ones the keyed
     deletes — same ≡ one-shot contract."""
     from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
         exact_index_buckets,
         index_layout,
         minhash_index_buckets,
@@ -505,6 +506,9 @@ def test_retract_on_bucketed_snapshot_layout(spark, tmp_path):
         minhash_index_buckets(4)
         | exact_index_buckets(4)
         | span_index_buckets(4)
+        # cc_labels bucketed: extend_clusters and the retraction relabel
+        # take the DELTA path (scoped upserts/prunes) on this layout
+        | cluster_label_buckets(4)
         # the curated tables themselves bucketed: retraction's physical
         # deletes and compaction's folds take the partition-SCOPED
         # prune path (layer delete-markers) — the 100 TB takedown shape
