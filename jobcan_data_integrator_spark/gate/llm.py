@@ -1790,17 +1790,17 @@ def tx_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ig_oracle(src: str = "documents") -> str:
-    """The one-shot curation INCLUDING the MinHash near-dup collapse,
+def _ig_live_ctes(src: str = "documents") -> str:
+    """The one-shot curation INCLUDING the MinHash near-dup collapse as
+    a CTE chain ending in ``live(doc_id)`` — the surviving curated ids —
     re-rootable on a filtered corpus: the _curate_kept_ctes chain
     through exact + span + floor, then shingle window -> affine-minhash
     signatures -> 2-row LSH bands -> candidate equi-join -> exact
     Jaccard, edges at >= 0.5, connected components via the recursive
     walk, and every non-minimum cluster member dropped.  Shared by
-    ig_incremental_curation (src = the whole corpus) and ig_retract
-    (src = corpus minus the retracted ids)."""
-    return f"""
-    WITH RECURSIVE {_curate_kept_ctes(src)}, dtok AS (
+    ``_ig_oracle`` (which projects the curated text) and
+    ig_contamination (which chains span-window overlap on top)."""
+    return f"""{_curate_kept_ctes(src)}, dtok AS (
       SELECT doc_id, unnest(toks) AS tok,
              generate_subscripts(toks, 1) AS ord
       FROM ded
@@ -1848,12 +1848,23 @@ def _ig_oracle(src: str = "documents") -> str:
       SELECT s.dst, w.label FROM dwalk w JOIN dsym s ON s.src = w.doc_id
     ), dlabels AS (
       SELECT doc_id, min(label) AS cluster_id FROM dwalk GROUP BY doc_id
-    )
+    ), live AS (
+      SELECT d.doc_id FROM ded d
+      WHERE NOT EXISTS (SELECT 1 FROM dlabels l
+                        WHERE l.doc_id = d.doc_id
+                          AND l.doc_id <> l.cluster_id)
+    )"""
+
+
+def _ig_oracle(src: str = "documents") -> str:
+    """One-shot curated (doc_id, text) over ``src`` — ``_ig_live_ctes``
+    projected through the kept token lists.  ig_probe appends an extra
+    ``AND`` predicate, so the statement must end in its WHERE clause."""
+    return f"""
+    WITH RECURSIVE {_ig_live_ctes(src)}
     SELECT d.doc_id, array_to_string(d.toks, ' ') AS text
     FROM ded d
-    WHERE NOT EXISTS (SELECT 1 FROM dlabels l
-                      WHERE l.doc_id = d.doc_id
-                        AND l.doc_id <> l.cluster_id)
+    WHERE d.doc_id IN (SELECT doc_id FROM live)
     """
 
 
@@ -1896,6 +1907,10 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_increment,
         read_curated,
     )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
+        index_layout,
+    )
     from jobcan_data_integrator_spark.storage import TableStore
 
     # fresh store per run so repeated trials redo the full batch work
@@ -1904,8 +1919,12 @@ def ig_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     docs = _docs(spark, sf_dir)
     hi = docs.agg(F.max("doc_id")).first()[0]
+    # bucketed label layout: extend_clusters and the retraction relabel
+    # take the increment-bounded DELTA path instead of per-batch
+    # corpus-sized overwrites (cluster_label_buckets docstring)
     store = TableStore(
-        spark, root, write_partitions=1, snapshot_isolation=True
+        spark, root, write_partitions=1, snapshot_isolation=True,
+        **index_layout(cluster_label_buckets(8)),
     )
     # two batches under allow_out_of_order=True: the 90% bulk first,
     # then a 10% COMB through the whole id space (doc_id % 10 == 3) —
@@ -1994,13 +2013,21 @@ def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_curated,
         retract_documents,
     )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
+        index_layout,
+    )
     from jobcan_data_integrator_spark.storage import TableStore
 
     root = _index_root(sf_dir) + "-rt"
     shutil.rmtree(root, ignore_errors=True)
     docs = _docs(spark, sf_dir).filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    # bucketed label layout: extend_clusters and the retraction relabel
+    # take the increment-bounded DELTA path instead of per-batch
+    # corpus-sized overwrites (cluster_label_buckets docstring)
     store = TableStore(
-        spark, root, write_partitions=1, snapshot_isolation=True
+        spark, root, write_partitions=1, snapshot_isolation=True,
+        **index_layout(cluster_label_buckets(8)),
     )
     # increment-sized shuffles, same rationale as ig_incremental_curation
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2050,7 +2077,7 @@ def ig_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the upper half is PROBED — per-doc keep/drop verdicts with dup_of "
     "targets and the would-be curated text, computed against the "
     "persisted index families WITHOUT writing anything (the pure "
-    "merged_cluster_labels label merge stands in for extend_clusters). "
+    "probe_merged_labels lookup stands in for extend_clusters). "
     "The gate returns the probe's keep set; the oracle is the one-shot "
     "curation of the WHOLE corpus restricted to the probed ids, so a "
     "green hash proves verdict ≡ ingest ≡ one-shot — dedup-as-a-service "
@@ -2065,14 +2092,22 @@ def ig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_increment,
         probe_duplicates,
     )
+    from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
+        index_layout,
+    )
     from jobcan_data_integrator_spark.storage import TableStore
 
     root = _index_root(sf_dir) + "-prb"
     shutil.rmtree(root, ignore_errors=True)
     docs = _docs(spark, sf_dir)
     hi = docs.agg(F.max("doc_id")).first()[0]
+    # bucketed label layout: extend_clusters and the retraction relabel
+    # take the increment-bounded DELTA path instead of per-batch
+    # corpus-sized overwrites (cluster_label_buckets docstring)
     store = TableStore(
-        spark, root, write_partitions=1, snapshot_isolation=True
+        spark, root, write_partitions=1, snapshot_isolation=True,
+        **index_layout(cluster_label_buckets(8)),
     )
     # increment-sized shuffles, same rationale as ig_incremental_curation
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -2099,34 +2134,119 @@ def ig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @gate(
-    "tx_contamination",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-             generate_subscripts(string_split(text, ' '), 1) AS ord
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
-                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
-      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    "ig_contamination",
+    # bench = doc_id % 5 = 1 (original texts, probed as an eval set);
+    # store = one-shot ingest of the doc_id % 3 = 0 slice with span=8 +
+    # minhash.  The oracle recomputes the verdict from first principles:
+    # live ids via the one-shot curation chain, then DISTINCT 8-token
+    # windows on BOTH sides compared as strings (the Spark side compares
+    # 60-bit window hashes — equality semantics are identical modulo
+    # negligible collisions, the same assumption every dd_* oracle makes)
+    oracle=f"""
+    WITH RECURSIVE {{live_ctes}}, bench AS (
+      SELECT doc_id AS bench_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 5 = 1
+    ), bwin AS (
+      SELECT DISTINCT bench_id,
+             array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS win
+      FROM (SELECT bench_id, toks,
+                   unnest(generate_series(0, len(toks) - 8)) AS pos
+            FROM bench WHERE len(toks) >= 8)
+    ), lwin AS (
+      SELECT DISTINCT array_to_string(list_slice(toks, pos + 1, pos + 8),
+                                      ' ') AS win
+      FROM (SELECT k.toks,
+                   unnest(generate_series(0, len(k.toks) - 8)) AS pos
+            FROM kept k JOIN live l USING (doc_id)
+            WHERE len(k.toks) >= 8)
+    ), stats AS (
+      SELECT b.bench_id, count(*) AS n_spans,
+             coalesce(sum(CASE WHEN w.win IS NOT NULL THEN 1 END), 0) AS n_hit
+      FROM bwin b LEFT JOIN lwin w USING (win)
+      GROUP BY b.bench_id
     )
-    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_hits
-    FROM sh c JOIN sh b ON c.shingle = b.shingle
-    WHERE b.doc_id < 5 AND c.doc_id >= 5
-    GROUP BY c.doc_id, b.doc_id
-    HAVING count(*) >= 3
-    """,
-    doc="Benchmark-contamination detection: corpus documents sharing >= 3 "
-    "distinct 3-gram shingles with any document of the (small) benchmark "
-    "set — the standard train/eval decontamination sweep. The benchmark "
-    "shingle set is tiny and BROADCAST; the corpus side pays exactly one "
-    "shuffle (the shingle-construction window keyed by doc_id, which the "
-    "hit aggregation then reuses) and is never corpus-wide distinct'd or "
-    "cached. Cost is linear in the corpus at any benchmark size.",
+    SELECT i.bench_id,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN coalesce(s.n_spans, 0) > 0
+                THEN round(CAST(s.n_hit AS DOUBLE) / s.n_spans, 6)
+                ELSE 0.0 END AS hit_ratio
+    FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+          WHERE doc_id % 5 = 1) i
+    LEFT JOIN stats s USING (bench_id)
+    """.replace(
+        "{live_ctes}",
+        _ig_live_ctes("(SELECT * FROM documents WHERE doc_id % 3 = 0)"),
+    ),
+    doc="Index-served benchmark decontamination (operators/ingest.py, "
+    "probe_contamination): a third of the corpus is ingested into the "
+    "persisted index families (exact + span + MinHash + cluster, span=8), "
+    "then an eval set (the doc_id % 5 = 1 texts) is probed AGAINST THE "
+    "SPAN INDEX — per-item distinct 8-token-window counts, how many occur "
+    "in at least one LIVE curated doc (demoted near-dup members and "
+    "floor-dropped docs carry spans in sp_occs but must NOT count), and "
+    "the leaked fraction. The oracle recomputes the same verdict from the "
+    "raw corpus via the one-shot curation CTEs, so a green hash proves "
+    "the index-served answer ≡ first-principles n-gram decontamination. "
+    "Scale shape: bench hashes prune sp_occs to their buckets, liveness "
+    "prunes the curated read to the hit docs — cost follows the eval set, "
+    "never the corpus. Folds the former tx_contamination slot (rotated to "
+    "a pytest golden, round 10): this gate serves the same verdict from "
+    "persisted state instead of a stateless corpus sweep. Reference "
+    "analog: status.py's dry-run reporting against stored sync state.",
 )
+def ig_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from jobcan_data_integrator_spark.operators.incremental import (
+        cluster_label_buckets,
+        index_layout,
+    )
+    from jobcan_data_integrator_spark.operators.ingest import (
+        ingest_increment,
+        probe_contamination,
+    )
+    from jobcan_data_integrator_spark.storage import TableStore
+
+    root = _index_root(sf_dir) + "-ct"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    store = TableStore(
+        spark, root, write_partitions=1, snapshot_isolation=True,
+        **index_layout(cluster_label_buckets(8)),
+    )
+    # increment-sized shuffles, same rationale as ig_incremental_curation
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ingest_increment(
+            store,
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0),
+            "ct-base",
+            span=8,
+            min_tokens=10,
+            minhash=True,
+        )
+        bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 1).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        out = probe_contamination(store, bench, span=8).localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out
+
+
 def tx_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless benchmark-contamination sweep: corpus documents sharing
+    >= 3 distinct 3-gram shingles with any document of the (broadcast)
+    benchmark set — one corpus shuffle, linear at any benchmark size.
+    Rotated out of the 50-row driver registry in round 10 (slot given to
+    ig_contamination, which serves the same decontamination verdict from
+    the persisted span index); the dual-engine value golden lives on in
+    tests/test_gate_oracle.py."""
+
     def _hashed(df: DataFrame) -> DataFrame:
         return df.select("doc_id", F.expr(_H.format(x="shingle")).alias("shingle"))
 

@@ -656,7 +656,6 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
     endpoint already sharing a label, the label graph has only self-free
     components, and the remap is empty.
     """
-    labels = store.read("cc_labels")
     if store.snapshot_isolation and store.is_managed("cc_labels"):
         # DELTA write on a bucketed label table: only the rows whose
         # label actually changed (stored members of remapped clusters,
@@ -664,43 +663,72 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
         # upserted — the rewrite touches only their buckets, so label
         # maintenance is increment-bounded instead of a corpus-sized
         # overwrite per batch (the scale term behind the ooo-ingest
-        # smoke creep).  Unbucketed stores keep the one-pass overwrite
-        # below — a keyed upsert there would read+rewrite the whole
-        # table anyway, twice.
-        changed, remap = _cluster_label_delta(labels, new_pairs)
+        # smoke creep).  Reads are increment-bounded too: endpoint-label
+        # lookups and the new-node anti-join go through bucket-pruned
+        # ``read_for_keys`` on the doc_id-bucketed table; the only
+        # remaining corpus-side touch is ONE narrow remapped-member
+        # lookup with the remap's old labels pushed as an ``In`` filter
+        # (see ``_remapped_members`` for why cluster_id can't bucket-
+        # prune here and why a cc_members mirror isn't worth its writes).
+        # Unbucketed stores keep the one-pass overwrite below — a keyed
+        # upsert there would read+rewrite the whole table anyway, twice.
+        changed, remap = _cluster_label_delta(store, new_pairs)
         if changed.head(1):
             store.begin_commit("cc-index-extend", ["cc_labels"])
             store.merge_upsert("cc_labels", changed, ["doc_id"])
             store.end_commit()
         return remap
-    out, remap = merged_cluster_labels(labels, new_pairs)
+    out, remap = merged_cluster_labels(store.read("cc_labels"), new_pairs)
     store.begin_commit("cc-index-extend", ["cc_labels"])
     store.overwrite("cc_labels", out)
     store.end_commit()
     return remap
 
 
+def _pruned_label_reader(store: TableStore):
+    """doc_id-keyed label lookup for the delta/probe paths: each call
+    scans only the cc_labels buckets the requested doc ids hash into
+    (``read_for_keys`` returns a bucket-superset; every caller below
+    does its own exact equi-/anti-join, so extra bucket-mates are
+    harmless).  Falls back to a plain read on unbucketed stores."""
+    return lambda keys: store.read_for_keys("cc_labels", keys, key_col="doc_id")
+
+
 def _cluster_merge_parts(
-    labels: DataFrame, new_pairs: DataFrame
+    labels_for, new_pairs: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared core of the label merge: project the new edges into label
     space, run CC on the contracted graph, and return
     ``(merged, remap, new_nodes)`` — the label-graph CC result, the
     (old_label, new_label) remap (materialized), and the
-    first-seen-this-batch nodes with their final labels."""
+    first-seen-this-batch nodes with their final labels.
+
+    ``labels_for(keys_df)`` resolves (doc_id, cluster_id) rows for a
+    one-column ``doc_id`` key frame; it may return a SUPERSET of the
+    matching rows (bucket-pruned reads do) — every use below is an
+    exact join on doc_id.  Pass ``lambda _: labels`` for a pure
+    in-memory frame, or ``_pruned_label_reader(store)`` to keep each
+    lookup bounded by the increment's bucket fan-out instead of the
+    corpus-sized label table."""
     from jobcan_data_integrator_spark.operators.dedup import (
         connected_components,
     )
 
     e = new_pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    endpoints = (
+        e.select(F.col("src").alias("doc_id"))
+        .union(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    ep_labels = labels_for(endpoints)
     la = (
-        e.join(labels.alias("l1"), e["src"] == F.col("l1.doc_id"), "left")
+        e.join(ep_labels.alias("l1"), e["src"] == F.col("l1.doc_id"), "left")
         .select(
             F.coalesce("l1.cluster_id", "src").alias("src_label"), "dst"
         )
     )
     label_edges = (
-        la.join(labels.alias("l2"), la["dst"] == F.col("l2.doc_id"), "left")
+        la.join(ep_labels.alias("l2"), la["dst"] == F.col("l2.doc_id"), "left")
         .select(
             F.col("src_label").alias("src"),
             F.coalesce("l2.cluster_id", "dst").alias("dst"),
@@ -715,9 +743,12 @@ def _cluster_merge_parts(
     ).filter(F.col("old_label") != F.col("new_label")).localCheckpoint(eager=True)
     # nodes seen for the first time in this batch: their label-space id IS
     # their doc id, so the merged label graph already carries their final
-    # label; stored nodes are excluded (they are covered by the remap)
+    # label; stored nodes are excluded (they are covered by the remap).
+    # Every merged node id is either a stored cluster label (which is its
+    # own member, so (L, L) is a stored row) or a raw new doc id — a
+    # doc_id-keyed lookup on merged's ids resolves both.
     new_nodes = (
-        merged.join(labels, "doc_id", "left_anti")
+        merged.join(labels_for(merged.select("doc_id")), "doc_id", "left_anti")
         .select("doc_id", "cluster_id")
     )
     return merged, remap, new_nodes
@@ -734,8 +765,9 @@ def merged_cluster_labels(
     ``extend_clusters`` persists the equivalent result (via the delta
     path on bucketed stores); read-only consumers (``probe_duplicates``)
     use this directly to answer "what WOULD the labels be" without
-    mutating the store."""
-    merged, remap, new_nodes = _cluster_merge_parts(labels, new_pairs)
+    mutating the store (bucketed stores have the cheaper
+    ``probe_merged_labels``, which never materializes the full table)."""
+    merged, remap, new_nodes = _cluster_merge_parts(lambda _: labels, new_pairs)
     updated = (
         labels.join(
             F.broadcast(remap), labels["cluster_id"] == F.col("old_label"), "left"
@@ -748,21 +780,94 @@ def merged_cluster_labels(
     return out, remap
 
 
+def probe_merged_labels(
+    store: TableStore, new_pairs: DataFrame, probe_ids: DataFrame
+) -> DataFrame:
+    """Post-merge (doc_id, cluster_id) labels RESTRICTED to
+    ``probe_ids`` — what ``merged_cluster_labels(store.read("cc_labels"),
+    new_pairs)[0].join(probe_ids, "doc_id")`` would return, computed
+    without ever materializing (or, on a bucketed store, scanning) the
+    corpus-sized label table.  The read-only consumers
+    (``ingest.probe_duplicates``) only need the BATCH docs' labels:
+
+    - probe ids already stored keep their label, remapped through the
+      (broadcast, merge-fan-out-bounded) label remap;
+    - probe ids not stored appear in the contracted label graph as
+      themselves iff they were an edge endpoint, and that graph already
+      carries their final label;
+    - probe ids that are neither stored nor endpoints have no label —
+      exactly the rows the full-table join would drop.
+
+    All label-table reads are doc_id-keyed ``read_for_keys`` lookups
+    (bucket-pruned on ``cluster_label_buckets`` layouts; pinned
+    equivalent to the full-frame path in tests/test_probe.py)."""
+    labels_for = _pruned_label_reader(store)
+    merged, remap, _ = _cluster_merge_parts(labels_for, new_pairs)
+    ids = probe_ids.select("doc_id")
+    stored = ids.join(labels_for(ids), "doc_id")
+    relabeled = (
+        stored.join(
+            F.broadcast(remap),
+            stored["cluster_id"] == F.col("old_label"),
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("new_label", "cluster_id").alias("cluster_id")
+        )
+    )
+    from_merge = (
+        ids.join(stored.select("doc_id"), "doc_id", "left_anti")
+        .join(merged, "doc_id")
+        .select("doc_id", "cluster_id")
+    )
+    return relabeled.unionByName(from_merge)
+
+
+def _remapped_members(store: TableStore, remap: DataFrame) -> DataFrame:
+    """Stored members of remapped clusters, with their new labels — the
+    corpus-side half of the label delta.  cc_labels is bucketed by
+    doc_id, so a cluster_id-keyed lookup cannot bucket-prune; this is
+    the ONE accepted narrow corpus touch per batch: a 2-column
+    column-pruned scan with the remap's old labels pushed as an ``In``
+    filter (Parquet row-group stats skip non-matching groups), feeding a
+    broadcast join — read-only, shuffle-free, output bounded by merge
+    fan-out × cluster size.  A cc_members mirror bucketed by cluster_id
+    would make the read remap-bounded, but every label write (extend,
+    retraction relabel, compaction prune) would then pay a second
+    snapshot commit + delete/insert pair per batch — and per-family
+    commit overhead, not scan volume, dominates ingest cost (BASELINE.md
+    plan audit), so the mirror costs more than the scan it saves."""
+    old = [
+        r["old_label"]
+        for r in remap.select("old_label")
+        .limit(store.MAX_PUSHED_KEYS + 1)
+        .collect()
+    ]
+    base = store.read("cc_labels").select("doc_id", "cluster_id")
+    if len(old) <= store.MAX_PUSHED_KEYS:
+        base = base.filter(F.col("cluster_id").isin(old))
+    return base.join(
+        F.broadcast(remap), base["cluster_id"] == F.col("old_label")
+    ).select("doc_id", F.col("new_label").alias("cluster_id"))
+
+
 def _cluster_label_delta(
-    labels: DataFrame, new_pairs: DataFrame
+    store: TableStore, new_pairs: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """The DELTA half: only the rows whose label changes — stored
     members of remapped clusters plus the batch's new nodes —
     materialized for a keyed upsert.  ``merge_upsert`` of this frame is
     content-equivalent to overwriting ``merged_cluster_labels``'s full
     table (no row is ever deleted by a merge), at a cost bounded by
-    merge fan-out + increment size instead of the corpus."""
-    merged, remap, new_nodes = _cluster_merge_parts(labels, new_pairs)
+    merge fan-out + increment size instead of the corpus.  Label READS
+    are increment-bounded too (``_pruned_label_reader``); the single
+    remaining corpus touch is ``_remapped_members``'s narrow pushed-In
+    scan."""
+    merged, remap, new_nodes = _cluster_merge_parts(
+        _pruned_label_reader(store), new_pairs
+    )
     changed = (
-        labels.join(
-            F.broadcast(remap), labels["cluster_id"] == F.col("old_label")
-        )
-        .select("doc_id", F.col("new_label").alias("cluster_id"))
+        _remapped_members(store, remap)
         .unionByName(new_nodes)
         .localCheckpoint(eager=True)
     )

@@ -517,10 +517,11 @@ def probe_duplicates(
 
     Scale shape: identical to the ingest probes it reuses — every
     corpus-side read is bucket-pruned to the increment's key fan-out
-    (``read_for_keys``), masks are broadcast, and the only corpus-sized
-    table ever scanned is ``cc_labels`` restricted via the pure label
-    merge.  Cost is increment-linear; nothing is persisted, so replay
-    and crash semantics do not arise."""
+    (``read_for_keys``), masks are broadcast, and cluster labels are
+    resolved per batch doc via ``probe_merged_labels``'s doc_id-keyed
+    pruned lookups — no corpus-sized table is scanned anywhere on the
+    probe path.  Cost is increment-linear; nothing is persisted, so
+    replay and crash semantics do not arise."""
     from jobcan_data_integrator_spark.operators import incremental as inc
     from jobcan_data_integrator_spark.operators.dedup import (
         connected_components,
@@ -648,7 +649,10 @@ def probe_duplicates(
             )
         th = pairs.filter(F.col("jaccard") >= cluster_threshold)
         if store.exists("cc_labels"):
-            labels, _ = inc.merged_cluster_labels(store.read("cc_labels"), th)
+            # increment-bounded: resolves labels for the batch's docs via
+            # bucket-pruned lookups instead of merging the corpus-sized
+            # label table (pinned ≡ merged_cluster_labels in test_probe)
+            labels = inc.probe_merged_labels(store, th, kept.select("doc_id"))
         else:
             labels = connected_components(
                 th.select(

@@ -243,3 +243,37 @@ def test_f_date_format_golden(spark, sf_dir):
     d_cols = [d[0] for d in res.description]
     assert sorted(sdf.columns) == sorted(d_cols)
     assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())
+
+
+_TX_CONTAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS ord
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w || ' '
+                                 || lead(tok, 2) OVER w), 1, 15))::BIGINT AS shingle
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+      QUALIFY lead(tok, 2) OVER w IS NOT NULL
+    )
+    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_hits
+    FROM sh c JOIN sh b ON c.shingle = b.shingle
+    WHERE b.doc_id < 5 AND c.doc_id >= 5
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 3
+"""
+
+
+def test_tx_contamination_golden(spark, sf_dir):
+    """tx_contamination rotated out of the driver registry in round 10
+    (slot given to ig_contamination, the index-served verdict): the
+    stateless-sweep dual-engine value golden lives on here, unchanged."""
+    from jobcan_data_integrator_spark.gate.llm import tx_contamination
+
+    sdf = tx_contamination(spark, sf_dir)
+    s_recs = [tuple(r) for r in sdf.collect()]
+    res = _duck(sf_dir).execute(_TX_CONTAM_ORACLE)
+    d_cols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert _rows(sdf.columns, s_recs) == _rows(d_cols, res.fetchall())

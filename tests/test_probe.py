@@ -226,3 +226,69 @@ def test_probe_contamination_from_span_index(spark, tmp_path):
     plain = _store(spark, tmp_path / "nospan")
     with _pytest.raises(ValueError, match="span family"):
         probe_contamination(plain, bench, span=SPAN)
+
+
+def test_probe_merged_labels_equals_full_merge(spark, tmp_path):
+    """probe_merged_labels ≡ merged_cluster_labels(full)[0] restricted to
+    the probe ids — on a doc_id-bucketed store (pruned read_for_keys
+    path) AND a plain snapshot store (full-read fallback), across every
+    probe-id class: stored-and-remapped, stored-untouched, unstored
+    endpoint (new node), unstored non-endpoint (no label), and a probe
+    id that IS a stored cluster label being demoted by a merge."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_cluster_index,
+        cluster_label_buckets,
+        index_layout,
+        merged_cluster_labels,
+        probe_merged_labels,
+    )
+
+    seed = spark.createDataFrame(
+        [(5, 6), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    # batch: merges cluster 10 into 5 via new node 30; fresh pair 40-41;
+    # cluster 20 untouched
+    batch = spark.createDataFrame(
+        [(6, 30), (30, 10), (40, 41)], "doc_a long, doc_b long"
+    )
+    # ids cover: 6 (stored, remap-side keep), 10 (stored OLD LABEL,
+    # demoted), 21 (stored, untouched cluster), 30/41 (new endpoints),
+    # 99 (never seen)
+    probe = spark.createDataFrame(
+        [(6,), (10,), (21,), (30,), (41,), (99,)], "doc_id long"
+    )
+
+    for name, kw in (
+        ("buck", index_layout(cluster_label_buckets(4))),
+        ("plain", {}),
+    ):
+        store = TableStore(
+            spark,
+            tmp_path / name,
+            write_partitions=1,
+            snapshot_isolation=True,
+            **kw,
+        )
+        build_cluster_index(store, seed)
+        full, _ = merged_cluster_labels(store.read("cc_labels"), batch)
+        want = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in full.join(probe, "doc_id").collect()
+        )
+        got = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in probe_merged_labels(store, batch, probe).collect()
+        )
+        assert got == want, name
+        assert (6, 5) in got and (10, 5) in got and (30, 5) in got
+        assert (21, 20) in got and (41, 40) in got
+        assert all(d != 99 for d, _ in got)
+
+        # empty increment: pure lookup of stored labels for the probe ids
+        got0 = sorted(
+            (r.doc_id, r.cluster_id)
+            for r in probe_merged_labels(
+                store, batch.limit(0), probe
+            ).collect()
+        )
+        assert got0 == [(6, 5), (10, 10), (21, 20)], name
