@@ -968,11 +968,17 @@ def build_simhash_index(
     store: TableStore,
     signatures: DataFrame,
     n_blocks: int = 4,
-    block_bits: int = 15,
+    block_bits: int | None = 15,
 ) -> None:
     """Persist (doc_id, simhash), the pigeonhole block table, and the
     corpus-internal near-dup pairs (doc_a, doc_b, hamming) for an
     initial corpus.
+
+    ``block_bits=None`` derives the width from the corpus count at
+    build time (``simhash.derived_block_bits`` — the quadratic-control
+    scaling rule made automatic); probes and extends must then pass the
+    SAME derived value, and re-signing at a new width is this function
+    re-run over ``store.read("sh_signatures")``.
 
     Signatures are deduped on doc_id first: near_dup_pairs removes
     block-level duplicates with an in-row min-block predicate (no
@@ -981,10 +987,13 @@ def build_simhash_index(
     (doc_a, doc_b, hamming) rows into sh_pairs."""
     from jobcan_data_integrator_spark.operators.simhash import (
         block_rows,
+        derived_block_bits,
         near_dup_pairs,
     )
 
     sig = signatures.dropDuplicates(["doc_id"]).cache()
+    if block_bits is None:
+        block_bits = derived_block_bits(sig.count(), n_blocks=n_blocks)
     blocks = block_rows(sig, n_blocks, block_bits).cache()
     try:
         pairs = near_dup_pairs(blocks, n_blocks=n_blocks, block_bits=block_bits)
@@ -1117,10 +1126,15 @@ def build_ivf_index(
         cent,
         keep=("embedding",),
     )
-    store.begin_commit("ivf-index-build", list(IVF_TABLES))
+    assign = assign.localCheckpoint(eager=True)
+    store.begin_commit("ivf-index-build", list(IVF_TABLES) + [IVF_CELL_STATS])
     store.merge_batch([
         lambda: store.overwrite("ivf_codebook", cent),
         lambda: store.overwrite("ivf_assignments", assign),
+        lambda: store.overwrite(
+            IVF_CELL_STATS,
+            assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs")),
+        ),
     ])
     store.end_commit()
 
@@ -1142,11 +1156,128 @@ def assign_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
 
 
 def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
-    """Absorb an assigned increment into the assignment table."""
+    """Absorb an assigned increment into the assignment table, updating
+    the affected cells' occupancy stats (the drift signal) in the same
+    commit."""
     new_assignments = new_assignments.localCheckpoint(eager=True)
-    store.begin_commit("ivf-index-extend", ["ivf_assignments"])
-    store.merge_insert_missing("ivf_assignments", new_assignments, ["vec_id"])
+    stats = _cell_stat_rows(store, new_assignments)
+    store.begin_commit("ivf-index-extend", ["ivf_assignments", IVF_CELL_STATS])
+    store.merge_batch([
+        lambda: store.merge_insert_missing(
+            "ivf_assignments", new_assignments, ["vec_id"]
+        ),
+        lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
+    ])
     store.end_commit()
+
+
+#: advisory sidecar (deliberately NOT in IVF_TABLES — retraction /
+#: compaction sweeps must not treat it as index state): per-cell LIVE
+#: vector counts, maintained for the AFFECTED cells at build / extend /
+#: refresh time so the codebook-drift signal (``ivf_drift_stats``) is an
+#: O(n_cells) read instead of a per-check corpus aggregation.  Vector
+#: retractions between extends leave counts stale until the next
+#: extend / refresh touches their cells — the signal is an advisory
+#: maintenance TRIGGER, and ``refresh_embedding_codebooks`` (its
+#: consumer) rebuilds the counts exactly.
+IVF_CELL_STATS = "ivf_cell_stats"
+
+#: refresh when the live mass is as concentrated as a uniform corpus
+#: over HALF the cells (normalized HHI ≥ 2), or when any single cell
+#: holds 4× its uniform share — either way the frozen codebook has
+#: drifted far enough that IVF probes re-rank multiples of their
+#: intended candidate volume.
+DRIFT_SKEW_THRESHOLD = 2.0
+DRIFT_MAX_SHARE_FACTOR = 4.0
+
+
+def _cell_stat_rows(store: TableStore, inc_assign: DataFrame) -> DataFrame:
+    """Exact post-extend (cell_id, n_vecs) for the increment's cells:
+    stored live rows in those cells plus the increment's genuinely-new
+    vec_ids.  Replay-safe by the same argument as merge_insert_missing —
+    an already-stored vec_id re-assigns to the SAME cell under the
+    frozen codebook, so the anti-join drops exactly the rows the insert
+    skips.  Cost is bounded by the affected cells' populations
+    (partition-pruned when ``ivf_assignments`` is declared
+    hive-partitioned by cell_id), never the corpus."""
+    corpus = store.read("ivf_assignments")
+    if store.exists(IVF_CELL_STATS):
+        cells_df = inc_assign.select("cell_id").distinct()
+        if "ivf_assignments" in store.partitioned:
+            cells = [r[0] for r in cells_df.collect()]
+            corpus = corpus.filter(F.col("cell_id").isin(cells))
+        else:
+            corpus = corpus.join(F.broadcast(cells_df), "cell_id", "leftsemi")
+    # else: first maintenance touch on a store built before the sidecar
+    # existed — count EVERY cell once (an affected-cells-only upsert
+    # would create a partial table), after which updates stay bounded
+    corpus = _mask_emb_retracted(store, corpus)
+    fresh = inc_assign.join(corpus.select("vec_id"), "vec_id", "left_anti")
+    return (
+        corpus.select("cell_id")
+        .unionAll(fresh.select("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vecs"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def ivf_drift_stats(store: TableStore) -> dict[str, float]:
+    """The codebook-drift signal: live-vector occupancy skew over the
+    frozen IVF cells.  Returns ``n_cells`` (codebook size), ``n_vecs``
+    (live vectors counted), ``live_cells``, ``empty_cells``,
+    ``max_share`` (largest cell's fraction) and ``skew`` — the
+    normalized Herfindahl index ``n_cells · Σ share²``: 1.0 for a
+    perfectly balanced corpus, ``n_cells`` when one cell holds
+    everything.  Reads the O(n_cells) ``ivf_cell_stats`` sidecar when
+    present (one map-side-combined agg over the masked assignment table
+    otherwise — pre-round-10 stores).  Feed to
+    ``should_refresh_codebooks`` or threshold directly."""
+    n_cells = store.read("ivf_codebook").count()
+    if store.exists(IVF_CELL_STATS):
+        counts = store.read(IVF_CELL_STATS)
+    else:
+        counts = (
+            _mask_emb_retracted(store, store.read("ivf_assignments"))
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("n_vecs"))
+        )
+    row = counts.agg(
+        F.coalesce(F.sum("n_vecs"), F.lit(0)).alias("n"),
+        F.coalesce(F.max("n_vecs"), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(F.col("n_vecs") * F.col("n_vecs")), F.lit(0)).alias(
+            "sq"
+        ),
+        F.count("*").alias("live"),
+    ).first()
+    n, mx, sq, live = row["n"], row["mx"], row["sq"], row["live"]
+    return {
+        "n_cells": float(n_cells),
+        "n_vecs": float(n),
+        "live_cells": float(live),
+        "empty_cells": float(n_cells - live),
+        "max_share": (mx / n) if n else 0.0,
+        "skew": (n_cells * sq / (n * n)) if n else 1.0,
+    }
+
+
+def should_refresh_codebooks(
+    store: TableStore,
+    *,
+    skew_threshold: float = DRIFT_SKEW_THRESHOLD,
+    max_share_factor: float = DRIFT_MAX_SHARE_FACTOR,
+) -> bool:
+    """The maintenance-policy decision ``refresh_embedding_codebooks``'s
+    docstring defers to ("run it on a drift signal or a cron"): True
+    when the occupancy skew crosses either documented threshold.  Call
+    it after (a batch of) extends — the check is O(n_cells) — and run
+    the refresh when it fires; the rebuilt codebook re-balances the
+    cells and the signal resets (pinned in tests/test_codebook_refresh)."""
+    s = ivf_drift_stats(store)
+    return (
+        s["skew"] >= skew_threshold
+        or s["max_share"] >= max_share_factor / s["n_cells"]
+    )
 
 
 def ann_search_indexed(
@@ -1497,10 +1628,14 @@ def extend_semantic_index(
     under the stored codebook), upsert its pairs."""
     new_pairs = new_pairs.localCheckpoint(eager=True)
     inc = assign_increment(store, new_emb).localCheckpoint(eager=True)
-    store.begin_commit("sd-index-extend", list(SEMANTIC_TABLES))
+    stats = _cell_stat_rows(store, inc)
+    store.begin_commit(
+        "sd-index-extend", list(SEMANTIC_TABLES) + [IVF_CELL_STATS]
+    )
     store.merge_batch([
         lambda: store.merge_insert_missing("ivf_assignments", inc, ["vec_id"]),
         lambda: store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"]),
+        lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
     ])
     store.end_commit()
 
@@ -1518,6 +1653,19 @@ def extend_semantic_index(
 #: flagged stays flagged and absorption is an insert-missing, never a
 #: retraction.
 SPAN_TABLES = ("sp_occs", "sp_hashes", "sp_flags")
+
+#: span-mask segment sidecar (deliberately NOT in SPAN_TABLES): the
+#: (doc_id, h) pairs of every retraction SINCE THE LAST FOLD, recorded
+#: by retract_documents from the span hashes it computes anyway.
+#: compact_store passes the h column as prune_keys' segment hint, so
+#: the sp_occs doc-mask fold rewrites only the buckets the retracted
+#: docs' hashes map into — mask-bounded, where the unhinted fold's
+#: affected-bucket semi-join scan was the residual data-linear term
+#: (BASELINE.md r8).  Cleared (per folded doc) at fold time; the
+#: doc_id column makes completeness CHECKABLE — compact uses the hint
+#: only when every unfolded masked doc appears here (a store upgraded
+#: mid-history falls back to the scan, never to a wrong fold).
+SPAN_MASK_HASHES = "sp_mask_hashes"
 
 
 def span_index_buckets(n: int = 64) -> dict[str, tuple[str, int]]:
@@ -2095,9 +2243,9 @@ def refresh_embedding_codebooks(
         .localCheckpoint(eager=True)
     )
 
-    tables = (list(IVF_TABLES) if has_ivf else []) + (
-        list(PQ_TABLES) if has_pq else []
-    )
+    tables = (
+        list(IVF_TABLES) + [IVF_CELL_STATS] if has_ivf else []
+    ) + (list(PQ_TABLES) if has_pq else [])
     summary: dict[str, int] = {"n_vectors": live.count()}
     with store.batch_commit("codebook-refresh", tables):
         if has_ivf:
@@ -2114,10 +2262,18 @@ def refresh_embedding_codebooks(
                 ),
                 cent,
                 keep=("embedding",),
-            )
+            ).localCheckpoint(eager=True)
             store.merge_batch([
                 lambda: store.overwrite("ivf_codebook", cent),
                 lambda: store.overwrite("ivf_assignments", assign),
+                # exact occupancy rebuild: the refresh is what RESETS
+                # the drift signal (ivf_drift_stats)
+                lambda: store.overwrite(
+                    IVF_CELL_STATS,
+                    assign.groupBy("cell_id").agg(
+                        F.count("*").alias("n_vecs")
+                    ),
+                ),
             ])
             summary["ivf_cells"] = cent.count()
         if has_pq:

@@ -917,9 +917,9 @@ def ingest_tables(
         if "lsh" in emb_families:
             tables += list(inc.EMBEDDING_TABLES)
         if "ivf" in emb_families:
-            tables += list(inc.IVF_TABLES)
+            tables += list(inc.IVF_TABLES) + [inc.IVF_CELL_STATS]
         if "semantic" in emb_families:
-            tables += ["sd_pairs"]
+            tables += ["sd_pairs", inc.IVF_CELL_STATS]
         if "pq" in emb_families:
             tables += list(inc.PQ_TABLES)
     if bm25:
@@ -2159,7 +2159,8 @@ def retract_documents(
     if bm25:
         tables += list(rt.BM25_TABLES)
     if span is not None:
-        tables += list(inc.SPAN_TABLES) + [inc.FLAG_DROPS]
+        tables += list(inc.SPAN_TABLES)
+        tables += [inc.FLAG_DROPS, inc.SPAN_MASK_HASHES]
     if minhash:
         tables += list(inc.INDEX_TABLES) + list(inc.OOO_DROP_TABLES)
         tables += ["cc_labels"]
@@ -2273,6 +2274,36 @@ def retract_documents(
         rebuild = (
             mate_docs.select("doc_id") if mate_docs is not None else None
         )
+        if span is not None and store.exists("sp_occs"):
+            # segment sidecar for compact_store's sp_occs fold:
+            # (doc_id, h) for EVERY retracted id — ids with no
+            # occurrence rows (exact losers, sub-span docs: the same
+            # no-cur_pre invariant the repair below relies on) record a
+            # NULL hash, so compact's completeness check (unfolded mask
+            # docs ⊆ sidecar docs) passes without naming any bucket for
+            # them.  The hashes are recomputed from texts this function
+            # already holds — zero extra corpus scans.
+            occ_sm = (
+                _span_occ_rows(pre_r, span)
+                .select("doc_id", "h")
+                .distinct()
+                .localCheckpoint(eager=True)
+                if pre_r.head(1)
+                else None
+            )
+            no_h = r_ids
+            if occ_sm is not None:
+                no_h = r_ids.join(
+                    occ_sm.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+            sm_rows = no_h.select(
+                "doc_id", F.lit(None).cast("bigint").alias("h")
+            )
+            if occ_sm is not None:
+                sm_rows = occ_sm.unionByName(sm_rows)
+            store.merge_insert_missing(
+                inc.SPAN_MASK_HASHES, sm_rows, ["doc_id", "h"]
+            )
         if span is not None and store.exists("sp_occs") and pre_r.head(1):
             occ_r = _span_occ_rows(pre_r, span)
             hs = occ_r.select("h").distinct().localCheckpoint(eager=True)
@@ -2757,6 +2788,8 @@ def compact_store(store: TableStore) -> None:
             "eb_buckets",
             "ivf_assignments",
             "pq_codes",
+            inc.IVF_CELL_STATS,
+            inc.SPAN_MASK_HASHES,
             DOC_VECS,
             inc.DOC_RETRACTIONS,
             inc.FLAG_DROPS,
@@ -2823,10 +2856,70 @@ def compact_store(store: TableStore) -> None:
             for t in ("eb_vectors", "eb_buckets", "ivf_assignments", "pq_codes")
         ]
     if mask is not None:
+        # sp_occs is bucketed by span hash, so a doc-keyed fold would
+        # pay a full-bucket semi-join scan to find affected buckets —
+        # the residual data-linear term.  The retraction-time sidecar
+        # names the masked docs' hashes; when it COVERS every unfolded
+        # masked doc, those hashes become prune_keys' segment hint and
+        # the fold is mask-bounded (zero scan).  Stores upgraded
+        # mid-history (older unfolded masks predate the sidecar) fail
+        # the coverage check and keep the scan — never a wrong fold.
+        sp_hint = None
+        if store.exists(inc.SPAN_MASK_HASHES):
+            sm = store.read(inc.SPAN_MASK_HASHES).localCheckpoint(eager=True)
+            covered = not mask.join(
+                sm.select("doc_id").distinct(), "doc_id", "left_anti"
+            ).head(1)
+            if covered:
+                sp_hint = (
+                    sm.join(F.broadcast(mask), "doc_id", "leftsemi")
+                    .filter(F.col("h").isNotNull())
+                    .select("h")
+                    .distinct()
+                )
         ops += [
             (lambda t=t: store.prune_keys(t, mask, ["doc_id"]))
-            for t in ("ex_docs", "sp_occs", DOC_VECS)
+            for t in ("ex_docs", DOC_VECS)
         ]
+        if sp_hint is not None:
+            ops.append(
+                lambda: store.prune_keys(
+                    "sp_occs",
+                    mask,
+                    ["doc_id"],
+                    segment_keys=sp_hint,
+                    segment_col="h",
+                )
+            )
+            # folded docs' sidecar rows are spent (next fold's scope
+            # starts empty, mirroring the masks' watermark flip)
+            ops.append(
+                lambda: store.delete_scope(
+                    inc.SPAN_MASK_HASHES, mask, ["doc_id"]
+                )
+            )
+        else:
+            ops.append(
+                lambda: store.prune_keys("sp_occs", mask, ["doc_id"])
+            )
+    if (
+        emb_mask is not None
+        and store.exists("ivf_assignments")
+        and store.exists(inc.IVF_CELL_STATS)
+    ):
+        # retractions between extends leave the occupancy sidecar stale
+        # for their cells (advisory by contract); the fold is the point
+        # where it becomes exact again — masked pre-state ≡ post-fold
+        ops.append(
+            lambda: store.overwrite(
+                inc.IVF_CELL_STATS,
+                inc._mask_emb_retracted(
+                    store, store.read("ivf_assignments")
+                )
+                .groupBy("cell_id")
+                .agg(F.count("*").alias("n_vecs")),
+            )
+        )
     ops.append(
         lambda: store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
     )

@@ -70,6 +70,55 @@ def block_rows(signatures: DataFrame, n_blocks: int, block_bits: int) -> DataFra
     )
 
 
+def derived_block_bits(
+    n_docs: int,
+    *,
+    bits: int = 60,
+    n_blocks: int = 4,
+    target_candidates_per_doc: float = 8.0,
+) -> int:
+    """The block width that HOLDS expected per-doc candidate volume at
+    ``target_candidates_per_doc`` for a ``n_docs`` corpus — the module
+    docstring's scaling rule (candidates ≈ n_blocks · n² / 2^block_bits
+    under the uniform-block model) solved for block_bits:
+    ``ceil(log2(n_blocks · n_docs / target))``, clamped to
+    ``[1, bits // n_blocks]`` (every block must fit the fingerprint).
+
+    At the cap the geometry is SATURATED (``simhash_geometry_saturated``
+    tells you): per-doc candidates grow linearly with further corpus
+    growth and the fix is a wider fingerprint (128-bit two-long blocks),
+    not this knob.  Pass the result to ``block_rows`` /
+    ``near_dup_pairs`` — and remember geometry is an INDEX property:
+    changing it on a persisted store requires re-signing the block
+    table (incremental.build_simhash_index over the stored signatures),
+    never mixing widths."""
+    import math
+
+    need = math.ceil(
+        math.log2(max(n_blocks * n_docs / target_candidates_per_doc, 2.0))
+    )
+    return min(max(need, 1), bits // n_blocks)
+
+
+def simhash_geometry_saturated(
+    n_docs: int,
+    *,
+    bits: int = 60,
+    n_blocks: int = 4,
+    target_candidates_per_doc: float = 8.0,
+) -> bool:
+    """True when even the widest block the fingerprint allows cannot
+    hold the candidate target — the documented signal to move to a
+    wider fingerprint (the scale smoke emits the measured ratio next to
+    this bound)."""
+    import math
+
+    need = math.ceil(
+        math.log2(max(n_blocks * n_docs / target_candidates_per_doc, 2.0))
+    )
+    return need > bits // n_blocks
+
+
 def near_dup_pairs(
     blocks: DataFrame,
     other_blocks: DataFrame | None = None,

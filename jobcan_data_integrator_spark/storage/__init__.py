@@ -503,7 +503,13 @@ class TableStore:
         )
 
     def prune_keys(
-        self, table: str, keys: DataFrame, key_cols: list[str]
+        self,
+        table: str,
+        keys: DataFrame,
+        key_cols: list[str],
+        *,
+        segment_keys: DataFrame | None = None,
+        segment_col: str | None = None,
     ) -> None:
         """Physically remove every row whose ``key_cols`` values appear
         in ``keys`` — the mask-FOLD primitive (``compact_store``).
@@ -519,7 +525,18 @@ class TableStore:
         (mask folding) that would otherwise rewrite a 100 TB table to
         drop a few thousand rows.  Unmanaged (or plain-mode / hive-
         partitioned) tables keep the full anti-join rewrite; the Delta
-        backend delegates to its own targeted DELETE."""
+        backend delegates to its own targeted DELETE.
+
+        ``segment_keys``/``segment_col``: when the key columns are NOT
+        the bucket source (the semi-join-scan case), a caller that
+        already KNOWS the bucket-source values of every matching row
+        (e.g. the span hashes a retraction computed from the retracted
+        texts) can pass them here and the affected-bucket set derives
+        from the hint with ZERO scan — the fold becomes mask-bounded
+        even on a table bucketed by an unrelated column.  CONTRACT: the
+        hint must cover every bucket containing a matching row; rows in
+        unhinted buckets silently survive (pinned complete at the one
+        call site by tests/test_retract.py's fold-equivalence checks)."""
         if self.backend == "delta":
             if self.exists(table):
                 self.delete_scope(
@@ -535,7 +552,26 @@ class TableStore:
             if not self.exists(table):
                 return
             pcol = self._prunable_pcol(table)
-            segs = self._affected_segments(table, keys, key_cols)
+            if (
+                segment_keys is not None
+                and table in self.bucketed
+                and (segment_col or self.bucketed[table][0])
+                == self.bucketed[table][0]
+            ):
+                src, nb = self.bucketed[table]
+                segs = sorted(
+                    r[0]
+                    for r in segment_keys.select(
+                        F.pmod(
+                            F.xxhash64(F.col(segment_col or src)),
+                            F.lit(nb),
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+            else:
+                segs = self._affected_segments(table, keys, key_cols)
             if not segs:
                 return  # nothing to fold
             n = self.bucketed[table][1] if table in self.bucketed else None

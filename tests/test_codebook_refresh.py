@@ -131,3 +131,85 @@ def test_refresh_refuses_stores_without_trained_families(spark, tmp_path):
     store = TableStore(spark, tmp_path, write_partitions=2)
     with pytest.raises(ValueError, match="neither the IVF nor the PQ"):
         refresh_embedding_codebooks(store)
+
+
+def test_drift_signal_trips_and_resets(spark, tmp_path):
+    """The maintenance-policy loop (ivf_cell_stats + ivf_drift_stats +
+    should_refresh_codebooks): balanced 4-region build -> no trigger; a
+    drifted increment (four NEW tight regions along +x, all nearest the
+    frozen region-0 centroid) piles into one cell -> skew trips; a
+    refresh at ivf_cells=8 (one seed per region by id construction)
+    gives each region its own centroid -> signal resets.  The sidecar
+    stays exact vs a direct count over the assignment table at every
+    step, and reading the signal is O(n_cells)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        IVF_CELL_STATS,
+        ivf_drift_stats,
+        should_refresh_codebooks,
+    )
+
+    # assign_cells is an integer DOT-PRODUCT argmax (MIPS-style coarse
+    # quantizer), so regions must differ in DIRECTION: one axis each in
+    # 8-dim space, tight jitter on a neighboring axis
+    def vec(axis, jitter, bias0=0.0):
+        v = [0.0] * 8
+        v[axis] = 1000.0
+        v[(axis + 1) % 8] += float(jitter)
+        v[0] += bias0
+        return v
+
+    # build: 4 regions on axes 0..3, 3 vecs each; ids r / 8+2r / 9+2r so
+    # the K=8 refresh seeds (vec_id < 8) cover ids 0..3 here + 4..7 below
+    a = []
+    for r in range(4):
+        for j, i in enumerate((r, 8 + 2 * r, 9 + 2 * r)):
+            a.append((i, vec(r, j)))
+    # drift: 4 new tight regions on axes 4..7, 5 vecs each (ids 4+m seed
+    # the refresh; 16+4m..19+4m fill), each with a small axis-0 bias —
+    # orthogonal to every frozen centroid except region 0's, so all 20
+    # pile deterministically into that one frozen cell
+    b = []
+    for m in range(4):
+        for j, i in enumerate((4 + m, 16 + 4 * m, 17 + 4 * m, 18 + 4 * m, 19 + 4 * m)):
+            b.append((i, vec(4 + m, j, bias0=50.0)))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+    def sidecar_exact(st):
+        want = sorted(
+            (r.cell_id, r["count"])
+            for r in st.read("ivf_assignments")
+            .groupBy("cell_id")
+            .count()
+            .collect()
+        )
+        got = sorted(
+            (r.cell_id, r.n_vecs) for r in st.read(IVF_CELL_STATS).collect()
+        )
+        assert got == want
+
+    store = TableStore(spark, tmp_path, write_partitions=2)
+    build_ivf_index(store, mk(a), n_cells=4)
+    sidecar_exact(store)
+    s0 = ivf_drift_stats(store)
+    assert s0["n_cells"] == 4 and s0["n_vecs"] == 12
+    assert abs(s0["skew"] - 1.0) < 1e-9  # 3/3/3/3: perfectly balanced
+    assert not should_refresh_codebooks(store)
+
+    extend_ivf_index(store, assign_increment(store, mk(b)))
+    sidecar_exact(store)
+    # replay safety: re-extending the same batch changes nothing
+    extend_ivf_index(store, assign_increment(store, mk(b)))
+    sidecar_exact(store)
+
+    s1 = ivf_drift_stats(store)
+    assert s1["n_vecs"] == 32
+    assert s1["max_share"] == 23 / 32  # the whole drift in one frozen cell
+    assert s1["skew"] >= 2.0 and should_refresh_codebooks(store)
+
+    refresh_embedding_codebooks(store, ivf_cells=8)
+    sidecar_exact(store)
+    s2 = ivf_drift_stats(store)
+    assert s2["n_cells"] == 8 and s2["max_share"] == 5 / 32
+    assert s2["skew"] < 2.0 and not should_refresh_codebooks(store)

@@ -622,3 +622,55 @@ def test_cluster_extend_bucketed_delta_equals_overwrite(spark, tmp_path):
     assert rows(buck) == [
         (1, 1), (2, 1), (10, 1), (11, 1), (20, 1), (30, 1), (31, 1)
     ]
+
+
+def test_derived_simhash_geometry(spark, tmp_path):
+    """derived_block_bits: the scaling rule (grow width with
+    2·log2(corpus growth)) as a function — formula values, monotone in
+    corpus size, capped at the fingerprint, saturation flag past the
+    cap; and build_simhash_index(block_bits=None) derives it, producing
+    the same index the explicit value produces."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        build_simhash_index,
+    )
+    from jobcan_data_integrator_spark.operators.simhash import (
+        derived_block_bits,
+        simhash_geometry_saturated,
+        simhash_signatures,
+    )
+
+    # ceil(log2(4n/8)) clamped to [1, 15]: spot values
+    assert derived_block_bits(2) == 1
+    assert derived_block_bits(500) == 8      # ceil(log2(250))
+    assert derived_block_bits(5_000) == 12   # ceil(log2(2500))
+    assert derived_block_bits(50_000) == 15  # ceil(log2(25000)) — at cap
+    assert derived_block_bits(500_000) == 15  # clamped
+    # +7 bits for 10x docs (2·log2(10) ≈ 6.6 → ceil'd pattern) until cap
+    assert derived_block_bits(5_000) - derived_block_bits(500) in (3, 4)
+    # monotone
+    widths = [derived_block_bits(n) for n in (2, 50, 500, 5000, 50000)]
+    assert widths == sorted(widths)
+    # 128-bit two-long geometry raises the cap
+    assert derived_block_bits(500_000, bits=128, n_blocks=4) == 18
+    # saturation: flagged exactly when the uncapped need exceeds the cap
+    assert not simhash_geometry_saturated(50_000)
+    assert simhash_geometry_saturated(500_000)
+    assert not simhash_geometry_saturated(500_000, bits=128)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z common tail tokens here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sig = simhash_signatures(docs)
+    auto = TableStore(spark, tmp_path / "auto", write_partitions=1)
+    build_simhash_index(auto, sig)  # explicit default 15
+    # derived width for n=6 is ceil(log2(3)) = 2
+    assert derived_block_bits(6) == 2
+    man = TableStore(spark, tmp_path / "man", write_partitions=1)
+    build_simhash_index(man, sig, block_bits=2)
+    drv = TableStore(spark, tmp_path / "drv", write_partitions=1)
+    build_simhash_index(drv, sig, block_bits=None)
+    for t in ("sh_signatures", "sh_blocks", "sh_pairs"):
+        assert sorted(map(tuple, drv.read(t).collect())) == sorted(
+            map(tuple, man.read(t).collect())
+        ), t

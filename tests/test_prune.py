@@ -232,3 +232,52 @@ def test_prune_predicate_keeps_null_predicate_rows(spark, tmp_path):
     flat.overwrite("t", df)
     flat.prune_predicate("t", F.col("g") == 2)
     assert _rows(flat) == [(2, None, "keep-me"), (3, 5, "keep-too")]
+
+
+def test_prune_keys_segment_hint_zero_scan_path(spark, tmp_path):
+    """Pruning on a non-source key WITH a segment hint (the caller
+    already knows the matching rows' bucket-source values): result
+    identical to the scan path, the prune layer covers ONLY the hinted
+    buckets, and an INCOMPLETE hint leaves unhinted-bucket rows behind —
+    the documented caller contract compact_store's coverage check
+    protects."""
+    store = _store(spark, tmp_path)
+    rows = _seed(spark, store)
+    # drop rows with g == 1, hinting their k values (the bucket source)
+    gk = [k for k, g, _ in rows if g == 1]
+    store.begin_commit("prune-hint", ["t"])
+    store.prune_keys(
+        "t",
+        _keys(spark, [1], col="g"),
+        ["g"],
+        segment_keys=_keys(spark, gk),
+        segment_col="k",
+    )
+    store.end_commit()
+    assert _rows(store) == sorted((k, g, v) for k, g, v in rows if g != 1)
+    hinted = sorted({_bucket_of(spark, k) for k in gk})
+    layers = store.current_snapshot()["tables"]["t"]["layers"]
+    touched = sorted(
+        int(p.split("=")[1]) for p in layers[-1]["parts"]
+    ) + [int(p.split("=")[1]) for p in layers[-1].get("dead", [])]
+    assert sorted(touched) == hinted
+
+    # incomplete hint: only bucket-of(gk[0]) named -> g==2 rows in
+    # other buckets survive (contract, not a bug)
+    store2 = _store(spark, tmp_path / "2")
+    rows2 = _seed(spark, store2)
+    g2 = [k for k, g, _ in rows2 if g == 2]
+    b0 = _bucket_of(spark, g2[0])
+    in_b0 = {k for k in g2 if _bucket_of(spark, k) == b0}
+    store2.begin_commit("prune-partial", ["t"])
+    store2.prune_keys(
+        "t",
+        _keys(spark, [2], col="g"),
+        ["g"],
+        segment_keys=_keys(spark, [g2[0]]),
+        segment_col="k",
+    )
+    store2.end_commit()
+    assert _rows(store2) == sorted(
+        (k, g, v) for k, g, v in rows2 if not (g == 2 and k in in_b0)
+    )

@@ -598,10 +598,10 @@ def test_compact_folds_only_mask_rows_added_since_last_fold(spark, tmp_path):
     seen: list[set] = []
     orig = _TS.prune_keys
 
-    def spy(self, table, keys, key_cols):
+    def spy(self, table, keys, key_cols, **kw):
         if key_cols == ["doc_id"] and table in ("ex_docs", "sp_occs"):
             seen.append({r.doc_id for r in keys.select("doc_id").collect()})
-        return orig(self, table, keys, key_cols)
+        return orig(self, table, keys, key_cols, **kw)
 
     _TS.prune_keys = spy
     try:
