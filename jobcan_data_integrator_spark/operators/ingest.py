@@ -1802,7 +1802,9 @@ def ingest_increment(
                 remap = inc.extend_clusters(
                     store, pairs.filter(F.col("jaccard") >= cluster_threshold)
                 )
-            labels = store.read("cc_labels")
+            # only the BATCH docs' labels matter here (anti-join on
+            # doc_id): bucket-pruned on cluster_label_buckets layouts
+            labels = store.read_for_keys("cc_labels", kept.select("doc_id"))
             kept = kept.join(
                 labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
                     "doc_id"

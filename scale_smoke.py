@@ -1173,9 +1173,9 @@ def main() -> None:
           file=sys.stderr)
     print(f"# ingest ooo: {ooo01:.2f} @sf0.1-store -> {ooo1:.2f} "
           f"@sf1-store ({ooo_ratio}x, budget {INGEST_OOO_BUDGET}x); "
-          f"cc_labels@10x: {ooo1_labels['pruned_reads']} pruned reads / "
-          f"{ooo1_labels['buckets_scanned']} of "
-          f"{3 * ooo1_labels['n_buckets']}x3 bucket-dirs, "
+          f"cc_labels@10x: {ooo1_labels['pruned_reads']} pruned reads "
+          f"scanning {ooo1_labels['buckets_scanned']} bucket-dirs total "
+          f"(of {ooo1_labels['n_buckets']} per full scan), "
           f"{ooo1_labels['full_reads']} full constructions",
           file=sys.stderr)
     print(f"# retract: {rt01:.2f} @sf0.1-store -> {rt1:.2f} @sf1-store "
