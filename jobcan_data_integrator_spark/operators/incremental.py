@@ -1261,6 +1261,33 @@ def ivf_drift_stats(store: TableStore) -> dict[str, float]:
     }
 
 
+def maybe_refresh_codebooks(
+    store: TableStore,
+    *,
+    skew_threshold: float = DRIFT_SKEW_THRESHOLD,
+    max_share_factor: float = DRIFT_MAX_SHARE_FACTOR,
+    **refresh_kwargs,
+) -> bool:
+    """Run ``refresh_embedding_codebooks`` iff the drift signal fires —
+    the codebook twin of ``ingest.maybe_compact_store``: the check costs
+    one O(n_cells) read of the occupancy sidecar (no assignment-table
+    scan), so callers can invoke it after every extend (or cron it) and
+    pay the corpus-sized retrain only when the frozen codebook has
+    actually drifted past the documented thresholds.  Returns True when
+    a refresh ran.  No-op on stores without the IVF family (PQ-only
+    stores have no occupancy signal to threshold — cron their refresh)."""
+    if not store.exists("ivf_codebook"):
+        return False
+    if not should_refresh_codebooks(
+        store,
+        skew_threshold=skew_threshold,
+        max_share_factor=max_share_factor,
+    ):
+        return False
+    refresh_embedding_codebooks(store, **refresh_kwargs)
+    return True
+
+
 def should_refresh_codebooks(
     store: TableStore,
     *,

@@ -1076,23 +1076,55 @@ def _relabel_after_retraction(
 
 
 def _sweep_cluster_demotions(
-    store: TableStore, batch_id: str
+    store: TableStore, batch_id: str, touched: DataFrame | None = None
 ) -> DataFrame | None:
     """Out-of-order mode's general cluster-demotion pass: tombstone
-    EVERY live curated doc that is no longer its cluster's minimum.
+    every live curated doc that is no longer its cluster's minimum.
     Subsumes the monotone path's remap-based demotion (which only sees
     label CHANGES — a late smaller-id doc founding a cluster around a
-    stored keeper changes no existing label, yet demotes it).  Cost:
-    the non-keeper label set joined against the curated table on
-    doc_id — linear, no corpus text touched."""
+    stored keeper changes no existing label, yet demotes it).
+
+    ``touched`` (a one-column ``cluster_id`` frame): restrict the sweep
+    to those clusters' members.  SOUND for the per-batch caller because
+    the sweep itself maintains the invariant it exploits: before a
+    batch, every live curated doc IS its cluster's minimum (this pass
+    ran for every earlier edge-bearing batch; batch docs are
+    anti-joined against non-minimum labels before curation; rebuild and
+    retraction paths run their own passes) — so a NEW demotion can only
+    appear in a cluster this batch touched, i.e. one carrying a final
+    label of some batch endpoint.  Cost then follows the touched
+    clusters (one narrow pushed-In label scan + id-pruned curated
+    lookups) instead of the corpus-sized label ⋈ curated semi-join;
+    oversized touched sets fall back to the full sweep.  Pass ``None``
+    for the general full pass (the rebuild path keeps it: its relabel
+    can shrink labels outside the resign's own edge set)."""
     if not store.exists("cc_labels") or not store.exists(CURATED):
         return None
-    nonkeep = (
-        store.read("cc_labels")
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
-        .join(store.read(CURATED).select("doc_id"), "doc_id", "leftsemi")
-    )
+    labels = store.read("cc_labels")
+    restricted = False
+    if touched is not None:
+        vals = [
+            r[0]
+            for r in touched.select("cluster_id")
+            .distinct()
+            .limit(store.MAX_PUSHED_KEYS + 1)
+            .collect()
+        ]
+        if len(vals) <= store.MAX_PUSHED_KEYS:
+            labels = labels.filter(F.col("cluster_id").isin(vals))
+            restricted = True
+    nonkeep_ids = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    if restricted:
+        # candidate set is batch-bounded: materialize it once, then the
+        # curated liveness check can bucket-prune instead of scanning
+        # the whole table
+        nonkeep_ids = nonkeep_ids.localCheckpoint(eager=True)
+        cur_ids = store.read_for_keys(CURATED, nonkeep_ids).select("doc_id")
+    else:
+        cur_ids = store.read(CURATED).select("doc_id")
+    nonkeep = nonkeep_ids.join(cur_ids, "doc_id", "leftsemi")
     if store.exists(TOMBSTONES):
         nonkeep = nonkeep.join(
             F.broadcast(store.read(TOMBSTONES).select("doc_id")),
@@ -1823,10 +1855,25 @@ def ingest_increment(
                 # and any rebuild path runs its own sweep — so a quiet
                 # batch pays one cheap probe instead of the labels-join
                 # + tombstone merge.
-                if pairs.filter(
+                th_pairs = pairs.filter(
                     F.col("jaccard") >= cluster_threshold
-                ).head(1):
-                    demoted = _sweep_cluster_demotions(store, batch_id)
+                )
+                if th_pairs.head(1):
+                    # clusters this batch touched = the final (post-
+                    # extend) labels of its pair endpoints — a bucket-
+                    # pruned lookup; the sweep restricts to their
+                    # members (see _sweep_cluster_demotions' soundness
+                    # argument)
+                    eps = _pair_endpoints(th_pairs, cluster_threshold)
+                    touched = (
+                        store.read_for_keys("cc_labels", eps)
+                        .join(F.broadcast(eps), "doc_id", "leftsemi")
+                        .select("cluster_id")
+                        .distinct()
+                    )
+                    demoted = _sweep_cluster_demotions(
+                        store, batch_id, touched=touched
+                    )
             elif remap is not None:
                 # a merge's old keeper (old cluster minimum) is demoted;
                 # batch-local labels are excluded (handled above)

@@ -145,6 +145,7 @@ def test_drift_signal_trips_and_resets(spark, tmp_path):
     from jobcan_data_integrator_spark.operators.incremental import (
         IVF_CELL_STATS,
         ivf_drift_stats,
+        maybe_refresh_codebooks,
         should_refresh_codebooks,
     )
 
@@ -208,8 +209,10 @@ def test_drift_signal_trips_and_resets(spark, tmp_path):
     assert s1["max_share"] == 23 / 32  # the whole drift in one frozen cell
     assert s1["skew"] >= 2.0 and should_refresh_codebooks(store)
 
-    refresh_embedding_codebooks(store, ivf_cells=8)
+    # the orchestrated trigger: fires exactly once, then quiesces
+    assert maybe_refresh_codebooks(store, ivf_cells=8)
     sidecar_exact(store)
     s2 = ivf_drift_stats(store)
     assert s2["n_cells"] == 8 and s2["max_share"] == 5 / 32
     assert s2["skew"] < 2.0 and not should_refresh_codebooks(store)
+    assert not maybe_refresh_codebooks(store, ivf_cells=8)

@@ -674,3 +674,88 @@ def test_derived_simhash_geometry(spark, tmp_path):
         assert sorted(map(tuple, drv.read(t).collect())) == sorted(
             map(tuple, man.read(t).collect())
         ), t
+
+
+def test_wide_simhash_pairs(spark):
+    """The >60-bit scale path (simhash.py wide functions): limbs=1
+    reproduces the single-long signature bit-for-bit; on handcrafted
+    2-limb fingerprints the 4x30-bit pigeonhole join finds EXACTLY the
+    brute-force Hamming <= n_blocks-1 pair set (completeness bound),
+    with one row per pair (min-block dedup) and exact distances."""
+    from jobcan_data_integrator_spark.operators.simhash import (
+        block_rows_wide,
+        near_dup_pairs_wide,
+        simhash_signatures,
+        simhash_signatures_wide,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z common tail tokens here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    narrow = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    wide1 = {
+        r.doc_id: r.simhash
+        for r in simhash_signatures_wide(docs, limbs=1).collect()
+    }
+    assert wide1 == {d: [v] for d, v in narrow.items()}
+    # limb 1 is a DIFFERENT projection (salted hash), not a copy
+    w2 = simhash_signatures_wide(docs, limbs=2).first().simhash
+    assert w2[0] != w2[1]
+
+    # handcrafted 2x60-bit fingerprints with known pairwise distances
+    base = (0x5A5A5A5A5A5A5A % (1 << 60), 0x33CC33CC33CC33 % (1 << 60))
+
+    def flip(sig, positions):
+        out = list(sig)
+        for p in positions:
+            out[p // 60] ^= 1 << (p % 60)
+        return out
+
+    rows = [
+        (0, list(base)),
+        (1, flip(base, [3])),            # d(0,1)=1
+        (2, flip(base, [3, 61, 77])),    # d(0,2)=3, d(1,2)=2
+        (3, flip(base, range(70, 110))),  # far from everything
+        (4, flip(base, [59, 60, 119])),  # d(0,4)=3 (limb-boundary bits)
+    ]
+    import itertools
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    want = {
+        (i, j): ham(si, sj)
+        for (i, si), (j, sj) in itertools.combinations(rows, 2)
+        if ham(si, sj) <= 3
+    }
+    sig = spark.createDataFrame(
+        rows, "doc_id long, simhash array<bigint>"
+    )
+    blocks = block_rows_wide(sig, n_blocks=4, limbs=2, block_bits=30)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in near_dup_pairs_wide(
+            blocks, n_blocks=4, limbs=2, block_bits=30
+        ).collect()
+    }
+    assert got == want and want  # exact pair set + exact distances
+
+    # split-corpus composition: within(A) ∪ cross ∪ within(B) ≡ full
+    a_ids, b_ids = {0, 1, 2}, {3, 4}
+    ba = blocks.filter(F.col("doc_id").isin(*a_ids))
+    bb = blocks.filter(F.col("doc_id").isin(*b_ids))
+    parts = (
+        near_dup_pairs_wide(ba, n_blocks=4, limbs=2, block_bits=30)
+        .unionByName(
+            near_dup_pairs_wide(
+                ba, bb, n_blocks=4, limbs=2, block_bits=30
+            )
+        )
+        .unionByName(
+            near_dup_pairs_wide(bb, n_blocks=4, limbs=2, block_bits=30)
+        )
+    )
+    assert {
+        (r.doc_a, r.doc_b): r.hamming for r in parts.collect()
+    } == want
