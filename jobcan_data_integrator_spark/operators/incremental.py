@@ -823,31 +823,43 @@ def probe_merged_labels(
     return relabeled.unionByName(from_merge)
 
 
-def _remapped_members(store: TableStore, remap: DataFrame) -> DataFrame:
-    """Stored members of remapped clusters, with their new labels — the
-    corpus-side half of the label delta.  cc_labels is bucketed by
-    doc_id, so a cluster_id-keyed lookup cannot bucket-prune; this is
-    the ONE accepted narrow corpus touch per batch: a 2-column
-    column-pruned scan with the remap's old labels pushed as an ``In``
-    filter (Parquet row-group stats skip non-matching groups), feeding a
-    broadcast join — read-only, shuffle-free, output bounded by merge
-    fan-out × cluster size.  A cc_members mirror bucketed by cluster_id
-    would make the read remap-bounded, but every label write (extend,
-    retraction relabel, compaction prune) would then pay a second
-    snapshot commit + delete/insert pair per batch — and per-family
-    commit overhead, not scan volume, dominates ingest cost (BASELINE.md
-    plan audit), so the mirror costs more than the scan it saves."""
-    old = [
-        r["old_label"]
-        for r in remap.select("old_label")
-        .limit(store.MAX_PUSHED_KEYS + 1)
-        .collect()
+def cluster_members(store: TableStore, clusters: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) rows of the given clusters (a one-column
+    ``cluster_id`` frame) — the ONE accepted narrow corpus touch of the
+    label-maintenance paths.  cc_labels is bucketed by doc_id, so a
+    cluster_id-keyed lookup cannot bucket-prune; instead this is a
+    2-column column-pruned scan with the cluster ids pushed as an
+    ``In`` filter (Parquet row-group stats skip non-matching groups) —
+    read-only, shuffle-free, output bounded by the clusters' sizes.  A
+    cc_members mirror bucketed by cluster_id would make the read
+    cluster-bounded, but every label write (extend, retraction relabel,
+    compaction prune) would then pay a second snapshot commit +
+    delete/insert pair per batch — and per-family commit overhead, not
+    scan volume, dominates ingest cost (BASELINE.md plan audit), so the
+    mirror costs more than the scan it saves.  Oversized cluster sets
+    (> MAX_PUSHED_KEYS) keep the semi-join over the plain scan."""
+    cl = clusters.select("cluster_id").distinct()
+    vals = [
+        r["cluster_id"]
+        for r in cl.limit(store.MAX_PUSHED_KEYS + 1).collect()
     ]
     base = store.read("cc_labels").select("doc_id", "cluster_id")
-    if len(old) <= store.MAX_PUSHED_KEYS:
-        base = base.filter(F.col("cluster_id").isin(old))
-    return base.join(
-        F.broadcast(remap), base["cluster_id"] == F.col("old_label")
+    if len(vals) <= store.MAX_PUSHED_KEYS:
+        base = base.filter(F.col("cluster_id").isin(vals))
+    return base.join(F.broadcast(cl), "cluster_id", "leftsemi").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def _remapped_members(store: TableStore, remap: DataFrame) -> DataFrame:
+    """Stored members of remapped clusters, with their new labels — the
+    corpus-side half of the label delta, served by ``cluster_members``'s
+    pushed-In scan and relabeled through the broadcast remap."""
+    members = cluster_members(
+        store, remap.select(F.col("old_label").alias("cluster_id"))
+    )
+    return members.join(
+        F.broadcast(remap), members["cluster_id"] == F.col("old_label")
     ).select("doc_id", F.col("new_label").alias("cluster_id"))
 
 

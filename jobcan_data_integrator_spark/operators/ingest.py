@@ -997,15 +997,16 @@ def _relabel_after_retraction(
     seeds = seeds.select("doc_id").distinct().localCheckpoint(eager=True)
     if not seeds.head(1):
         return
-    labels = store.read("cc_labels").localCheckpoint(eager=True)
+    # seed clusters via a bucket-pruned doc_id lookup; their member
+    # rows via cluster_members' pushed-In narrow scan — the full label
+    # table is never read (let alone materialized) on this path
     comp = (
-        labels.join(F.broadcast(seeds), "doc_id", "leftsemi")
+        store.read_for_keys("cc_labels", seeds)
+        .join(F.broadcast(seeds), "doc_id", "leftsemi")
         .select("cluster_id")
         .distinct()
     )
-    nodes = labels.join(
-        F.broadcast(comp), "cluster_id", "leftsemi"
-    ).localCheckpoint(eager=True)
+    nodes = inc.cluster_members(store, comp).localCheckpoint(eager=True)
     if not nodes.head(1):
         return
     na = nodes.select(F.col("doc_id").alias("_na"))
@@ -1037,6 +1038,10 @@ def _relabel_after_retraction(
         if fresh.head(1):
             store.merge_upsert("cc_labels", fresh, ["doc_id"])
     else:
+        # unbucketed overwrite path: the full read is inherent (the
+        # whole table is rewritten) — materialize it first so the
+        # overwrite never reads the files it is replacing
+        labels = store.read("cc_labels").localCheckpoint(eager=True)
         updated = labels.join(
             F.broadcast(nodes.select("doc_id")), "doc_id", "left_anti"
         ).unionByName(fresh)
