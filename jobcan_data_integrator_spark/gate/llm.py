@@ -541,15 +541,24 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block/pair building blocks live in operators/simhash.py — the SAME
     # functions the incremental SimHash index uses (full ≡ index ∪
     # increment by construction; tests/test_incremental_dedup.py).
+    # r11 rotation: runs the WIDTH-GENERIC (multi-long) implementation
+    # at limbs=1 — the limb-0 fingerprint is the single-long signature
+    # bit-for-bit and the pair set {hamming ≤ n_blocks−1} is geometry-
+    # determined, so the same DuckDB oracle pins the wide code path the
+    # persisted sh_* family now uses past single-long saturation.
     from jobcan_data_integrator_spark.operators.simhash import (
-        block_rows,
-        near_dup_pairs,
+        block_rows_wide,
+        near_dup_pairs_wide,
     )
 
-    sig = _simhash_signatures(spark, sf_dir).cache()
-    blocks = block_rows(sig, _SH_BLOCKS, _SH_BLOCK_BITS)
-    return near_dup_pairs(
-        blocks, n_blocks=_SH_BLOCKS, block_bits=_SH_BLOCK_BITS
+    sig = _simhash_signatures(spark, sf_dir).withColumn(
+        "simhash", F.array("simhash")
+    ).cache()
+    blocks = block_rows_wide(
+        sig, n_blocks=_SH_BLOCKS, limbs=1, block_bits=_SH_BLOCK_BITS
+    )
+    return near_dup_pairs_wide(
+        blocks, n_blocks=_SH_BLOCKS, limbs=1, block_bits=_SH_BLOCK_BITS
     )
 
 

@@ -1374,6 +1374,7 @@ def ingest_increment(
     band_size: int = 2,
     cluster_threshold: float = 0.5,
     simhash: bool = False,
+    simhash_auto_geometry: bool = False,
     quality_scorer: Callable[[DataFrame], DataFrame] | None = None,
     classifier_floor: float | None = None,
     lm_filter: tuple[str, ...] | None = None,
@@ -1386,6 +1387,7 @@ def ingest_increment(
     emb_families: tuple[str, ...] = ("lsh", "ivf", "pq"),
     allow_out_of_order: bool = False,
     auto_compact_bytes: int | None = 8 << 20,
+    auto_refresh_codebooks: bool | dict = False,
     bm25: bool = False,
 ) -> IngestResult:
     """Curate one arriving (doc_id, text) batch against — and into —
@@ -1404,6 +1406,14 @@ def ingest_increment(
     - ``simhash``: additionally maintain the SimHash family (index +
       pairs only — it does not feed the keep/drop decision; choose ONE
       pair family for canonicalization, as curate_corpus does).
+      ``simhash_auto_geometry`` sizes the FIRST build's fingerprint
+      from the corpus count (``simhash.derived_geometry`` — limbs ×
+      block width); every later batch signs at the store's persisted
+      ``sh_geometry`` regardless.  Widening a live store as it grows
+      is ``incremental.maybe_widen_simhash_index`` (a maintenance op:
+      growing the limb count re-signs from the full corpus text, which
+      ingest does not hold — quality/LM filters drop docs AFTER the
+      family signs the batch).
     - ``lm_filter``: keep only docs whose CCNet ``ppl_bucket`` (scored
       against the PERSISTED lm index — build_lm_index on a trusted
       corpus first) is in the given set, e.g. ``("head", "middle")``;
@@ -1454,6 +1464,18 @@ def ingest_increment(
     ``simhash=True`` is rejected in this mode (that family has no
     retraction path yet).  Batch-order equivalence with the one-shot
     curation (docs + pairs + labels) is pinned in tests/test_ingest.py.
+
+    ``auto_refresh_codebooks``: after a successful publish, check the
+    IVF codebook-drift signal (``incremental.should_refresh_codebooks``
+    — one O(n_cells) read of the ``ivf_cell_stats`` sidecar, no
+    assignment-table scan) and run ``refresh_embedding_codebooks`` iff
+    it fires — the orchestrated form of the r10 drift trigger, wired
+    exactly like ``auto_compact_bytes``: the check is per-batch cheap,
+    the corpus-sized retrain runs only when the frozen codebook has
+    actually drifted past the documented thresholds.  No-op on stores
+    without the IVF family.  Pass a dict to forward kwargs to
+    ``maybe_refresh_codebooks`` (e.g. ``{"ivf_cells": 64}`` to grow the
+    cell count with the corpus, or tightened thresholds).
 
     ``auto_compact_bytes``: after a successful publish, fold the
     merge-on-read masks into their base tables (``compact_store``) once
@@ -1893,16 +1915,38 @@ def ingest_increment(
                     ["doc_id"],
                 )
 
-        # 4b. SimHash family (index + pair maintenance only)
+        # 4b. SimHash family (index + pair maintenance only).  Width-
+        # generic (r11): an existing store's persisted sh_geometry wins
+        # — every batch signs at the stored width (mixing widths
+        # silently drops pairs); a FIRST build either takes the legacy
+        # single-long default or, with simhash_auto_geometry, derives
+        # (limbs, block_bits) from the batch's corpus count so a
+        # past-saturation seed corpus starts wide instead of dying at
+        # ~410k docs (simhash.py's measured single-long limit).
         if simhash:
             from jobcan_data_integrator_spark.operators.simhash import (
-                simhash_signatures,
+                derived_geometry,
+                simhash_signatures_at,
             )
 
-            sigs = simhash_signatures(kept)
-            if not store.exists("sh_signatures"):
-                inc.build_simhash_index(store, sigs)
+            g = inc.simhash_store_geometry(store)
+            if g is None and not store.exists("sh_signatures"):
+                if simhash_auto_geometry:
+                    limbs, bb = derived_geometry(kept.count())
+                else:
+                    limbs, bb = 1, 15
+                sigs = simhash_signatures_at(kept, limbs)
+                inc.build_simhash_index(
+                    store, sigs, block_bits=bb, limbs=limbs
+                )
             else:
+                if g is None:
+                    # legacy store without the sidecar: the historical
+                    # single-long default, backfilled on this touch
+                    g = {"limbs": 1, "bits_per_limb": 60}
+                sigs = simhash_signatures_at(
+                    kept, g["limbs"], g["bits_per_limb"]
+                )
                 sh_pairs = inc.simhash_increment(store, sigs)
                 inc.extend_simhash_index(store, sigs, sh_pairs)
 
@@ -2052,6 +2096,15 @@ def ingest_increment(
     )
     if auto_compact_bytes is not None:
         maybe_compact_store(store, threshold_bytes=auto_compact_bytes)
+    if auto_refresh_codebooks:
+        inc.maybe_refresh_codebooks(
+            store,
+            **(
+                auto_refresh_codebooks
+                if isinstance(auto_refresh_codebooks, dict)
+                else {}
+            ),
+        )
     return result
 
 

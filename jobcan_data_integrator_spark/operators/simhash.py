@@ -227,9 +227,72 @@ def near_dup_pairs(
     )
 
 
+def derived_geometry(
+    n_docs: int,
+    *,
+    n_blocks: int = 4,
+    bits_per_limb: int = 60,
+    target_candidates_per_doc: float = 8.0,
+) -> tuple[int, int]:
+    """(limbs, block_bits): the narrowest fingerprint that holds the
+    per-doc candidate target for an ``n_docs`` corpus — the full
+    scaling rule with BOTH knobs.  ``derived_block_bits`` alone widens
+    blocks until the single-long fingerprint saturates (~65k docs at
+    the default target); past that the fix is more limbs, so this
+    walks the divisors of ``n_blocks`` (blocks must never straddle a
+    limb) and returns the first un-saturated width with its derived
+    block_bits.  With ``n_blocks=4`` the ladder is 1 limb (60-bit) →
+    2 limbs (120-bit, ≤30-bit blocks, good to ~2×10⁹ docs) → 4 limbs
+    (240-bit, ≤60-bit blocks — effectively unbounded).  If even the
+    widest rung saturates it is returned clamped (candidates then grow
+    linearly with the corpus — raise ``n_blocks`` at that point)."""
+    divisors = [d for d in range(1, n_blocks + 1) if n_blocks % d == 0]
+    for limbs in divisors:
+        bits = limbs * bits_per_limb
+        if not simhash_geometry_saturated(
+            n_docs,
+            bits=bits,
+            n_blocks=n_blocks,
+            target_candidates_per_doc=target_candidates_per_doc,
+        ):
+            return limbs, derived_block_bits(
+                n_docs,
+                bits=bits,
+                n_blocks=n_blocks,
+                target_candidates_per_doc=target_candidates_per_doc,
+            )
+    limbs = divisors[-1]
+    return limbs, derived_block_bits(
+        n_docs,
+        bits=limbs * bits_per_limb,
+        n_blocks=n_blocks,
+        target_candidates_per_doc=target_candidates_per_doc,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Wide (multi-long) fingerprints — the documented >60-bit scale path
 # ---------------------------------------------------------------------------
+
+
+def simhash_signatures_at(
+    docs: DataFrame,
+    limbs: int = 1,
+    bits_per_limb: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Signature computation at a GEOMETRY: the dispatch the persisted
+    index family (operators/incremental.py) uses so every caller signs
+    a batch at the store's recorded width.  ``limbs == 1`` returns the
+    single-``bigint`` column ``simhash_signatures`` produces (the
+    persisted invariant: one limb ⇔ ``bigint``, several ⇔
+    ``array<bigint>`` — never a one-element array), wider geometries
+    the array the wide block/pair functions consume."""
+    if limbs == 1:
+        return simhash_signatures(docs, bits=bits_per_limb, text_col=text_col)
+    return simhash_signatures_wide(
+        docs, limbs=limbs, bits_per_limb=bits_per_limb, text_col=text_col
+    )
 
 
 def simhash_signatures_wide(

@@ -216,3 +216,92 @@ def test_drift_signal_trips_and_resets(spark, tmp_path):
     assert s2["n_cells"] == 8 and s2["max_share"] == 5 / 32
     assert s2["skew"] < 2.0 and not should_refresh_codebooks(store)
     assert not maybe_refresh_codebooks(store, ivf_cells=8)
+
+
+def test_ingest_auto_refresh_codebooks(spark, tmp_path):
+    """The drift trigger under the INGEST ORCHESTRATOR (r11, verdict #7):
+    ``ingest_increment(auto_refresh_codebooks=True)`` wires
+    ``maybe_refresh_codebooks`` in next to ``maybe_compact_store`` — a
+    balanced batch pays only the O(n_cells) sidecar read, a drifted
+    batch trips the corpus-sized retrain, and the refreshed tables equal
+    a from-scratch build over every live vector (the bit-stable k-means
+    equality the per-family tests pin)."""
+    from jobcan_data_integrator_spark.operators.incremental import (
+        ivf_drift_stats,
+        should_refresh_codebooks,
+    )
+    from jobcan_data_integrator_spark.operators.ingest import ingest_increment
+    from test_ingest import BS, MIN_TOKENS, NH, SPAN, THRESH, _t
+
+    def vec(axis, jitter, bias0=0.0):
+        v = [0.0] * 8
+        v[axis] = 1000.0
+        v[(axis + 1) % 8] += float(jitter)
+        v[0] += bias0
+        return v
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    # same geometry as test_drift_signal_trips_and_resets: 4 balanced
+    # regions seed the codebook; 4 NEW regions (ids 4+m seed the K=8
+    # retrain) pile into the frozen region-0 cell
+    a = []
+    for r in range(4):
+        for j, i in enumerate((r, 8 + 2 * r, 9 + 2 * r)):
+            a.append((i, vec(r, j)))
+    b = []
+    for m in range(4):
+        for j, i in enumerate(
+            (4 + m, 16 + 4 * m, 17 + 4 * m, 18 + 4 * m, 19 + 4 * m)
+        ):
+            b.append((i, vec(4 + m, j, bias0=50.0)))
+
+    store = TableStore(
+        spark, tmp_path / "main", write_partitions=2, snapshot_isolation=True
+    )
+    # seed the family at a controlled cell count (the semantic-family
+    # "build first, ingest extends" pattern), then ingest docs+vectors
+    build_ivf_index(store, mk(a), n_cells=4)
+    docs1 = spark.createDataFrame(
+        [(i, _t(f"w{i}", 0, 12)) for i in range(8)], "doc_id long, text string"
+    )
+    r1 = ingest_increment(
+        store, docs1, "b1",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH,
+        auto_refresh_codebooks=True,
+    )
+    assert not r1.replayed
+    # balanced store: the trigger stayed quiet — codebook untouched
+    cb0 = sorted(map(tuple, store.read("ivf_codebook").collect()))
+    assert not should_refresh_codebooks(store)
+
+    docs2 = spark.createDataFrame(
+        [(100 + i, _t(f"z{i}", 1, 12)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    r2 = ingest_increment(
+        store, docs2, "b2",
+        span=SPAN, min_tokens=MIN_TOKENS, n_hashes=NH, band_size=BS,
+        cluster_threshold=THRESH,
+        new_emb=mk(b), emb_families=("ivf",),
+        auto_refresh_codebooks={"ivf_cells": 8},
+    )
+    assert not r2.replayed
+    # the drifted batch tripped the retrain inside the orchestrator:
+    # signal reset, codebook actually moved, and the rebuilt tables
+    # equal a from-scratch build over all 32 vectors
+    assert not should_refresh_codebooks(store)
+    s = ivf_drift_stats(store)
+    assert s["n_vecs"] == 32 and s["max_share"] == 5 / 32
+    assert sorted(map(tuple, store.read("ivf_codebook").collect())) != cb0
+    ref = TableStore(spark, tmp_path / "ref", write_partitions=2)
+    build_ivf_index(ref, mk(a + b), n_cells=8)
+    for t, cols in (
+        ("ivf_codebook", ("cell_id", "cq")),
+        ("ivf_assignments", ("vec_id", "cell_id")),
+    ):
+        assert _rows(store, t, cols) == _rows(ref, t, cols), t
+    # curated doc side is intact across the refresh commit
+    assert store.read("cur_docs").count() == 16
