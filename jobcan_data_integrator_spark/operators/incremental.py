@@ -228,34 +228,46 @@ def build_minhash_index(
     hashed_shingles: DataFrame,
     n_hashes: int = 8,
     band_size: int = 2,
-) -> None:
+) -> DataFrame:
     """Build the dedup index for an initial corpus: band table, shingle
     sets, sizes, and the corpus-internal verified pairs — one multi-table
     commit (crash mid-build is detected via the commit manifest and the
-    idempotent re-run converges)."""
+    idempotent re-run converges).  Returns the verified-pair frame
+    (materialized) so callers reuse it instead of re-reading
+    ``mh_pairs``."""
     hashed = hashed_shingles.cache()
     sh = hashed.select("doc_id", "shingle").distinct().cache()
     bands = band_rows(hashed, n_hashes, band_size).cache()
-    try:
-        sizes = shingle_sizes(sh)
-        cands = candidate_pairs(bands)
-        pairs = verify_candidate_pairs(cands, sh, sizes)
-        store.begin_commit("mh-index-build", list(INDEX_TABLES))
-        # independent tables, inputs cached above: overlap the per-job
-        # fixed cost (snapshot mode publishes all four atomically)
-        store.merge_batch([
-            lambda: store.overwrite("mh_bands", bands),
-            lambda: store.overwrite("mh_shingles", sh),
-            lambda: store.overwrite("mh_sizes", sizes),
-            lambda: store.overwrite("mh_pairs", pairs),
-        ])
-        store.end_commit()
-    finally:
-        # the build is EAGER (all four tables written above), so the
-        # scratch caches can be dropped before returning
-        bands.unpersist()
-        sh.unpersist()
-        hashed.unpersist()
+    sizes = shingle_sizes(sh)
+    cands = candidate_pairs(bands)
+    # the one expensive derived frame — materialize it (populating the
+    # scratch caches on the way) and hand it back to the caller, which
+    # previously re-read mh_pairs from the store for the SAME rows
+    pairs = verify_candidate_pairs(cands, sh, sizes).localCheckpoint(
+        eager=True
+    )
+    store.begin_commit("mh-index-build", list(INDEX_TABLES))
+
+    def _write() -> None:
+        try:
+            # independent tables, inputs cached above: overlap the
+            # per-job fixed cost (snapshot mode publishes atomically)
+            store.merge_batch([
+                lambda: store.overwrite("mh_bands", bands),
+                lambda: store.overwrite("mh_shingles", sh),
+                lambda: store.overwrite("mh_sizes", sizes),
+                lambda: store.overwrite("mh_pairs", pairs),
+            ])
+        finally:
+            # all four tables written: drop the scratch caches (runs on
+            # the scheduler thread AFTER the writes, never before)
+            bands.unpersist()
+            sh.unpersist()
+            hashed.unpersist()
+
+    store.submit_op(_write, reads=INDEX_TABLES, writes=INDEX_TABLES)
+    store.end_commit()
+    return pairs
 
 
 def dedup_increment(
@@ -364,19 +376,26 @@ def extend_index(
     new_pairs = new_pairs.localCheckpoint(eager=True)
     new_sh = new_hashed_shingles.select("doc_id", "shingle").distinct().cache()
     store.begin_commit("mh-index-extend", list(INDEX_TABLES))
-    store.merge_batch([
-        lambda: store.merge_insert_missing(
-            "mh_bands", band_rows(new_hashed_shingles, n_hashes, band_size),
-            ["doc_id", "band_idx"],
-        ),
-        lambda: store.merge_insert_missing(
-            "mh_shingles", new_sh, ["doc_id", "shingle"]
-        ),
-        lambda: store.merge_insert_missing(
-            "mh_sizes", shingle_sizes(new_sh), ["doc_id"]
-        ),
-        lambda: store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"]),
-    ])
+    store.submit_op(
+        lambda: store.merge_batch([
+            lambda: store.merge_insert_missing(
+                "mh_bands",
+                band_rows(new_hashed_shingles, n_hashes, band_size),
+                ["doc_id", "band_idx"],
+            ),
+            lambda: store.merge_insert_missing(
+                "mh_shingles", new_sh, ["doc_id", "shingle"]
+            ),
+            lambda: store.merge_insert_missing(
+                "mh_sizes", shingle_sizes(new_sh), ["doc_id"]
+            ),
+            lambda: store.merge_upsert(
+                "mh_pairs", new_pairs, ["doc_a", "doc_b"]
+            ),
+        ]),
+        reads=INDEX_TABLES,
+        writes=INDEX_TABLES,
+    )
     store.end_commit()
 
 
@@ -490,7 +509,11 @@ def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
     (operators/ingest._relabel_after_retraction)."""
     spark = doc_ids.sparkSession
     ids = doc_ids.select("doc_id").distinct().localCheckpoint(eager=True)
-    store.merge_insert_missing("mh_doc_drops", ids, ["doc_id"])
+    store.submit_op(
+        lambda: store.merge_insert_missing("mh_doc_drops", ids, ["doc_id"]),
+        reads=("mh_doc_drops",),
+        writes=("mh_doc_drops",),
+    )
     touched = spark.range(0).select(
         F.col("id").alias("doc_a"),
         F.col("id").alias("doc_b"),
@@ -509,9 +532,13 @@ def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        store.merge_insert_missing(
-            "mh_pair_drops", touched.select("doc_a", "doc_b"),
-            ["doc_a", "doc_b"],
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                "mh_pair_drops", touched.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+            ),
+            reads=("mh_pair_drops",),
+            writes=("mh_pair_drops",),
         )
     return touched
 
@@ -626,11 +653,23 @@ def build_cluster_index(store: TableStore, pairs: DataFrame) -> None:
         connected_components,
     )
 
-    labels = connected_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    pairs = pairs.localCheckpoint(eager=True)
     store.begin_commit("cc-index-build", ["cc_labels"])
-    store.overwrite("cc_labels", labels)
+    # the iterative CC compute AND its write ride the scheduler: inside
+    # an orchestrated batch they overlap the other families' writes, and
+    # any later cc_labels read barriers automatically
+    store.submit_op(
+        lambda: store.overwrite(
+            "cc_labels",
+            connected_components(
+                pairs.select(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                )
+            ),
+        ),
+        reads=("cc_labels",),
+        writes=("cc_labels",),
+    )
     store.end_commit()
 
 
@@ -675,7 +714,11 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
         changed, remap = _cluster_label_delta(store, new_pairs)
         if changed.head(1):
             store.begin_commit("cc-index-extend", ["cc_labels"])
-            store.merge_upsert("cc_labels", changed, ["doc_id"])
+            store.submit_op(
+                lambda: store.merge_upsert("cc_labels", changed, ["doc_id"]),
+                reads=("cc_labels",),
+                writes=("cc_labels",),
+            )
             store.end_commit()
         return remap
     out, remap = merged_cluster_labels(store.read("cc_labels"), new_pairs)
@@ -910,20 +953,27 @@ def _hash_groups(doc_hashes: DataFrame) -> DataFrame:
     )
 
 
-def build_exact_index(store: TableStore, docs: DataFrame) -> None:
+def build_exact_index(store: TableStore, docs: DataFrame) -> DataFrame:
     """Persist the per-doc content hashes (doc_id, text_md5) and the
     derived dedup groups (text_md5, keep_doc_id, dup_count) for an
-    initial corpus of (doc_id, text)."""
-    hashes = _doc_hashes(docs).cache()
-    try:
-        store.begin_commit("ex-index-build", list(EXACT_TABLES))
-        store.merge_batch([
+    initial corpus of (doc_id, text).  Returns the groups frame
+    (materialized), so a caller that needs it — ingest's keeper
+    election — reuses the computation instead of reading the table
+    back, and the table writes themselves ride the background scheduler
+    (``submit_op``) inside an orchestrated batch."""
+    hashes = _doc_hashes(docs).localCheckpoint(eager=True)
+    groups = _hash_groups(hashes).localCheckpoint(eager=True)
+    store.begin_commit("ex-index-build", list(EXACT_TABLES))
+    store.submit_op(
+        lambda: store.merge_batch([
             lambda: store.overwrite("ex_docs", hashes),
-            lambda: store.overwrite("ex_groups", _hash_groups(hashes)),
-        ])
-        store.end_commit()
-    finally:
-        hashes.unpersist()
+            lambda: store.overwrite("ex_groups", groups),
+        ]),
+        reads=EXACT_TABLES,
+        writes=EXACT_TABLES,
+    )
+    store.end_commit()
+    return groups
 
 
 def exact_increment(store: TableStore, new_docs: DataFrame) -> DataFrame:
@@ -955,12 +1005,18 @@ def extend_exact_index(
     (materialized first — it scans the tables being rewritten)."""
     merged_groups = merged_groups.localCheckpoint(eager=True)
     store.begin_commit("ex-index-extend", list(EXACT_TABLES))
-    store.merge_batch([
-        lambda: store.merge_insert_missing(
-            "ex_docs", _doc_hashes(new_docs), ["doc_id"]
-        ),
-        lambda: store.merge_upsert("ex_groups", merged_groups, ["text_md5"]),
-    ])
+    store.submit_op(
+        lambda: store.merge_batch([
+            lambda: store.merge_insert_missing(
+                "ex_docs", _doc_hashes(new_docs), ["doc_id"]
+            ),
+            lambda: store.merge_upsert(
+                "ex_groups", merged_groups, ["text_md5"]
+            ),
+        ]),
+        reads=EXACT_TABLES,
+        writes=EXACT_TABLES,
+    )
     store.end_commit()
 
 
@@ -2049,23 +2105,33 @@ def _span_flags(occ: DataFrame, groups: DataFrame) -> DataFrame:
     )
 
 
-def build_span_index(store: TableStore, docs: DataFrame, span: int = 8) -> None:
+def build_span_index(
+    store: TableStore, docs: DataFrame, span: int = 8
+) -> DataFrame:
     """Persist the span-dedup index for an initial (doc_id, text) corpus:
     occurrences, per-hash occurrence stats, and the flagged (removable)
-    occurrence set."""
+    occurrence set.  Returns the flag frame (materialized) so callers
+    reuse it instead of reading ``sp_flags`` back."""
     occ = _span_occ_rows(docs, span).cache()
     groups = _span_hash_groups(occ).cache()
-    try:
-        store.begin_commit("sp-index-build", list(SPAN_TABLES))
-        store.merge_batch([
-            lambda: store.overwrite("sp_occs", occ),
-            lambda: store.overwrite("sp_hashes", groups),
-            lambda: store.overwrite("sp_flags", _span_flags(occ, groups)),
-        ])
-        store.end_commit()
-    finally:
-        groups.unpersist()
-        occ.unpersist()
+    # materializing the flags populates both scratch caches on the way
+    flags = _span_flags(occ, groups).localCheckpoint(eager=True)
+    store.begin_commit("sp-index-build", list(SPAN_TABLES))
+
+    def _write() -> None:
+        try:
+            store.merge_batch([
+                lambda: store.overwrite("sp_occs", occ),
+                lambda: store.overwrite("sp_hashes", groups),
+                lambda: store.overwrite("sp_flags", flags),
+            ])
+        finally:
+            groups.unpersist()
+            occ.unpersist()
+
+    store.submit_op(_write, reads=SPAN_TABLES, writes=SPAN_TABLES)
+    store.end_commit()
+    return flags
 
 
 def span_increment(
@@ -2112,24 +2178,33 @@ def extend_span_index(
     rewritten."""
     merged_hashes = merged_hashes.localCheckpoint(eager=True)
     flags = flags.localCheckpoint(eager=True)
+    has_drops = store.exists(FLAG_DROPS)
     store.begin_commit("sp-index-extend", list(SPAN_TABLES))
-    store.merge_batch([
-        lambda: store.merge_insert_missing(
-            "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
-        ),
-        lambda: store.merge_upsert("sp_hashes", merged_hashes, ["h"]),
-        lambda: store.merge_insert_missing(
-            "sp_flags", flags, ["doc_id", "pos"]
-        ),
-        # a flag retracted by a past retraction and now re-asserted
-        # (the span re-duplicated) is present-but-masked in sp_flags —
-        # the insert is a keyed no-op there, so unmask it too
-        (
-            (lambda: store.delete_scope(FLAG_DROPS, flags, ["doc_id", "pos"]))
-            if store.exists(FLAG_DROPS)
-            else None
-        ),
-    ])
+    store.submit_op(
+        lambda: store.merge_batch([
+            lambda: store.merge_insert_missing(
+                "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
+            ),
+            lambda: store.merge_upsert("sp_hashes", merged_hashes, ["h"]),
+            lambda: store.merge_insert_missing(
+                "sp_flags", flags, ["doc_id", "pos"]
+            ),
+            # a flag retracted by a past retraction and now re-asserted
+            # (the span re-duplicated) is present-but-masked in sp_flags —
+            # the insert is a keyed no-op there, so unmask it too
+            (
+                (
+                    lambda: store.delete_scope(
+                        FLAG_DROPS, flags, ["doc_id", "pos"]
+                    )
+                )
+                if has_drops
+                else None
+            ),
+        ]),
+        reads=tuple(SPAN_TABLES) + (FLAG_DROPS,),
+        writes=tuple(SPAN_TABLES) + (FLAG_DROPS,),
+    )
     store.end_commit()
 
 

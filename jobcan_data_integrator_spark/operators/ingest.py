@@ -1695,8 +1695,9 @@ def ingest_increment(
         # smaller-id late twin WINS and the stored keeper is demoted)
         retired: DataFrame | None = None
         if not store.exists("ex_docs"):
-            inc.build_exact_index(store, scrubbed)
-            groups, first_exact = store.read("ex_groups"), True
+            # the build returns the (materialized) groups frame: no
+            # read-back job, and the table writes stay in the background
+            groups, first_exact = inc.build_exact_index(store, scrubbed), True
         else:
             groups = inc.exact_increment(store, scrubbed).localCheckpoint(
                 eager=True
@@ -1762,10 +1763,14 @@ def ingest_increment(
         # out-of-order mode persists every survivor's pre-span text —
         # the input a later batch's retroactive span flags re-dedup
         if allow_out_of_order:
-            store.merge_insert_missing(
-                CURATED_PRE,
-                survivors.withColumn("batch_id", F.lit(batch_id)),
-                ["doc_id"],
+            store.submit_op(
+                lambda: store.merge_insert_missing(
+                    CURATED_PRE,
+                    survivors.withColumn("batch_id", F.lit(batch_id)),
+                    ["doc_id"],
+                ),
+                reads=(CURATED_PRE,),
+                writes=(CURATED_PRE,),
             )
 
         # 3. ExactSubstr span removal vs the sp_occs family + length
@@ -1778,8 +1783,7 @@ def ingest_increment(
         if span is not None:
             sp_groups = None
             if not store.exists("sp_occs"):
-                inc.build_span_index(store, survivors, span=span)
-                flags = store.read("sp_flags")
+                flags = inc.build_span_index(store, survivors, span=span)
             else:
                 sp_groups, flags = inc.span_increment(
                     store, survivors, span=span
@@ -1847,8 +1851,9 @@ def ingest_increment(
         if minhash:
             hashed = hashed_shingle_rows(kept)
             if not store.exists("mh_bands"):
-                inc.build_minhash_index(store, hashed, n_hashes, band_size)
-                pairs = store.read("mh_pairs").localCheckpoint(eager=True)
+                pairs = inc.build_minhash_index(
+                    store, hashed, n_hashes, band_size
+                )
                 inc.build_cluster_index(
                     store, pairs.filter(F.col("jaccard") >= cluster_threshold)
                 )
@@ -2302,17 +2307,35 @@ def retract_documents(
         # 1. permanence FIRST: the tombstone + mask make every step
         # below see the retracted ids as gone (and a crash replay
         # recomputes against the untouched pre-retraction snapshot)
-        _tombstone(
-            store, r_ids, retract_id, "retracted", ooo=True, permanent=True
+        # three independent single-table writes: background-submitted so
+        # they overlap the exact-family recompute below (any later read
+        # of cur_drops / doc_retractions barriers automatically)
+        store.submit_op(
+            lambda: _tombstone(
+                store, r_ids, retract_id, "retracted", ooo=True,
+                permanent=True,
+            ),
+            reads=(TOMBSTONES,),
+            writes=(TOMBSTONES,),
         )
-        _mask_insert(store, inc.DOC_RETRACTIONS, r_ids, "doc_id")
+        store.submit_op(
+            lambda: _mask_insert(store, inc.DOC_RETRACTIONS, r_ids, "doc_id"),
+            reads=(inc.DOC_RETRACTIONS,),
+            writes=(inc.DOC_RETRACTIONS,),
+        )
         # per-id compliance receipt (the log row below records counts;
         # audits and doc_history want the ids) — keyed insert, so a
         # crash replay converges to one row per (retraction, id)
-        store.merge_insert_missing(
-            RETRACTION_IDS,
-            r_ids.select(F.lit(retract_id).alias("retract_id"), "doc_id"),
-            ["retract_id", "doc_id"],
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                RETRACTION_IDS,
+                r_ids.select(
+                    F.lit(retract_id).alias("retract_id"), "doc_id"
+                ),
+                ["retract_id", "doc_id"],
+            ),
+            reads=(RETRACTION_IDS,),
+            writes=(RETRACTION_IDS,),
         )
 
         # 2. exact family: re-elect keepers for every hash group a
@@ -2370,8 +2393,20 @@ def retract_documents(
             if not mate_docs.head(1):
                 mate_docs = None
             if store.exists("ex_groups"):
-                store.merge_upsert("ex_groups", new_groups, ["text_md5"])
-                store.delete_scope("ex_groups", vanished, ["text_md5"])
+
+                def _ex_groups_update() -> None:
+                    store.merge_upsert(
+                        "ex_groups", new_groups, ["text_md5"]
+                    )
+                    store.delete_scope(
+                        "ex_groups", vanished, ["text_md5"]
+                    )
+
+                store.submit_op(
+                    _ex_groups_update,
+                    reads=("ex_groups",),
+                    writes=("ex_groups",),
+                )
 
         # 3. span family: remove the retracted docs' occurrences (mask)
         # and recompute the affected hashes' stats + flags over the
@@ -2408,8 +2443,12 @@ def retract_documents(
             )
             if occ_sm is not None:
                 sm_rows = occ_sm.unionByName(sm_rows)
-            store.merge_insert_missing(
-                inc.SPAN_MASK_HASHES, sm_rows, ["doc_id", "h"]
+            store.submit_op(
+                lambda: store.merge_insert_missing(
+                    inc.SPAN_MASK_HASHES, sm_rows, ["doc_id", "h"]
+                ),
+                reads=(inc.SPAN_MASK_HASHES,),
+                writes=(inc.SPAN_MASK_HASHES,),
             )
         if span is not None and store.exists("sp_occs") and pre_r.head(1):
             occ_r = _span_occ_rows(pre_r, span)
@@ -2468,20 +2507,49 @@ def retract_documents(
             vanished_hs = hs.join(
                 new_sp_groups.select("h"), "h", "left_anti"
             )
-            store.merge_upsert("sp_hashes", new_sp_groups, ["h"])
-            if vanished_hs.head(1):
-                store.prune_keys("sp_hashes", vanished_hs, ["h"])
+            # evaluate the tiny decision probes on the (checkpointed)
+            # frames up front, then submit each table's update group —
+            # sp_hashes / sp_occs / (sp_flags + its drop mask) are
+            # independent tables, so the three ops overlap
+            fold_vanished = bool(vanished_hs.head(1))
+            has_removed = bool(removed.head(1))
+            has_added = bool(added.head(1))
+
+            def _sp_hashes_update() -> None:
+                store.merge_upsert("sp_hashes", new_sp_groups, ["h"])
+                if fold_vanished:
+                    store.prune_keys("sp_hashes", vanished_hs, ["h"])
+
+            store.submit_op(
+                _sp_hashes_update, reads=("sp_hashes",), writes=("sp_hashes",)
+            )
             if mate_occ is not None:
-                store.merge_insert_missing(
-                    "sp_occs", mate_occ, ["doc_id", "pos"]
+                store.submit_op(
+                    lambda: store.merge_insert_missing(
+                        "sp_occs", mate_occ, ["doc_id", "pos"]
+                    ),
+                    reads=("sp_occs",),
+                    writes=("sp_occs",),
                 )
-            store.merge_insert_missing("sp_flags", added, ["doc_id", "pos"])
-            if removed.head(1):
+
+            def _sp_flags_update() -> None:
                 store.merge_insert_missing(
-                    inc.FLAG_DROPS, removed, ["doc_id", "pos"]
+                    "sp_flags", added, ["doc_id", "pos"]
                 )
-            if store.exists(inc.FLAG_DROPS) and added.head(1):
-                store.delete_scope(inc.FLAG_DROPS, added, ["doc_id", "pos"])
+                if has_removed:
+                    store.merge_insert_missing(
+                        inc.FLAG_DROPS, removed, ["doc_id", "pos"]
+                    )
+                if store.exists(inc.FLAG_DROPS) and has_added:
+                    store.delete_scope(
+                        inc.FLAG_DROPS, added, ["doc_id", "pos"]
+                    )
+
+            store.submit_op(
+                _sp_flags_update,
+                reads=("sp_flags", inc.FLAG_DROPS),
+                writes=("sp_flags", inc.FLAG_DROPS),
+            )
             changed = removed.unionByName(added).select("doc_id").distinct()
             repaired = changed.join(
                 F.broadcast(r_ids), "doc_id", "left_anti"
@@ -2502,9 +2570,18 @@ def retract_documents(
                 .select("chunk_id")
                 .localCheckpoint(eager=True)
             )
-            store.prune_keys(CHUNKS, r_ids, ["doc_id"])
-            if store.exists(SHARDS):
-                store.prune_keys(SHARDS, r_chunks, ["chunk_id"])
+            has_shards = store.exists(SHARDS)
+
+            def _chunk_prunes() -> None:
+                store.prune_keys(CHUNKS, r_ids, ["doc_id"])
+                if has_shards:
+                    store.prune_keys(SHARDS, r_chunks, ["chunk_id"])
+
+            store.submit_op(
+                _chunk_prunes,
+                reads=(CHUNKS, SHARDS),
+                writes=(CHUNKS, SHARDS),
+            )
         if bm25:
             # takedown reaches the BM25 family too: the curated rows
             # about to be deleted carry the text whose tokens name the
@@ -2515,10 +2592,22 @@ def retract_documents(
                 .select("doc_id", "text")
                 .localCheckpoint(eager=True)
             )
-        store.prune_keys(CURATED, r_ids, ["doc_id"])
-        store.prune_keys(CURATED_PRE, r_ids, ["doc_id"])
+        store.submit_op(
+            lambda: store.prune_keys(CURATED, r_ids, ["doc_id"]),
+            reads=(CURATED,),
+            writes=(CURATED,),
+        )
+        store.submit_op(
+            lambda: store.prune_keys(CURATED_PRE, r_ids, ["doc_id"]),
+            reads=(CURATED_PRE,),
+            writes=(CURATED_PRE,),
+        )
         if bm25:
-            rt.remove_bm25_docs(store, old_bm)
+            store.submit_op(
+                lambda: rt.remove_bm25_docs(store, old_bm),
+                reads=tuple(rt.BM25_TABLES),
+                writes=tuple(rt.BM25_TABLES),
+            )
 
         # 5. MinHash retirement + component relabel: mates demoted only
         # through a retracted doc resurrect; one whose curated row never
@@ -2919,7 +3008,6 @@ def compact_store(store: TableStore) -> None:
         )
     ):
         return
-    store.begin_commit("store-compact", tables)
     # every fold below goes through the partition-SCOPED prune
     # primitives: on a bucketed/banded snapshot table only the segments
     # containing masked rows are rewritten (emptied ones become layer
@@ -2928,7 +3016,9 @@ def compact_store(store: TableStore) -> None:
     # (the residual corpus-linear term is the column-pruned
     # affected-partition scans).  Folds of different tables run as
     # concurrent chains (merge_batch); same-table prunes stay ordered
-    # inside their chain.
+    # inside their chain.  The bracket is ``batch_commit`` (not bare
+    # begin/end) so the independent sections below additionally overlap
+    # through the background scheduler (``submit_op``).
     def _unfolded(table: str, key: str) -> DataFrame | None:
         """The mask rows added since the last fold (``folded=False``; a
         pre-watermark store's unflagged rows count as unfolded once).
@@ -2944,6 +3034,20 @@ def compact_store(store: TableStore) -> None:
             m = m.filter(~F.coalesce(F.col("folded"), F.lit(False)))
         m = m.select(key).localCheckpoint(eager=True)
         return m if m.head(1) else None
+
+    with store.batch_commit("store-compact", tables):
+        _compact_folds(store, tables, _unfolded)
+    _record_compact_stat(store)
+
+
+def _compact_folds(store: TableStore, tables: list[str], _unfolded) -> None:
+    """The fold body of ``compact_store`` (one ``batch_commit``): the
+    main prune group, the mask watermark flips, the permanent-tombstone
+    resolution and the transient-mask reset are mutually independent
+    where their declared table sets are disjoint, so each section rides
+    the background scheduler and the commit publishes once."""
+    from jobcan_data_integrator_spark.operators import incremental as inc
+    from jobcan_data_integrator_spark.operators import retrieval as rt
 
     emb_mask = _unfolded(inc.EMB_RETRACTIONS, "vec_id")
     mask = _unfolded(inc.DOC_RETRACTIONS, "doc_id")
@@ -3030,20 +3134,35 @@ def compact_store(store: TableStore) -> None:
     ops.append(
         lambda: store.prune_predicate("sp_hashes", F.col("n_occ") <= 0)
     )
-    store.merge_batch(ops)
+    fold_writes = (
+        "sp_flags", "eb_vectors", "eb_buckets", "ivf_assignments",
+        "pq_codes", "ex_docs", DOC_VECS, "sp_occs", inc.SPAN_MASK_HASHES,
+        inc.IVF_CELL_STATS, "sp_hashes",
+    )
+    store.submit_op(
+        lambda: store.merge_batch(ops),
+        reads=fold_writes + (inc.FLAG_DROPS, inc.EMB_RETRACTIONS),
+        writes=fold_writes,
+    )
     # flip the folded delta's watermark: the permanent ids STAY (the
-    # takedown contract), but the next fold's prune scope starts empty
+    # takedown contract), but the next fold's prune scope starts empty.
+    # The doc-side flip is independent of the main group; the emb-side
+    # one waits for it (the IVF sidecar rebuild reads emb_retractions)
     for t, key, m in (
         (inc.DOC_RETRACTIONS, "doc_id", mask),
         (inc.EMB_RETRACTIONS, "vec_id", emb_mask),
     ):
         if m is not None:
-            store.overwrite(
-                t,
-                store.read(t)
-                .select(key)
-                .distinct()
-                .withColumn("folded", F.lit(True)),
+            store.submit_op(
+                lambda t=t, key=key: store.overwrite(
+                    t,
+                    store.read(t)
+                    .select(key)
+                    .distinct()
+                    .withColumn("folded", F.lit(True)),
+                ),
+                reads=(t,),
+                writes=(t,),
             )
     if store.exists(TOMBSTONES):
         tomb = store.read(TOMBSTONES)
@@ -3086,18 +3205,31 @@ def compact_store(store: TableStore) -> None:
                     fold_ops.append(
                         lambda: rt.remove_bm25_docs(store, old_bm)
                     )
-                store.merge_batch(fold_ops)
+                store.submit_op(
+                    lambda: store.merge_batch(fold_ops),
+                    reads=(
+                        CURATED, CURATED_PRE, TOMBSTONES,
+                        rt.BM25_POSTINGS, rt.BM25_DOC_LEN,
+                    ),
+                    writes=(
+                        CURATED, CURATED_PRE, TOMBSTONES,
+                        rt.BM25_POSTINGS, rt.BM25_DOC_LEN,
+                    ),
+                )
     # sp_flag_drops is the ONE transient retraction mask (its effect —
     # flag rows deleted — is fully captured by the fold; a later batch
     # re-duplicating the span re-asserts the flag as a fresh insert).
     # doc_retractions / emb_retractions are PERMANENT by contract and
-    # are never emptied here — see the docstring.
+    # are never emptied here — see the docstring.  (Waits for the main
+    # group — it reads sp_flag_drops — via the declared sets.)
     if store.exists(inc.FLAG_DROPS):
-        store.overwrite(
-            inc.FLAG_DROPS, store.read(inc.FLAG_DROPS).limit(0)
+        store.submit_op(
+            lambda: store.overwrite(
+                inc.FLAG_DROPS, store.read(inc.FLAG_DROPS).limit(0)
+            ),
+            reads=(inc.FLAG_DROPS,),
+            writes=(inc.FLAG_DROPS,),
         )
-    store.end_commit()
-    _record_compact_stat(store)
 
 
 #: driver-side advisory watermark written by ``compact_store``: every

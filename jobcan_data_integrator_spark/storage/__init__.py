@@ -71,6 +71,93 @@ _LEASE_LOCK = threading.Lock()
 _LEASE_HOLDERS: dict[str, "weakref.WeakSet"] = {}
 
 
+#: set on threads executing a ``submit_op`` body: storage-level
+#: auto-barriers are skipped there (the op's dependencies were resolved
+#: at submit time; re-barriering from inside a worker would self-wait)
+_ASYNC_WORKER = threading.local()
+
+
+class _AsyncWrites:
+    """Dependency-ordered background executor for the independent store
+    writes of ONE commit (guide §2.6: overlap independent jobs so each
+    small write's fixed driver/scheduler cost hides behind the pipeline's
+    compute instead of serializing after it).
+
+    Ops declare the tables they read and write at submit time; an op
+    waits for (a) earlier writers of anything it reads (RAW), (b) earlier
+    writers of anything it writes (WAW — same-table writes stay ordered),
+    and (c) earlier readers of anything it writes (WAR — a reader sees
+    the state as of ITS submission, never a later write).  Every
+    dependency is an earlier-submitted future and the pool is FIFO, so a
+    blocked op's dependencies are always already running or done — no
+    cyclic wait is constructible.
+    """
+
+    def __init__(self, max_workers: int = 4) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max_workers)
+        self._lock = threading.Lock()
+        self._writers: dict[str, object] = {}
+        self._readers: dict[str, list] = {}
+        self._all: list = []
+
+    def submit(self, op, reads: tuple, writes: tuple) -> None:
+        with self._lock:
+            deps = []
+            for t in reads:
+                w = self._writers.get(t)
+                if w is not None:
+                    deps.append(w)
+            for t in writes:
+                w = self._writers.get(t)
+                if w is not None:
+                    deps.append(w)
+                deps.extend(self._readers.get(t, []))
+
+            def run(deps=deps, op=op):
+                for d in deps:
+                    d.result()
+                _ASYNC_WORKER.active = True
+                try:
+                    op()
+                finally:
+                    _ASYNC_WORKER.active = False
+
+            fut = self._pool.submit(run)
+            for t in writes:
+                self._writers[t] = fut
+                self._readers[t] = []
+            for t in reads:
+                self._readers.setdefault(t, []).append(fut)
+            self._all.append(fut)
+
+    def wait_table(self, table: str) -> None:
+        """Block until the last submitted writer of ``table`` (if any)
+        has finished — the read-side barrier."""
+        with self._lock:
+            fut = self._writers.get(table)
+        if fut is not None:
+            fut.result()
+
+    def wait_all(self, *, swallow: bool = False) -> None:
+        with self._lock:
+            futs = list(self._all)
+            self._all = []
+            self._writers = {}
+            self._readers = {}
+        first_err = None
+        for f in futs:
+            try:
+                f.result()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                if first_err is None:
+                    first_err = e
+        self._pool.shutdown(wait=True)
+        if first_err is not None and not swallow:
+            raise first_err
+
+
 class ConcurrentWriterError(RuntimeError):
     """A second writer tried to commit to a store another live writer
     holds the lease on.  The snapshot pointer update and the manifest
@@ -273,6 +360,59 @@ class TableStore:
         #: the lease epoch this instance's current commit runs under
         #: (set at begin_commit; the fencing token _verify_lease checks)
         self._commit_epoch: int | None = None
+        #: background write scheduler for the current ``batch_commit``
+        #: (created on first ``submit_op``, drained at context exit)
+        self._async: _AsyncWrites | None = None
+
+    # -- background writes (guide §2.6) ---------------------------------------
+
+    def submit_op(self, op, *, reads: tuple = (), writes: tuple = ()) -> None:
+        """Run ``op`` (a zero-arg callable doing store writes) in the
+        background when that is safe — inside a ``batch_commit`` on a
+        snapshot-isolated parquet store, where completion order is
+        unobservable until the single atomic publish at context exit.
+        Elsewhere (plain mode's ordered swaps, the Delta backend's own
+        commit protocol, or outside a batch) it runs inline.
+
+        ``reads``/``writes`` name the tables the op touches; the
+        scheduler orders ops sharing tables (see ``_AsyncWrites``) and
+        any synchronous store access barriers automatically, so call
+        sites that never declare anything keep today's semantics."""
+        if (
+            self.backend != "parquet"
+            or not self.snapshot_isolation
+            or not self._suspended
+        ):
+            op()
+            return
+        if self._async is None:
+            self._async = _AsyncWrites()
+        self._async.submit(op, tuple(reads), tuple(writes))
+
+    def _rbar(self, table: str) -> None:
+        """Read barrier: wait for the pending background writer of
+        ``table`` so a synchronous read observes it (no-op on worker
+        threads — their dependencies were resolved at submit)."""
+        if self._async is not None and not getattr(
+            _ASYNC_WORKER, "active", False
+        ):
+            self._async.wait_table(table)
+
+    def _wbar(self) -> None:
+        """Write barrier: a synchronous write op (which does not declare
+        its read set) waits for ALL pending background writes first."""
+        if self._async is not None and not getattr(
+            _ASYNC_WORKER, "active", False
+        ):
+            self._async.wait_all()
+            self._async = None
+
+    def flush_writes(self, *, swallow: bool = False) -> None:
+        """Drain every pending background write (re-raising the first
+        failure unless ``swallow``)."""
+        if self._async is not None:
+            a, self._async = self._async, None
+            a.wait_all(swallow=swallow)
 
     # -- basic io -------------------------------------------------------------
 
@@ -537,6 +677,7 @@ class TableStore:
         hint must cover every bucket containing a matching row; rows in
         unhinted buckets silently survive (pinned complete at the one
         call site by tests/test_retract.py's fold-equivalence checks)."""
+        self._wbar()
         if self.backend == "delta":
             if self.exists(table):
                 self.delete_scope(
@@ -611,6 +752,7 @@ class TableStore:
         side filters on ``~cond OR cond IS NULL``, since a bare
         ``~cond`` would silently drop the NULLs a three-valued ``~``
         keeps un-matched)."""
+        self._wbar()
         if not self.exists(table):
             return
         keep = ~cond | cond.isNull()
@@ -789,6 +931,7 @@ class TableStore:
         return reduce(lambda x, y: x | y, conds) if conds else F.lit(False)
 
     def exists(self, table: str) -> bool:
+        self._rbar(table)
         if self.backend == "delta":
             return self._delta_cls().isDeltaTable(
                 self.spark, str(self.path(table))
@@ -801,6 +944,7 @@ class TableStore:
         return self.path(table).exists()
 
     def read(self, table: str) -> DataFrame:
+        self._rbar(table)
         if self.backend == "delta":
             if self._delta_fake:
                 return self.spark.read.parquet(str(self.path(table)))
@@ -831,6 +975,7 @@ class TableStore:
         a driver-side filesystem stat, no Spark job.  The cheap size
         probe behind auto-compaction triggers (a merge-on-read mask
         table's footprint approximates its broadcast cost)."""
+        self._rbar(table)
         if not self.exists(table):
             return 0
         if self.snapshot_isolation and self._is_managed(table):
@@ -890,6 +1035,7 @@ class TableStore:
         table is neither bucketed nor range-banded (nothing to prune on)
         or when the keys cover every bucket.
         """
+        self._rbar(table)
         if table not in self.bucketed:
             if table in self.range_partitioned:
                 return self._read_for_key_bands(table, keys, key_col)
@@ -1004,6 +1150,7 @@ class TableStore:
 
         Delta backend: one Delta commit (atomic by its protocol).
         """
+        self._wbar()
         if self.backend == "delta":
             self._delta_write(table, df, "overwrite")
             return
@@ -1064,6 +1211,7 @@ class TableStore:
         driver/scheduler fixed cost regardless of data volume
         (BASELINE.md fixed-cost memo); a family extend's 3-4 writes
         collapse to ~the slowest one."""
+        self._wbar()
         ops = [op for op in ops if op is not None]
         if (
             len(ops) < 2
@@ -1075,8 +1223,22 @@ class TableStore:
             return
         from concurrent.futures import ThreadPoolExecutor
 
+        # propagate the async-worker flag into this batch's pool threads:
+        # when merge_batch runs INSIDE a submit_op body, its ops' own
+        # store calls must skip the storage barriers exactly like the
+        # submitting worker (a _wbar there would wait on the currently-
+        # running op's future — self-deadlock)
+        inside = getattr(_ASYNC_WORKER, "active", False)
+
+        def run(op):
+            _ASYNC_WORKER.active = inside
+            try:
+                op()
+            finally:
+                _ASYNC_WORKER.active = False
+
         with ThreadPoolExecutor(max_workers=min(4, len(ops))) as ex:
-            for f in [ex.submit(op) for op in ops]:
+            for f in [ex.submit(run, op) for op in ops]:
                 f.result()
 
     # -- multi-table commit manifest ------------------------------------------
@@ -1372,6 +1534,7 @@ class TableStore:
         # the fencing check: abort BEFORE the pointer swap and the GC if
         # this commit's lease was taken over while the batch stalled
         self._verify_lease()
+        self.flush_writes()
         if self.snapshot_isolation and self._pending_versions:
             snap = self.current_snapshot()
             new_tables = dict(snap["tables"])
@@ -1726,7 +1889,13 @@ class TableStore:
         self._suspended = True
         try:
             yield self
+            # surface any background-write failure BEFORE leaving the
+            # suspended scope, so it aborts the batch like an inline one
+            self.flush_writes()
         except BaseException:
+            # drain in-flight background writes first (their dirs must
+            # not re-register into _pending_versions after the discard)
+            self.flush_writes(swallow=True)
             self._suspended = False
             # snapshot mode: discard the unpublished versioned dirs so a
             # same-instance replay starts from the pre-batch snapshot
@@ -1931,6 +2100,7 @@ class TableStore:
         Delta backend: one real ``MERGE INTO`` (matched → update all,
         not-matched → insert all) — the statement this parquet-mode
         merge documents itself as binding to."""
+        self._wbar()
         u = updates.dropDuplicates(keys)
         if self.backend == "delta":
             if not self.exists(table):
@@ -1968,6 +2138,7 @@ class TableStore:
 
         Delta backend: ``MERGE INTO`` with only the not-matched-insert
         branch."""
+        self._wbar()
         u = updates.dropDuplicates(keys)
         if self.backend == "delta":
             if not self.exists(table):
@@ -2013,6 +2184,7 @@ class TableStore:
         each an atomic Delta commit; a crash between them is converged
         by the idempotent replay, the same cross-commit contract as
         parquet mode's multi-table batches)."""
+        self._wbar()
         if self.backend == "delta":
             if not self.exists(table):
                 self._delta_write(table, updates, "overwrite")
