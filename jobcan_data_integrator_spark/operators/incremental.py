@@ -479,19 +479,35 @@ def compact_minhash_drops(store: TableStore) -> None:
                 "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
             )
 
-    ops = [_fold_bands, _fold_pairs]
-    if doc_drops is not None:
-        ops += [
-            lambda: store.prune_keys("mh_shingles", doc_drops, ["doc_id"]),
-            lambda: store.prune_keys("mh_sizes", doc_drops, ["doc_id"]),
-        ]
-    store.merge_batch(ops)
-    store.merge_batch(
-        [
-            (lambda t=t: store.overwrite(t, store.read(t).limit(0)))
-            for t in drops
-        ]
+    store.submit_op(
+        _fold_bands,
+        reads=("mh_bands", "mh_doc_drops", "mh_band_drops"),
+        writes=("mh_bands",),
     )
+    store.submit_op(
+        _fold_pairs,
+        reads=("mh_pairs", "mh_doc_drops", "mh_pair_drops"),
+        writes=("mh_pairs",),
+    )
+    if doc_drops is not None:
+        store.submit_op(
+            lambda: store.prune_keys("mh_shingles", doc_drops, ["doc_id"]),
+            reads=("mh_shingles", "mh_doc_drops"),
+            writes=("mh_shingles",),
+        )
+        store.submit_op(
+            lambda: store.prune_keys("mh_sizes", doc_drops, ["doc_id"]),
+            reads=("mh_sizes", "mh_doc_drops"),
+            writes=("mh_sizes",),
+        )
+    # the clears declare a WRITE of each drop table, so the scheduler's
+    # WAR edges order them after every fold above that READS it
+    for t in drops:
+        store.submit_op(
+            lambda t=t: store.overwrite(t, store.read(t).limit(0)),
+            reads=(t,),
+            writes=(t,),
+        )
     store.end_commit()
 
 
@@ -596,11 +612,19 @@ def resign_minhash(
     superseded = old_bands.join(
         new_bands, ["doc_id", "band_idx", "band_key"], "left_anti"
     )
-    store.merge_insert_missing(
-        "mh_band_drops", superseded, ["doc_id", "band_idx", "band_key"]
-    )
-    store.delete_scope(
-        "mh_band_drops", new_bands, ["doc_id", "band_idx", "band_key"]
+
+    def _band_drops() -> None:
+        store.merge_insert_missing(
+            "mh_band_drops", superseded, ["doc_id", "band_idx", "band_key"]
+        )
+        store.delete_scope(
+            "mh_band_drops", new_bands, ["doc_id", "band_idx", "band_key"]
+        )
+
+    # dedup_increment's probe below reads mh_band_drops and barriers on
+    # this op; the old-pairs materialization overlaps it meanwhile
+    store.submit_op(
+        _band_drops, reads=("mh_band_drops",), writes=("mh_band_drops",)
     )
 
     b_rid = F.broadcast(ids.select(F.col("doc_id").alias("_rid")))
@@ -620,22 +644,46 @@ def resign_minhash(
     new_pairs = new_pairs.localCheckpoint(eager=True)
 
     store.begin_commit("mh-resign", list(INDEX_TABLES) + ["mh_pair_drops"])
-    store.sync_children("mh_shingles", new_sh, ["doc_id"])
-    store.merge_upsert("mh_sizes", shingle_sizes(new_sh), ["doc_id"])
-    store.merge_insert_missing(
-        "mh_bands", new_bands, ["doc_id", "band_idx", "band_key"]
+    # five independent per-table update groups: each rides the scheduler
+    store.submit_op(
+        lambda: store.sync_children("mh_shingles", new_sh, ["doc_id"]),
+        reads=("mh_shingles",),
+        writes=("mh_shingles",),
+    )
+    store.submit_op(
+        lambda: store.merge_upsert("mh_sizes", shingle_sizes(new_sh), ["doc_id"]),
+        reads=("mh_sizes",),
+        writes=("mh_sizes",),
+    )
+    store.submit_op(
+        lambda: store.merge_insert_missing(
+            "mh_bands", new_bands, ["doc_id", "band_idx", "band_key"]
+        ),
+        reads=("mh_bands",),
+        writes=("mh_bands",),
     )
     stale_pairs = old_pairs.join(
         new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
     ).localCheckpoint(eager=True)
-    store.merge_insert_missing(
-        "mh_pair_drops", stale_pairs.select("doc_a", "doc_b"),
-        ["doc_a", "doc_b"],
+
+    def _pair_drops() -> None:
+        store.merge_insert_missing(
+            "mh_pair_drops", stale_pairs.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+        )
+        store.delete_scope(
+            "mh_pair_drops", new_pairs.select("doc_a", "doc_b"),
+            ["doc_a", "doc_b"],
+        )
+
+    store.submit_op(
+        _pair_drops, reads=("mh_pair_drops",), writes=("mh_pair_drops",)
     )
-    store.delete_scope(
-        "mh_pair_drops", new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+    store.submit_op(
+        lambda: store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"]),
+        reads=("mh_pairs",),
+        writes=("mh_pairs",),
     )
-    store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"])
     store.end_commit()
     return new_pairs, stale_pairs
 
@@ -723,7 +771,11 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
         return remap
     out, remap = merged_cluster_labels(store.read("cc_labels"), new_pairs)
     store.begin_commit("cc-index-extend", ["cc_labels"])
-    store.overwrite("cc_labels", out)
+    store.submit_op(
+        lambda: store.overwrite("cc_labels", out),
+        reads=("cc_labels",),
+        writes=("cc_labels",),
+    )
     store.end_commit()
     return remap
 
@@ -1188,19 +1240,27 @@ def build_simhash_index(
     }
     _sh_validate_geometry(g)
     blocks = _sh_block_rows(sig, g).cache()
-    try:
-        pairs = _sh_near_dup_pairs(blocks, None, g)
-        store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
-        store.merge_batch([
-            lambda: store.overwrite("sh_signatures", sig),
-            lambda: store.overwrite("sh_blocks", blocks),
-            lambda: store.overwrite("sh_pairs", pairs),
-            lambda: store.overwrite("sh_geometry", _sh_geometry_df(store, g)),
-        ])
-        store.end_commit()
-    finally:
-        blocks.unpersist()
-        sig.unpersist()
+    pairs = _sh_near_dup_pairs(blocks, None, g)
+    store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
+
+    def _write() -> None:
+        try:
+            store.merge_batch([
+                lambda: store.overwrite("sh_signatures", sig),
+                lambda: store.overwrite("sh_blocks", blocks),
+                lambda: store.overwrite("sh_pairs", pairs),
+                lambda: store.overwrite(
+                    "sh_geometry", _sh_geometry_df(store, g)
+                ),
+            ])
+        finally:
+            blocks.unpersist()
+            sig.unpersist()
+
+    store.submit_op(
+        _write, reads=tuple(SIMHASH_TABLES), writes=tuple(SIMHASH_TABLES)
+    )
+    store.end_commit()
 
 
 def _sh_resolve_geometry(
@@ -1299,7 +1359,7 @@ def extend_simhash_index(
             "sh_blocks", _sh_block_rows(sig, g), ["doc_id", "b"]
         ),
         lambda: store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"]),
-    ])
+    ], tables=tuple(SIMHASH_TABLES))
     store.end_commit()
 
 
@@ -1406,7 +1466,7 @@ def resign_simhash_index(
         pairs = _sh_near_dup_pairs(blocks, None, new)
         ops.append(lambda: store.overwrite("sh_pairs", pairs))
     store.begin_commit("sh-index-resign", list(SIMHASH_TABLES))
-    store.merge_batch(ops)
+    store.merge_batch(ops, tables=tuple(SIMHASH_TABLES))
     store.end_commit()
     return new
 
@@ -1505,7 +1565,7 @@ def build_ivf_index(
             IVF_CELL_STATS,
             assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs")),
         ),
-    ])
+    ], tables=tuple(IVF_TABLES) + (IVF_CELL_STATS,))
     store.end_commit()
 
 
@@ -1537,7 +1597,7 @@ def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
             "ivf_assignments", new_assignments, ["vec_id"]
         ),
         lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
-    ])
+    ], tables=("ivf_assignments", IVF_CELL_STATS))
     store.end_commit()
 
 
@@ -1784,22 +1844,30 @@ def build_embedding_index(
     )
 
     emb = emb.cache()
-    try:
-        pairs = embedding_near_dup_pairs(emb, threshold, n_planes, dim, n_bands)
-        store.begin_commit("eb-index-build", list(EMBEDDING_TABLES))
-        store.merge_batch([
-            lambda: store.overwrite("eb_vectors", emb),
-            lambda: store.overwrite(
-                "eb_buckets",
-                bucket_rows(emb, n_planes, dim, n_bands).select(
-                    "vec_id", "band", "bucket"
+    pairs = embedding_near_dup_pairs(emb, threshold, n_planes, dim, n_bands)
+    store.begin_commit("eb-index-build", list(EMBEDDING_TABLES))
+
+    def _write() -> None:
+        try:
+            store.merge_batch([
+                lambda: store.overwrite("eb_vectors", emb),
+                lambda: store.overwrite(
+                    "eb_buckets",
+                    bucket_rows(emb, n_planes, dim, n_bands).select(
+                        "vec_id", "band", "bucket"
+                    ),
                 ),
-            ),
-            lambda: store.overwrite("eb_pairs", pairs),
-        ])
-        store.end_commit()
-    finally:
-        emb.unpersist()
+                lambda: store.overwrite("eb_pairs", pairs),
+            ])
+        finally:
+            emb.unpersist()
+
+    store.submit_op(
+        _write,
+        reads=tuple(EMBEDDING_TABLES),
+        writes=tuple(EMBEDDING_TABLES),
+    )
+    store.end_commit()
 
 
 def embedding_increment(
@@ -1910,7 +1978,7 @@ def extend_embedding_index(
             ["vec_id", "band"],
         ),
         lambda: store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"]),
-    ])
+    ], tables=tuple(EMBEDDING_TABLES))
     store.end_commit()
 
 
@@ -1985,7 +2053,13 @@ def build_semantic_index(
     build_ivf_index(store, emb, n_cells=n_cells, iters=iters)
     assign = store.read("ivf_assignments")
     store.begin_commit("sd-index-build", ["sd_pairs"])
-    store.overwrite("sd_pairs", _cell_pairs(assign, None, threshold))
+    store.submit_op(
+        lambda: store.overwrite(
+            "sd_pairs", _cell_pairs(assign, None, threshold)
+        ),
+        reads=("sd_pairs",),
+        writes=("sd_pairs",),
+    )
     store.end_commit()
 
 
@@ -2033,7 +2107,7 @@ def extend_semantic_index(
         lambda: store.merge_insert_missing("ivf_assignments", inc, ["vec_id"]),
         lambda: store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"]),
         lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
-    ])
+    ], tables=tuple(SEMANTIC_TABLES) + (IVF_CELL_STATS,))
     store.end_commit()
 
 
@@ -2232,16 +2306,18 @@ def build_lm_index(store: TableStore, docs: DataFrame) -> None:
 
     lm = train_ngram_lm(docs)
     store.begin_commit("lm-index-build", list(LM_TABLES))
-    store.overwrite("lm_uni", lm.uni)
-    store.overwrite("lm_bi", lm.bi)
-    store.overwrite("lm_tri", lm.tri)
-    store.overwrite("lm_tot", lm.totals)
-    store.overwrite(
-        "lm_batches",
-        docs.sparkSession.range(1).select(
-            F.lit("lm-index-build").alias("batch_id")
+    store.merge_batch([
+        lambda: store.overwrite("lm_uni", lm.uni),
+        lambda: store.overwrite("lm_bi", lm.bi),
+        lambda: store.overwrite("lm_tri", lm.tri),
+        lambda: store.overwrite("lm_tot", lm.totals),
+        lambda: store.overwrite(
+            "lm_batches",
+            docs.sparkSession.range(1).select(
+                F.lit("lm-index-build").alias("batch_id")
+            ),
         ),
-    )
+    ], tables=tuple(LM_TABLES))
     store.end_commit()
 
 
@@ -2361,11 +2437,8 @@ def extend_lm_index(
     inc_tokens = inc.totals.first()["n_tokens"]
     old = store.read("lm_tot").first()
     store.begin_commit(batch_id, list(LM_TABLES))
-    for table, counts in (
-        ("lm_uni", inc.uni),
-        ("lm_bi", inc.bi),
-        ("lm_tri", inc.tri),
-    ):
+
+    def _level(table: str, counts: DataFrame) -> None:
         counts = counts.localCheckpoint(eager=True)
         stored = store.read_for_keys(table, counts.select("h")).join(
             F.broadcast(counts.select("h").distinct()), "h", "leftsemi"
@@ -2377,19 +2450,44 @@ def extend_lm_index(
             .localCheckpoint(eager=True)
         )
         store.merge_upsert(table, merged, ["h"])
-    store.overwrite(
-        "lm_tot",
-        new_docs.sparkSession.range(1).select(
-            F.lit(old["n_tokens"] + inc_tokens).cast("bigint").alias("n_tokens"),
-            F.lit(old["n_vocab"] + new_vocab).cast("bigint").alias("n_vocab"),
+
+    # the three count levels touch disjoint tables — each level's whole
+    # probe+merge rides the scheduler as one op
+    for table, counts in (
+        ("lm_uni", inc.uni),
+        ("lm_bi", inc.bi),
+        ("lm_tri", inc.tri),
+    ):
+        store.submit_op(
+            lambda t=table, c=counts: _level(t, c),
+            reads=(table,),
+            writes=(table,),
+        )
+    store.submit_op(
+        lambda: store.overwrite(
+            "lm_tot",
+            new_docs.sparkSession.range(1).select(
+                F.lit(old["n_tokens"] + inc_tokens)
+                .cast("bigint")
+                .alias("n_tokens"),
+                F.lit(old["n_vocab"] + new_vocab)
+                .cast("bigint")
+                .alias("n_vocab"),
+            ),
         ),
+        reads=("lm_tot",),
+        writes=("lm_tot",),
     )
-    store.merge_insert_missing(
-        "lm_batches",
-        new_docs.sparkSession.range(1).select(
-            F.lit(batch_id).alias("batch_id")
+    store.submit_op(
+        lambda: store.merge_insert_missing(
+            "lm_batches",
+            new_docs.sparkSession.range(1).select(
+                F.lit(batch_id).alias("batch_id")
+            ),
+            ["batch_id"],
         ),
-        ["batch_id"],
+        reads=("lm_batches",),
+        writes=("lm_batches",),
     )
     store.end_commit()
 
@@ -2436,7 +2534,7 @@ def build_line_index(
                 F.lit(batch_id).alias("batch_id")
             ),
         ),
-    ])
+    ], tables=tuple(LINE_TABLES))
     store.end_commit()
 
 
@@ -2532,7 +2630,7 @@ def extend_line_index(
             ),
             ["batch_id"],
         ),
-    ])
+    ], tables=tuple(LINE_TABLES))
     store.end_commit()
 
 
@@ -2566,7 +2664,7 @@ def build_pq_index(
     store.merge_batch([
         lambda: store.overwrite("pq_codebooks", cb),
         lambda: store.overwrite("pq_codes", pq_encode(emb, cb, m=m)),
-    ])
+    ], tables=tuple(PQ_TABLES))
     store.end_commit()
 
 
@@ -2586,7 +2684,11 @@ def extend_pq_index(store: TableStore, new_codes: DataFrame) -> None:
     nothing (plain idempotent-merge contract, no batch ledger needed)."""
     new_codes = new_codes.localCheckpoint(eager=True)
     store.begin_commit("pq-index-extend", list(PQ_TABLES))
-    store.merge_insert_missing("pq_codes", new_codes, ["vec_id"])
+    store.submit_op(
+        lambda: store.merge_insert_missing("pq_codes", new_codes, ["vec_id"]),
+        reads=("pq_codes",),
+        writes=("pq_codes",),
+    )
     store.end_commit()
 
 
@@ -2690,7 +2792,7 @@ def refresh_embedding_codebooks(
                         F.count("*").alias("n_vecs")
                     ),
                 ),
-            ])
+            ], tables=tuple(IVF_TABLES) + (IVF_CELL_STATS,))
             summary["ivf_cells"] = cent.count()
         if has_pq:
             cur = store.read("pq_codebooks")
@@ -2706,7 +2808,7 @@ def refresh_embedding_codebooks(
             store.merge_batch([
                 lambda: store.overwrite("pq_codebooks", cb),
                 lambda: store.overwrite("pq_codes", codes),
-            ])
+            ], tables=tuple(PQ_TABLES))
             summary["pq_m"], summary["pq_k"] = m, k
     return summary
 

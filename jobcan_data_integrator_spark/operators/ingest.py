@@ -865,10 +865,18 @@ def repack_corpus(
         shuffle_salt=shuffle_salt,
     ).withColumn("batch_id", F.lit(batch_tag)).localCheckpoint(eager=True)
     with store.batch_commit(batch_tag, [CHUNKS, SHARDS]):
-        store.overwrite(
-            CHUNKS, chunks.withColumn("batch_id", F.lit(batch_tag))
+        store.submit_op(
+            lambda: store.overwrite(
+                CHUNKS, chunks.withColumn("batch_id", F.lit(batch_tag))
+            ),
+            reads=(CHUNKS,),
+            writes=(CHUNKS,),
         )
-        store.overwrite(SHARDS, packed)
+        store.submit_op(
+            lambda: store.overwrite(SHARDS, packed),
+            reads=(SHARDS,),
+            writes=(SHARDS,),
+        )
     return packed
 
 
@@ -957,9 +965,17 @@ def _tombstone(
     if ooo:
         rows = rows.withColumn("cause", F.lit(cause))
         if permanent:
-            store.merge_upsert(TOMBSTONES, rows, ["doc_id"])
+            store.submit_op(
+                lambda: store.merge_upsert(TOMBSTONES, rows, ["doc_id"]),
+                reads=(TOMBSTONES,),
+                writes=(TOMBSTONES,),
+            )
             return
-    store.merge_insert_missing(TOMBSTONES, rows, ["doc_id"])
+    store.submit_op(
+        lambda: store.merge_insert_missing(TOMBSTONES, rows, ["doc_id"]),
+        reads=(TOMBSTONES,),
+        writes=(TOMBSTONES,),
+    )
 
 
 def _relabel_after_retraction(
@@ -1033,10 +1049,18 @@ def _relabel_after_retraction(
             .join(fresh.select("doc_id"), "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if vanished.head(1):
-            store.prune_keys("cc_labels", vanished, ["doc_id"])
-        if fresh.head(1):
-            store.merge_upsert("cc_labels", fresh, ["doc_id"])
+        has_vanished = bool(vanished.head(1))
+        has_fresh = bool(fresh.head(1))
+
+        def _cc_update() -> None:
+            if has_vanished:
+                store.prune_keys("cc_labels", vanished, ["doc_id"])
+            if has_fresh:
+                store.merge_upsert("cc_labels", fresh, ["doc_id"])
+
+        store.submit_op(
+            _cc_update, reads=("cc_labels",), writes=("cc_labels",)
+        )
     else:
         # unbucketed overwrite path: the full read is inherent (the
         # whole table is rewritten) — materialize it first so the
@@ -1045,7 +1069,11 @@ def _relabel_after_retraction(
         updated = labels.join(
             F.broadcast(nodes.select("doc_id")), "doc_id", "left_anti"
         ).unionByName(fresh)
-        store.overwrite("cc_labels", updated)
+        store.submit_op(
+            lambda: store.overwrite("cc_labels", updated),
+            reads=("cc_labels",),
+            writes=("cc_labels",),
+        )
     # resurrection: demoted-before, keeper-or-singleton now
     old_demoted = nodes.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
@@ -1069,7 +1097,11 @@ def _relabel_after_retraction(
             tomb.select("doc_id"), "doc_id", "leftsemi"
         ).localCheckpoint(eager=True)
         if tomb_del.head(1):
-            store.delete_scope(TOMBSTONES, tomb_del, ["doc_id"])
+            store.submit_op(
+                lambda: store.delete_scope(TOMBSTONES, tomb_del, ["doc_id"]),
+                reads=(TOMBSTONES,),
+                writes=(TOMBSTONES,),
+            )
     else:
         revived = revived.localCheckpoint(eager=True)
     if rebuild_cb is not None and revived.head(1):
@@ -1286,10 +1318,20 @@ def _rebuild_docs(
                 # MinHash retirement (its recomputed pairs re-enter via
                 # the resign below; still-valid dropped pairs are
                 # undropped there, the rest stay retracted)
-                store.delete_scope(TOMBSTONES, revived_floor, ["doc_id"])
+                store.submit_op(
+                    lambda: store.delete_scope(
+                        TOMBSTONES, revived_floor, ["doc_id"]
+                    ),
+                    reads=(TOMBSTONES,),
+                    writes=(TOMBSTONES,),
+                )
                 if store.exists("mh_doc_drops"):
-                    store.delete_scope(
-                        "mh_doc_drops", revived_floor, ["doc_id"]
+                    store.submit_op(
+                        lambda: store.delete_scope(
+                            "mh_doc_drops", revived_floor, ["doc_id"]
+                        ),
+                        reads=("mh_doc_drops",),
+                        writes=("mh_doc_drops",),
                     )
             else:
                 revived_floor = None
@@ -1337,7 +1379,11 @@ def _rebuild_docs(
             .select("doc_id", "text")
             .localCheckpoint(eager=True)
         )
-    store.merge_upsert(CURATED, ok_rows, ["doc_id"])
+    store.submit_op(
+        lambda: store.merge_upsert(CURATED, ok_rows, ["doc_id"]),
+        reads=(CURATED,),
+        writes=(CURATED,),
+    )
     if old_bm is not None:
         rt.replace_bm25_docs(store, old_bm, ok)
     stages.append(("span_repaired", ok))
@@ -1914,10 +1960,14 @@ def ingest_increment(
                     .join(new_docs.select("doc_id"), "doc_id", "left_anti")
                     .localCheckpoint(eager=True)
                 )
-                store.merge_insert_missing(
-                    TOMBSTONES,
-                    demoted.withColumn("batch_id", F.lit(batch_id)),
-                    ["doc_id"],
+                store.submit_op(
+                    lambda: store.merge_insert_missing(
+                        TOMBSTONES,
+                        demoted.withColumn("batch_id", F.lit(batch_id)),
+                        ["doc_id"],
+                    ),
+                    reads=(TOMBSTONES,),
+                    writes=(TOMBSTONES,),
                 )
 
         # 4b. SimHash family (index + pair maintenance only).  Width-
@@ -1985,21 +2035,27 @@ def ingest_increment(
             inc.extend_lm_index(store, kept, batch_id)
 
         # 6. curated-corpus merge + optional batch-scoped chunk/pack —
-        # independent single-table merges, deferred into one fused
-        # tail batch with the ledger (merge_batch overlaps their
-        # per-job fixed cost; sequential fallback keeps ledger last)
-        tail_ops = [
+        # independent single-table merges submitted to the background
+        # scheduler HERE, so they overlap the embedding-family section
+        # below (inline, hence still ledger-last, on plain stores)
+        store.submit_op(
             lambda: store.merge_insert_missing(
                 CURATED,
                 kept.withColumn("batch_id", F.lit(batch_id)),
                 ["doc_id"],
-            )
-        ]
+            ),
+            reads=(CURATED,),
+            writes=(CURATED,),
+        )
         if bm25:
             # mirrors the curated insert-missing exactly (the extend's
             # own anti-join skips ids already in the family, so repairs
             # that landed earlier in this batch are not double-inserted)
-            tail_ops.append(lambda: rt.extend_bm25_index(store, kept))
+            store.submit_op(
+                lambda: rt.extend_bm25_index(store, kept),
+                reads=tuple(rt.BM25_TABLES),
+                writes=tuple(rt.BM25_TABLES),
+            )
         if pack_budget is not None:
             from jobcan_data_integrator_spark.operators.packing import (
                 chunk_documents,
@@ -2024,16 +2080,20 @@ def ingest_increment(
                 id_col="chunk_id",
                 shuffle_salt=batch_id,
             ).withColumn("batch_id", F.lit(batch_id))
-            tail_ops += [
+            store.submit_op(
                 lambda: store.merge_insert_missing(
                     CHUNKS,
                     chunks.withColumn("batch_id", F.lit(batch_id)),
                     ["chunk_id"],
                 ),
-                lambda: store.merge_insert_missing(
-                    SHARDS, packed, ["chunk_id"]
-                ),
-            ]
+                reads=(CHUNKS,),
+                writes=(CHUNKS,),
+            )
+            store.submit_op(
+                lambda: store.merge_insert_missing(SHARDS, packed, ["chunk_id"]),
+                reads=(SHARDS,),
+                writes=(SHARDS,),
+            )
             stages.append(("chunks", chunks))
 
         # 7. embedding families for this batch's vectors.  A ``doc_id``
@@ -2051,8 +2111,13 @@ def ingest_increment(
                 )
             emb = emb.localCheckpoint(eager=True)
             if "doc_id" in emb.columns:
-                store.merge_insert_missing(
-                    DOC_VECS, emb.select("doc_id", "vec_id"), ["vec_id"]
+                dv = emb.select("doc_id", "vec_id")
+                store.submit_op(
+                    lambda: store.merge_insert_missing(
+                        DOC_VECS, dv, ["vec_id"]
+                    ),
+                    reads=(DOC_VECS,),
+                    writes=(DOC_VECS,),
                 )
                 emb = emb.drop("doc_id")
             if "lsh" in emb_families:
@@ -2084,17 +2149,20 @@ def ingest_increment(
                         store, inc.encode_pq_increment(store, emb)
                     )
 
-        # 8. the fused tail: curated merge (+ chunks/shards) + the
-        # ledger.  On a plain store these run IN ORDER and the ledger
-        # is last — a crash before it leaves the batch replayable
-        # (idempotent family merges), after it redelivery
-        # short-circuits above.  On a snapshot store all of it (and
-        # everything before) publishes atomically, so the concurrent
-        # schedule is unobservable.
-        tail_ops.append(
-            lambda: store.merge_insert_missing(LEDGER, ledger_row, ["batch_id"])
+        # 8. the ledger, submitted LAST.  On a plain store every
+        # submit_op above ran inline in program order, so the ledger
+        # still lands after every family write — a crash before it
+        # leaves the batch replayable (idempotent family merges), after
+        # it redelivery short-circuits above.  On a snapshot store all
+        # of it publishes atomically, so the concurrent schedule is
+        # unobservable.
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                LEDGER, ledger_row, ["batch_id"]
+            ),
+            reads=(LEDGER,),
+            writes=(LEDGER,),
         )
-        store.merge_batch(tail_ops)
 
     result = IngestResult(
         batch_id, False, kept.select("doc_id", "text"), stages, pairs, demoted
@@ -2642,10 +2710,14 @@ def retract_documents(
         # current-flag span removal, length floor, curated upsert,
         # MinHash (re-)signing, cluster maintenance, demotion sweep
         if mate_docs is not None:
-            store.merge_insert_missing(
-                CURATED_PRE,
-                mate_docs.withColumn("batch_id", F.lit(retract_id)),
-                ["doc_id"],
+            store.submit_op(
+                lambda: store.merge_insert_missing(
+                    CURATED_PRE,
+                    mate_docs.withColumn("batch_id", F.lit(retract_id)),
+                    ["doc_id"],
+                ),
+                reads=(CURATED_PRE,),
+                writes=(CURATED_PRE,),
             )
             promoted = mate_docs.select("doc_id")
             # a mate that was itself RETIRED by a past exact
@@ -2665,12 +2737,20 @@ def retract_documents(
                         .localCheckpoint(eager=True)
                     )
                     if retired_mates.head(1):
-                        store.delete_scope(
-                            TOMBSTONES, retired_mates, ["doc_id"]
+                        store.submit_op(
+                            lambda: store.delete_scope(
+                                TOMBSTONES, retired_mates, ["doc_id"]
+                            ),
+                            reads=(TOMBSTONES,),
+                            writes=(TOMBSTONES,),
                         )
                         if store.exists("mh_doc_drops"):
-                            store.delete_scope(
-                                "mh_doc_drops", retired_mates, ["doc_id"]
+                            store.submit_op(
+                                lambda: store.delete_scope(
+                                    "mh_doc_drops", retired_mates, ["doc_id"]
+                                ),
+                                reads=("mh_doc_drops",),
+                                writes=("mh_doc_drops",),
                             )
         if rebuild is not None:
             rebuild = rebuild.distinct().localCheckpoint(eager=True)
@@ -2715,13 +2795,23 @@ def retract_documents(
             vec_r = vec_r.localCheckpoint(eager=True)
             if vec_r.head(1):
                 _retract_vec_rows(store, vec_r)
-            store.prune_keys(DOC_VECS, r_ids, ["doc_id"])
+            store.submit_op(
+                lambda: store.prune_keys(DOC_VECS, r_ids, ["doc_id"]),
+                reads=(DOC_VECS,),
+                writes=(DOC_VECS,),
+            )
 
         # 8. receipt + ledger LAST (same stance as ingest_increment)
         _log_retraction(
             store, retract_id, "documents", n_ids, sorted(set(families))
         )
-        store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                RETRACTIONS, ledger_row, ["retract_id"]
+            ),
+            reads=(RETRACTIONS,),
+            writes=(RETRACTIONS,),
+        )
 
     result = RetractResult(retract_id, False, r_ids, promoted, repaired)
     if auto_compact_bytes is not None:
@@ -2812,7 +2902,13 @@ def retract_vectors(
             return RetractResult(retract_id, False, r_ids)
         families = _retract_vec_rows(store, r_ids)
         _log_retraction(store, retract_id, "vectors", n_ids, families)
-        store.merge_insert_missing(RETRACTIONS, ledger_row, ["retract_id"])
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                RETRACTIONS, ledger_row, ["retract_id"]
+            ),
+            reads=(RETRACTIONS,),
+            writes=(RETRACTIONS,),
+        )
 
     result = RetractResult(retract_id, False, r_ids)
     if auto_compact_bytes is not None:
@@ -2859,7 +2955,13 @@ def _retract_vec_rows(store: TableStore, r_ids: DataFrame) -> list[str]:
             .localCheckpoint(eager=True)
         )
         if touching.head(1):
-            store.prune_keys(t, touching, [ca, cb])
+            store.submit_op(
+                lambda t=t, touching=touching, ca=ca, cb=cb: store.prune_keys(
+                    t, touching, [ca, cb]
+                ),
+                reads=(t,),
+                writes=(t,),
+            )
             touched.append(t)
     for t in _EMB_ROW_TABLES:
         if store.exists(t):
@@ -2869,7 +2971,11 @@ def _retract_vec_rows(store: TableStore, r_ids: DataFrame) -> list[str]:
             # FULL-rewrite (hive partition layouts) stays masked by
             # emb_retractions until compact_store folds it
             if not store.is_managed(t) or store.prunes_scoped(t):
-                store.prune_keys(t, r_ids, ["vec_id"])
+                store.submit_op(
+                    lambda t=t: store.prune_keys(t, r_ids, ["vec_id"]),
+                    reads=(t,),
+                    writes=(t,),
+                )
     return touched
 
 
@@ -2902,7 +3008,11 @@ def _log_retraction(
         F.lit(version).cast("bigint").alias("over_version"),
         F.lit(float(_time.time())).alias("ts"),
     )
-    store.merge_insert_missing(RETRACTION_LOG, row, ["retract_id"])
+    store.submit_op(
+        lambda: store.merge_insert_missing(RETRACTION_LOG, row, ["retract_id"]),
+        reads=(RETRACTION_LOG,),
+        writes=(RETRACTION_LOG,),
+    )
 
 
 def _mask_insert(store: TableStore, table: str, ids: DataFrame, key: str) -> None:
@@ -2913,13 +3023,16 @@ def _mask_insert(store: TableStore, table: str, ids: DataFrame, key: str) -> Non
     lifetime takedown history.  A pre-watermark store's mask (no
     ``folded`` column) is migrated in place — masks are broadcast-small
     by design."""
-    if store.exists(table) and "folded" not in store.read(table).columns:
-        store.overwrite(
-            table, store.read(table).withColumn("folded", F.lit(False))
+    def _op() -> None:
+        if store.exists(table) and "folded" not in store.read(table).columns:
+            store.overwrite(
+                table, store.read(table).withColumn("folded", F.lit(False))
+            )
+        store.merge_insert_missing(
+            table, ids.select(key).withColumn("folded", F.lit(False)), [key]
         )
-    store.merge_insert_missing(
-        table, ids.select(key).withColumn("folded", F.lit(False)), [key]
-    )
+
+    store.submit_op(_op, reads=(table,), writes=(table,))
 
 
 def compact_store(store: TableStore) -> None:

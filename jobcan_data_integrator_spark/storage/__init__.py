@@ -93,7 +93,7 @@ class _AsyncWrites:
     cyclic wait is constructible.
     """
 
-    def __init__(self, max_workers: int = 4) -> None:
+    def __init__(self, max_workers: int = 8) -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
@@ -139,6 +139,18 @@ class _AsyncWrites:
             fut = self._writers.get(table)
         if fut is not None:
             fut.result()
+
+    def wait_table_rw(self, table: str) -> None:
+        """Block until the last writer AND every pending reader of
+        ``table`` have finished — the write-side barrier (WAW + WAR
+        for a synchronous write of one table)."""
+        with self._lock:
+            futs = list(self._readers.get(table, ()))
+            w = self._writers.get(table)
+            if w is not None:
+                futs.append(w)
+        for f in futs:
+            f.result()
 
     def wait_all(self, *, swallow: bool = False) -> None:
         with self._lock:
@@ -382,6 +394,10 @@ class TableStore:
             self.backend != "parquet"
             or not self.snapshot_isolation
             or not self._suspended
+            # a worker thread is already asynchronous; nesting a submit
+            # would race the drain's pool shutdown — run inline (covered
+            # by the outer op's declared table sets)
+            or getattr(_ASYNC_WORKER, "active", False)
         ):
             op()
             return
@@ -406,6 +422,18 @@ class TableStore:
         ):
             self._async.wait_all()
             self._async = None
+
+    def _tbar(self, table: str) -> None:
+        """Table-scoped write barrier: a synchronous single-table write
+        (all the merge/prune primitives — they read and write only their
+        own table; any OTHER table their update frame consumes was
+        resolved through ``read``'s barrier at plan-construction time)
+        waits only for the pending writer and readers of THAT table, so
+        background writes of unrelated tables keep overlapping."""
+        if self._async is not None and not getattr(
+            _ASYNC_WORKER, "active", False
+        ):
+            self._async.wait_table_rw(table)
 
     def flush_writes(self, *, swallow: bool = False) -> None:
         """Drain every pending background write (re-raising the first
@@ -677,7 +705,7 @@ class TableStore:
         hint must cover every bucket containing a matching row; rows in
         unhinted buckets silently survive (pinned complete at the one
         call site by tests/test_retract.py's fold-equivalence checks)."""
-        self._wbar()
+        self._tbar(table)
         if self.backend == "delta":
             if self.exists(table):
                 self.delete_scope(
@@ -752,7 +780,7 @@ class TableStore:
         side filters on ``~cond OR cond IS NULL``, since a bare
         ``~cond`` would silently drop the NULLs a three-valued ``~``
         keeps un-matched)."""
-        self._wbar()
+        self._tbar(table)
         if not self.exists(table):
             return
         keep = ~cond | cond.isNull()
@@ -1150,7 +1178,7 @@ class TableStore:
 
         Delta backend: one Delta commit (atomic by its protocol).
         """
-        self._wbar()
+        self._tbar(table)
         if self.backend == "delta":
             self._delta_write(table, df, "overwrite")
             return
@@ -1194,7 +1222,7 @@ class TableStore:
             with _INFLIGHT_LOCK:
                 _INFLIGHT.discard(str(target))
 
-    def merge_batch(self, ops: list) -> None:
+    def merge_batch(self, ops: list, *, tables: tuple = ()) -> None:
         """Execute several independent single-table write ops,
         overlapping their per-job fixed cost via driver threads when
         that is safe: a snapshot-isolated parquet store's writes land
@@ -1210,9 +1238,24 @@ class TableStore:
         the bench box each small versioned write costs ~0.5-0.8 s of
         driver/scheduler fixed cost regardless of data volume
         (BASELINE.md fixed-cost memo); a family extend's 3-4 writes
-        collapse to ~the slowest one."""
-        self._wbar()
+        collapse to ~the slowest one.  No blanket barrier here: each
+        op's own store write barriers on ITS table (``_tbar``), so a
+        batch can start while background writes of unrelated tables are
+        still in flight.
+
+        ``tables``: the union of the ops' table sets.  When given, the
+        WHOLE batch rides the background scheduler (``submit_op`` with
+        ``tables`` as both read and write set) so the caller returns
+        immediately; without it the call blocks until the batch is
+        done, exactly as before."""
         ops = [op for op in ops if op is not None]
+        if tables and len(ops) >= 1:
+            self.submit_op(
+                lambda: self.merge_batch(ops),
+                reads=tuple(tables),
+                writes=tuple(tables),
+            )
+            return
         if (
             len(ops) < 2
             or self.backend != "parquet"
@@ -2100,7 +2143,7 @@ class TableStore:
         Delta backend: one real ``MERGE INTO`` (matched → update all,
         not-matched → insert all) — the statement this parquet-mode
         merge documents itself as binding to."""
-        self._wbar()
+        self._tbar(table)
         u = updates.dropDuplicates(keys)
         if self.backend == "delta":
             if not self.exists(table):
@@ -2138,7 +2181,7 @@ class TableStore:
 
         Delta backend: ``MERGE INTO`` with only the not-matched-insert
         branch."""
-        self._wbar()
+        self._tbar(table)
         u = updates.dropDuplicates(keys)
         if self.backend == "delta":
             if not self.exists(table):
@@ -2184,7 +2227,7 @@ class TableStore:
         each an atomic Delta commit; a crash between them is converged
         by the idempotent replay, the same cross-commit contract as
         parquet mode's multi-table batches)."""
-        self._wbar()
+        self._tbar(table)
         if self.backend == "delta":
             if not self.exists(table):
                 self._delta_write(table, updates, "overwrite")
@@ -2231,6 +2274,7 @@ class TableStore:
         rows behind.  Use ``sync_children`` for managed tables instead —
         its kept ∪ updates frame always re-covers every touched partition.
         """
+        self._tbar(table)
         if self.backend == "delta":
             if self.exists(table):
                 self._delta_table(table).delete(
