@@ -38,15 +38,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) rows: 3-gram word shingles via token explode +
-    window lead (operators/minhash.shingle_rows — see its docstring for
-    why the window shape beats array-transform + explode).
+    """(doc_id, shingle) rows: 3-gram word shingles built in-row
+    (operators/minhash.shingle_rows — array transform + explode, zero
+    shuffle; see its docstring for the r11 re-measurement that retired
+    the explode + window-lead shape).
 
     Goes through ``_docs`` (not a raw load): the local testdata is one
-    row group = one partition, so the token explode and the exchange
-    WRITE of ~5M rows would otherwise run on a single core before the
-    window's shuffle spreads the work (measured: the serial map side
-    dominated every shingle-based gate).  ``_docs`` repartitions
+    row group = one partition, so the in-row shingle construction would
+    otherwise run on a single core.  ``_docs`` repartitions
     conditionally, so at real scale (many splits) this adds nothing.
     """
     return shingle_rows(_docs(spark, sf_dir))

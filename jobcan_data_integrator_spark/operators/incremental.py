@@ -2351,15 +2351,11 @@ def perplexity_increment(
     against the full tables (pinned in tests)."""
     from jobcan_data_integrator_spark.operators.lm import (
         NgramLM,
-        _gram_rows,
-        _keyed,
+        _keyed_rows,
         perplexity,
     )
 
-    keyed = (
-        _keyed(_gram_rows(new_docs).filter(F.col("w3").isNotNull()))
-        .localCheckpoint(eager=False)
-    )
+    keyed = _keyed_rows(new_docs).localCheckpoint(eager=False)
     lm = NgramLM(
         tri=store.read_for_keys(
             "lm_tri", keyed.select(F.col("t_h").alias("h")), "h"

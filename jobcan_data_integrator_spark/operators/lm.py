@@ -45,7 +45,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from jobcan_data_integrator_spark.operators.minhash import H60
 
@@ -59,38 +58,59 @@ BACKOFF_Q = -3979
 _Q = "cast(round(log10(cast({c} as double)) * 10000) as bigint)"
 
 
-def _gram_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pos, w1, w2, w3): whitespace tokens with their two
-    successors (w2/w3 NULL near the document tail).  Explode + window
-    lead, the shape shingle_rows measured as the fast one — the trigram
-    string is built once, distributed, never twice on the map side."""
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return toks.select(
-        "doc_id",
-        "pos",
-        F.col("tok").alias("w1"),
-        F.lead("tok", 1).over(w).alias("w2"),
-        F.lead("tok", 2).over(w).alias("w3"),
+def _tok_arrays(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, _toks): the split token array, projected SEPARATELY so
+    downstream in-row n-gram expressions evaluate ``split`` once per
+    document (the Project stays below the Generate)."""
+    return docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
     )
 
 
-def _keyed(grams: DataFrame) -> DataFrame:
-    """Add the five 60-bit hash keys a position's score depends on:
-    trigram (w1 w2 w3), its context bigram (w1 w2), the backoff bigram
-    (w2 w3), and the unigrams w2 / w3."""
-    h = lambda x: F.expr(H60.format(x=x))  # noqa: E731
-    return grams.select(
-        "doc_id",
-        "pos",
-        h("concat(w1, ' ', w2, ' ', w3)").alias("t_h"),
-        h("concat(w1, ' ', w2)").alias("b12_h"),
-        h("concat(w2, ' ', w3)").alias("b23_h"),
-        h("w2").alias("u2_h"),
-        h("w3").alias("u3_h"),
+#: in-row n-gram hash array over ``_toks`` (1-based element_at windows;
+#: {n} = gram order, {h} = the hash expression over the joined window).
+_GRAMS_ARR = (
+    "CASE WHEN size(_toks) >= {n} THEN "
+    "transform(sequence(0, size(_toks) - {n}), i -> {h}) "
+    "ELSE array() END"
+)
+
+
+def _w(k: int) -> str:
+    """The k-th token of the window starting at lambda index i."""
+    return f"element_at(_toks, i + {k})"
+
+
+def _keyed_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, t_h, b12_h, b23_h, u2_h, u3_h): one row per trigram
+    position, carrying the five 60-bit hash keys its score depends on —
+    trigram (w1 w2 w3), context bigram (w1 w2), backoff bigram (w2 w3),
+    unigrams w2 / w3.  Built in-row (transform over the token array +
+    explode): zero shuffle — the former explode + window-lead shape
+    paid a corpus-token Exchange + Sort per materialization (r11
+    measurement: 6 Window nodes in the tx_lang_id plan, one per
+    aggregation over the un-cached gram frame)."""
+    h = lambda x: H60.format(x=x)  # noqa: E731
+    w1, w2, w3 = _w(1), _w(2), _w(3)
+    expr = _GRAMS_ARR.format(
+        n=3,
+        h=(
+            "named_struct("
+            f"'t_h', {h(f_concat(w1, w2, w3))}, "
+            f"'b12_h', {h(f_concat(w1, w2))}, "
+            f"'b23_h', {h(f_concat(w2, w3))}, "
+            f"'u2_h', {h(w2)}, "
+            f"'u3_h', {h(w3)})"
+        ),
     )
+    return _tok_arrays(docs, text_col).select(
+        "doc_id", F.explode(F.expr(expr)).alias("_g")
+    ).select("doc_id", "_g.*")
+
+
+def f_concat(*parts: str) -> str:
+    """space-joined concat of token expressions (the n-gram string)."""
+    return "concat(" + ", ' ', ".join(parts) + ")"
 
 
 @dataclass
@@ -109,27 +129,31 @@ class NgramLM:
 def train_ngram_lm(docs: DataFrame, text_col: str = "text") -> NgramLM:
     """Count unigrams/bigrams/trigrams of the training corpus.
 
-    One explode + one doc-keyed window produce every n-gram level; each
-    count is a map-side-combined groupBy on an 8-byte hash key.  Counts
+    Each n-gram level is an in-row hash-array transform + explode (zero
+    shuffle before the aggregation — no token window; see _keyed_rows)
+    feeding a map-side-combined groupBy on an 8-byte hash key.  Counts
     are corpus-additive, so an increment's counts merge into a persisted
     LM by summing on the key (the same insert-or-add idiom as the
-    incremental dedup indexes)."""
-    h = lambda x: F.expr(H60.format(x=x))  # noqa: E731
-    grams = _gram_rows(docs, text_col)
-    uni = grams.groupBy(h("w1").alias("h")).agg(F.count("*").alias("c"))
-    bi = (
-        grams.filter(F.col("w2").isNotNull())
-        .groupBy(h("concat(w1, ' ', w2)").alias("h"))
-        .agg(F.count("*").alias("c"))
-    )
-    tri = (
-        grams.filter(F.col("w3").isNotNull())
-        .groupBy(h("concat(w1, ' ', w2, ' ', w3)").alias("h"))
-        .agg(F.count("*").alias("c"))
-    )
-    totals = grams.agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.countDistinct(h("w1")).cast("bigint").alias("n_vocab"),
+    incremental dedup indexes).  ``totals`` derives from the unigram
+    counts (n_tokens = Σc, n_vocab = row count) — the former dedicated
+    corpus pass with its countDistinct shuffle is gone."""
+    h = lambda x: H60.format(x=x)  # noqa: E731
+    toks = _tok_arrays(docs, text_col)
+
+    def _level(n: int, gram_h: str) -> DataFrame:
+        arr = _GRAMS_ARR.format(n=n, h=gram_h)
+        return (
+            toks.select(F.explode(F.expr(arr)).alias("h"))
+            .groupBy("h")
+            .agg(F.count("*").alias("c"))
+        )
+
+    uni = _level(1, h(_w(1)))
+    bi = _level(2, h(f_concat(_w(1), _w(2))))
+    tri = _level(3, h(f_concat(_w(1), _w(2), _w(3))))
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_vocab"),
     )
     return NgramLM(tri=tri, bi=bi, uni=uni, totals=totals)
 
@@ -138,7 +162,7 @@ def score_trigrams(trigram_keys: DataFrame, lm: NgramLM) -> DataFrame:
     """Score each distinct trigram of a target corpus against the LM.
 
     ``trigram_keys``: distinct (t_h, b12_h, b23_h, u2_h, u3_h) rows (from
-    ``_keyed``).  Returns the same keys + ``q`` — the position log10-score
+    ``_keyed_rows``).  Returns the same keys + ``q`` — the position log10-score
     in integer micro-log units.  This is the per-DISTINCT-trigram pass: a
     trigram shared by millions of documents is scored once, and every
     join here is between aggregated tables on 8-byte keys."""
@@ -218,9 +242,7 @@ def perplexity(
     over exact-in-double integers, correctly rounded identically
     everywhere, floored (no midpoint) — gives integer micro-log units,
     and ``avg_logprob`` is that integer / 1e6."""
-    keyed = _keyed(
-        _gram_rows(docs, text_col).filter(F.col("w3").isNotNull())
-    )
+    keyed = _keyed_rows(docs, text_col)
     per_doc_tri = keyed.groupBy(
         "doc_id", "t_h", "b12_h", "b23_h", "u2_h", "u3_h"
     ).agg(F.count("*").alias("n"))

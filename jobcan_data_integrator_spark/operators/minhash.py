@@ -32,40 +32,36 @@ H60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
 
 
 def shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle string): 3-gram word shingles via token explode +
-    window lead.
+    """(doc_id, shingle string): 3-gram word shingles built in-row —
+    array-transform over a pre-projected token array, then explode.
+    ZERO shuffle: no window, no sort, no corpus-token exchange.
 
-    NOT the tempting array-transform + explode formulation: explode adds
-    an implicit ``size(arr) > 0`` pruning filter containing the WHOLE
-    shingle expression, which Catalyst pushes below the exchange — the
-    full shingle construction then runs twice, serially, on the map side
-    (measured ~6s of the old 7s at sf0.1).  The window shuffles skinny
-    (doc_id, pos, tok) rows once and builds each shingle exactly once,
-    distributed; it is also literally the DuckDB oracle's shape.
+    Through round 10 this was explode + window lead, because on the
+    Spark versions measured then the transform + explode formulation
+    triggered InferFiltersFromGenerate: an implicit ``size(arr) > 0``
+    filter containing the WHOLE shingle expression was pushed below the
+    exchange and the construction ran twice on the map side.  Re-measured
+    on Spark 4.1 (r11): the inferred filter is no longer planned for this
+    shape — the physical plan is Scan → Generate with the expression
+    evaluated exactly once, the row multiset is identical
+    (``exceptAll`` both ways = 0 at sf0.1), and the window shape's
+    corpus-token Exchange + Sort are gone.  At 100 TB that removed
+    exchange is the dominant cost of every shingle consumer.
 
-    Callers reading a single-row-group local file should disperse the
-    scan first (gate/_common._docs) — the window's exchange cannot
-    parallelize a serial upstream explode.
+    The token array is projected in a SEPARATE select below the Generate
+    so ``split`` runs once per document, not once per element_at.
     """
-    from pyspark.sql.window import Window
-
     toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok")
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            F.concat(
-                F.col("tok"),
-                F.lit(" "),
-                F.lead("tok", 1).over(w),
-                F.lit(" "),
-                F.lead("tok", 2).over(w),
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
+    sh = (
+        "CASE WHEN size(_toks) >= 3 THEN "
+        "transform(sequence(0, size(_toks) - 3), "
+        "i -> concat(element_at(_toks, i + 1), ' ', "
+        "element_at(_toks, i + 2), ' ', element_at(_toks, i + 3))) "
+        "ELSE array() END"
     )
+    return toks.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
 
 
 def hashed_shingle_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
