@@ -1522,6 +1522,7 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_select,
         dsir_weights,
         fit_dsir,
+        hashed_ngram_features,
     )
 
     docs = _docs(spark, sf_dir)
@@ -1537,8 +1538,12 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmod(" + _H.format(x="concat('smpl|', cast(doc_id as string))") + ", 10000)"
     )
     thr = F.when(F.col("predicted_lang") == "en", 2500).otherwise(10000)
-    model = fit_dsir(docs, F.col("lang") == "en")
-    weights = dsir_weights(docs, model)
+    # fit and score share ONE cached feature pass (the corpus-wide
+    # unigram+bigram bucket aggregation would otherwise run twice —
+    # identical rows, selection.py fit_dsir docstring)
+    feats = hashed_ngram_features(docs).cache()
+    model = fit_dsir(docs, F.col("lang") == "en", feats=feats)
+    weights = dsir_weights(docs, model, feats=feats)
     keep = F.broadcast(
         dsir_select(weights, 150).withColumn("dsir_keep", F.lit(True))
     )

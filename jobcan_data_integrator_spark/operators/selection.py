@@ -101,6 +101,7 @@ def fit_dsir(
     is_target: Column,
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    feats: DataFrame | None = None,
 ) -> DsirModel:
     """Fit the target-vs-raw bucket model in ONE corpus aggregation.
 
@@ -115,8 +116,16 @@ def fit_dsir(
         dq(b) = [Q(c_t(b)+1) - Q(T_t+B)] - [Q(c_r(b)+1) - Q(T_r+B)]
 
     with Q = round(log10(.)*10000) evaluated only at integer points, so
-    the whole model is exact-integer and engine-portable."""
-    feats = hashed_ngram_features(docs, text_col, n_buckets).join(
+    the whole model is exact-integer and engine-portable.
+
+    ``feats``: optionally a precomputed ``hashed_ngram_features(docs)``
+    frame — a caller that also scores the same corpus
+    (``dsir_weights``) passes one cached frame so the feature pass (the
+    dominant corpus-wide aggregation of the DSIR pipeline) runs once,
+    not twice.  Same rows either way."""
+    if feats is None:
+        feats = hashed_ngram_features(docs, text_col, n_buckets)
+    feats = feats.join(
         docs.select("doc_id", is_target.alias("_is_target")), "doc_id"
     )
     counts = feats.groupBy("bucket").agg(
@@ -146,6 +155,7 @@ def dsir_weights(
     model: DsirModel,
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, logratio_q): the DSIR importance weight of every
     document in integer micro-log10 units (sum of exact integers —
@@ -153,8 +163,11 @@ def dsir_weights(
 
     The delta table is <= n_buckets rows → ONE broadcast join; the only
     corpus-wide exchange is the per-doc feature groupBy.  Works
-    unchanged on an increment: unseen buckets coalesce to the floor."""
-    feats = hashed_ngram_features(docs, text_col, n_buckets)
+    unchanged on an increment: unseen buckets coalesce to the floor.
+    ``feats``: optionally the precomputed feature frame (see
+    ``fit_dsir``)."""
+    if feats is None:
+        feats = hashed_ngram_features(docs, text_col, n_buckets)
     scored = (
         feats.join(F.broadcast(model.delta_q), "bucket", "left")
         .crossJoin(F.broadcast(model.floor_dq))

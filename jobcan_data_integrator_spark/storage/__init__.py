@@ -375,16 +375,36 @@ class TableStore:
         #: background write scheduler for the current ``batch_commit``
         #: (created on first ``submit_op``, drained at context exit)
         self._async: _AsyncWrites | None = None
+        #: versioned-dir schema memo (dir path -> inferred StructType):
+        #: snapshot dirs are immutable once written, so the first read's
+        #: inferred schema is exact for every later read of the same dir
+        #: and ``spark.read.schema(...)`` skips footer inference (~70 ms
+        #: of driver fixed cost per read; the ig gates do ~80 store
+        #: reads per run).  Plain-mode paths mutate in place and are
+        #: never memoized.
+        self._schema_memo: dict[str, object] = {}
+        #: True while a top-level ``begin_commit``/``end_commit`` bracket
+        #: is open (``batch_commit`` sets it too, via its begin_commit).
+        #: Snapshot-mode writes inside ANY commit bracket land in
+        #: unpublished versioned dirs and ``end_commit`` drains the
+        #: scheduler before the pointer swap, so background submission is
+        #: as safe here as inside ``batch_commit`` — without this flag a
+        #: standalone build/extend/fold bracket (r11 measurement:
+        #: compact_minhash_drops' four fold chains, 3.9 s strictly
+        #: serial inside a 5.7 s compact) ran every submit inline.
+        self._in_commit = False
 
     # -- background writes (guide §2.6) ---------------------------------------
 
     def submit_op(self, op, *, reads: tuple = (), writes: tuple = ()) -> None:
         """Run ``op`` (a zero-arg callable doing store writes) in the
-        background when that is safe — inside a ``batch_commit`` on a
-        snapshot-isolated parquet store, where completion order is
-        unobservable until the single atomic publish at context exit.
-        Elsewhere (plain mode's ordered swaps, the Delta backend's own
-        commit protocol, or outside a batch) it runs inline.
+        background when that is safe — inside a commit bracket
+        (``batch_commit`` OR a top-level ``begin_commit``/``end_commit``
+        pair) on a snapshot-isolated parquet store, where completion
+        order is unobservable until the single atomic publish
+        (``end_commit`` drains the scheduler first).  Elsewhere (plain
+        mode's ordered swaps, the Delta backend's own commit protocol,
+        or outside any bracket) it runs inline.
 
         ``reads``/``writes`` name the tables the op touches; the
         scheduler orders ops sharing tables (see ``_AsyncWrites``) and
@@ -393,7 +413,7 @@ class TableStore:
         if (
             self.backend != "parquet"
             or not self.snapshot_isolation
-            or not self._suspended
+            or not (self._suspended or self._in_commit)
             # a worker thread is already asynchronous; nesting a submit
             # would race the drain's pool shutdown — run inline (covered
             # by the outer op's declared table sets)
@@ -889,7 +909,7 @@ class TableStore:
                     # layers): one root path instead of one path per
                     # partition — at 640 buckets the per-path listing
                     # dominated every full-table scan's planning time
-                    dfs.append(self.spark.read.parquet(str(base)))
+                    dfs.append(self._read_pq(base))
                 else:
                     dfs.append(
                         self.spark.read.option("basePath", str(base)).parquet(
@@ -900,7 +920,7 @@ class TableStore:
             # every layer empty (or filtered away): recover the schema
             # from the newest layer's flat empty write
             base = self.root / layers[-1]["dir"]
-            return self.spark.read.parquet(str(base)).limit(0)
+            return self._read_pq(base).limit(0)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -958,6 +978,18 @@ class TableStore:
         ]
         return reduce(lambda x, y: x | y, conds) if conds else F.lit(False)
 
+    def _read_pq(self, path) -> DataFrame:
+        """Parquet read of an IMMUTABLE versioned/layer dir with the
+        schema memo applied (see ``_schema_memo``).  Callers on mutable
+        plain-mode paths must keep using ``spark.read.parquet``."""
+        key = str(path)
+        sch = self._schema_memo.get(key)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(key)
+        df = self.spark.read.parquet(key)
+        self._schema_memo[key] = df.schema
+        return df
+
     def exists(self, table: str) -> bool:
         self._rbar(table)
         if self.backend == "delta":
@@ -988,7 +1020,7 @@ class TableStore:
             p = self._resolve(table)
             if p is None:
                 raise FileNotFoundError(f"no snapshot or live dir for table {table!r}")
-            return self.spark.read.parquet(str(p))
+            return self._read_pq(p)
         self._recover(table)
         df = self.spark.read.parquet(str(self.path(table)))
         return self._drop_derived(table, df)
@@ -1518,6 +1550,7 @@ class TableStore:
         tmp = self.root / f"{self.MANIFEST}.tmp"
         tmp.write_text(_json.dumps(payload))
         os.replace(tmp, self.root / self.MANIFEST)
+        self._in_commit = True
 
     #: versioned manifest pointer (snapshot mode): the ONE file whose
     #: atomic replace publishes a whole batch to readers
@@ -1544,7 +1577,7 @@ class TableStore:
         if isinstance(entry, dict):
             return self._drop_derived(table, self._read_layers(entry["layers"]))
         if entry is not None:
-            return self.spark.read.parquet(str(self.root / entry))
+            return self._read_pq(self.root / entry)
         return self.read(table)
 
     def end_commit(self) -> None:
@@ -1574,6 +1607,7 @@ class TableStore:
 
         if self._suspended:
             return  # inside batch_commit: published once, at context exit
+        self._in_commit = False
         # the fencing check: abort BEFORE the pointer swap and the GC if
         # this commit's lease was taken over while the batch stalled
         self._verify_lease()
@@ -1940,6 +1974,7 @@ class TableStore:
             # not re-register into _pending_versions after the discard)
             self.flush_writes(swallow=True)
             self._suspended = False
+            self._in_commit = False
             # snapshot mode: discard the unpublished versioned dirs so a
             # same-instance replay starts from the pre-batch snapshot
             # (the next successful end_commit GCs the orphans); the
