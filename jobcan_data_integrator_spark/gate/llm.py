@@ -2411,7 +2411,7 @@ def rt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    index = build_inverted_index(docs)
+    index = build_inverted_index(docs).cached()
     q = docs.filter(F.col("doc_id") % 100 == 7).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(
@@ -2535,7 +2535,7 @@ def rt_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    index = build_inverted_index(docs)
+    index = build_inverted_index(docs).cached()
     q = docs.filter(F.col("doc_id") % 100 == 7).select(
         F.col("doc_id").alias("q_id"),
         F.array_join(

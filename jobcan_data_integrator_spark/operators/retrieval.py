@@ -85,6 +85,21 @@ class InvertedIndex:
     term_stats: DataFrame  # (term, df)
     corpus: DataFrame  # (n_docs, avgdl) — exactly one row
 
+    def cached(self) -> "InvertedIndex":
+        """The same index with every frame marked for caching — the
+        ad-hoc (unpersisted) path's stand-in for the persisted-at-ingest
+        bm25_* family: without it each scorer consumer re-runs the
+        corpus token explode (postings feeds term_stats AND the score
+        join; doc_stats and postings both re-derive ``toks`` — measured
+        3-4 token passes per ad-hoc build+query).  Identical frames,
+        compute-once."""
+        return InvertedIndex(
+            self.postings.cache(),
+            self.doc_stats.cache(),
+            self.term_stats.cache(),
+            self.corpus.cache(),
+        )
+
 
 def build_inverted_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
