@@ -201,6 +201,35 @@ def minhash_pair_bands(width: int = 1 << 20) -> dict[str, tuple[str, int]]:
     return {"mh_pairs": ("doc_b", width)}
 
 
+#: Tables whose size is contractually bounded by BATCH / RETRACTION
+#: volume, never by corpus size — the driver-side write contract
+#: (TableStore ``driver_bounded``): per-batch ledger rows, retraction
+#: masks and drop tables, all folded away by ``compact_store``.  The
+#: bound is rows PER STORED STATE; a state exceeding it silently falls
+#: back to the Spark write (speed, not correctness, is at stake).
+#: Corpus-sized tables (cur_docs, sp_occs, mh_*, ex_*, cc_labels, ...)
+#: must never be listed: the whole point of the cap is that collecting
+#: one of these frames to the driver is bounded at any corpus scale.
+#: Name literals from operators/ingest.py (LEDGER/TOMBSTONES/
+#: RETRACTIONS/RETRACTION_LOG/RETRACTION_IDS) are repeated here to keep
+#: incremental.py import-free of ingest.py.
+DRIVER_BOUNDED_TABLES: dict[str, int] = {
+    t: 1_000_000
+    for t in (
+        *OOO_DROP_TABLES,          # mh_doc_drops / mh_band_drops / mh_pair_drops
+        DOC_RETRACTIONS,
+        FLAG_DROPS,                # sp_flag_drops
+        EMB_RETRACTIONS,
+        "sp_mask_hashes",          # SPAN_MASK_HASHES
+        "ig_batches",              # ingest.LEDGER
+        "cur_drops",               # ingest.TOMBSTONES
+        "cur_retractions",         # ingest.RETRACTIONS
+        "retraction_log",          # ingest.RETRACTION_LOG
+        "retraction_ids",          # ingest.RETRACTION_IDS
+    )
+}
+
+
 def index_layout(
     buckets: dict[str, tuple[str, int]],
     ranges: dict[str, tuple[str, int]] | None = None,
@@ -215,6 +244,7 @@ def index_layout(
     layout: dict = {
         "bucketed": buckets,
         "sorted_by": {t: [src] for t, (src, _) in buckets.items()},
+        "driver_bounded": dict(DRIVER_BOUNDED_TABLES),
     }
     if ranges:
         layout["range_partitioned"] = dict(ranges)

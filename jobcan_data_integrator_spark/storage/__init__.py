@@ -77,6 +77,23 @@ _LEASE_HOLDERS: dict[str, "weakref.WeakSet"] = {}
 _ASYNC_WORKER = threading.local()
 
 
+def _write_pool_width() -> int:
+    """Concurrent background store writes per commit.
+
+    Scale-dependent (guide §2.6): on a real cluster 2-3 jobs in flight
+    fill the stage-tail bubbles without fighting for executors — set
+    ``SPARK_GRAFT_WRITE_POOL=2`` (or 3) there.  The local default stays
+    8: on the bench box each tiny versioned write is >99% DRIVER fixed
+    cost (~0.2 s, BASELINE.md fixed-cost memo), so the pool bounds
+    driver-side concurrency, not executor contention, and 8 was the
+    measured sweet spot (r11 §1 micro-bench: 8 merges 2.66 s serial vs
+    0.58 s under 8 threads)."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_WRITE_POOL", "8")))
+    except ValueError:
+        return 8
+
+
 class _AsyncWrites:
     """Dependency-ordered background executor for the independent store
     writes of ONE commit (guide §2.6: overlap independent jobs so each
@@ -197,6 +214,7 @@ class TableStore:
         retain_snapshots: int = 1,
         backend: str = "parquet",
         delta_impl: str = "auto",
+        driver_bounded: dict[str, int] | None = None,
     ) -> None:
         """``write_partitions`` caps output files per table — set to a small
         number for dimension-scale tables / tests; leave None to let AQE
@@ -276,7 +294,21 @@ class TableStore:
         ``RESTORE`` analog).  Every publish appends its manifest to the
         ``_snaplog/`` history (tiny JSON, kept regardless), so history
         STRUCTURE survives past retention even when the data dirs are
-        reclaimed."""
+        reclaimed.
+
+        ``driver_bounded`` maps table name -> max rows for tables the
+        CALLER contracts to stay tiny at any corpus scale (per-batch
+        retraction masks, ledger rows, receipts — bounded by batch /
+        retraction volume, never by corpus size).  Unmanaged writes of
+        such tables skip the Spark write job entirely: the frame is
+        collected through Arrow (capped at the contract — a frame over
+        the bound falls back to the normal Spark write, so a wrong
+        contract costs speed, never memory or correctness) and written
+        driver-side with pyarrow.  On the bench box a tiny versioned
+        Spark write is >99% driver/scheduler/commit fixed cost (~0.2 s,
+        BASELINE.md); the driver-side path cuts the write half of that
+        to ~1 ms while keeping the published file Spark-readable with
+        the identical schema."""
         if backend not in ("parquet", "delta"):
             raise ValueError(f"backend must be parquet|delta: {backend}")
         if delta_impl not in ("auto", "fake"):
@@ -331,6 +363,7 @@ class TableStore:
         self.bucketed = dict(bucketed or {})
         self.range_partitioned = dict(range_partitioned or {})
         self.sorted_by = dict(sorted_by or {})
+        self.driver_bounded = dict(driver_bounded or {})
         self.snapshot_isolation = snapshot_isolation
         self.max_snapshot_layers = max_snapshot_layers
         if retain_snapshots < 1:
@@ -422,7 +455,7 @@ class TableStore:
             op()
             return
         if self._async is None:
-            self._async = _AsyncWrites()
+            self._async = _AsyncWrites(max_workers=_write_pool_width())
         self._async.submit(op, tuple(reads), tuple(writes))
 
     def _rbar(self, table: str) -> None:
@@ -978,16 +1011,29 @@ class TableStore:
         ]
         return reduce(lambda x, y: x | y, conds) if conds else F.lit(False)
 
+    #: entry cap on the versioned-dir schema memo: dirs GC'd by
+    #: _publish_snapshot would otherwise leak their memoized StructType
+    #: for the store's lifetime, growing the driver's footprint with
+    #: commit count (ADVICE r11).  LRU at a few thousand entries — far
+    #: above any live snapshot's dir count, negligible memory.
+    SCHEMA_MEMO_MAX = 4096
+
     def _read_pq(self, path) -> DataFrame:
         """Parquet read of an IMMUTABLE versioned/layer dir with the
         schema memo applied (see ``_schema_memo``).  Callers on mutable
         plain-mode paths must keep using ``spark.read.parquet``."""
         key = str(path)
-        sch = self._schema_memo.get(key)
+        with self._pv_lock:  # memo is touched from scheduler worker threads
+            sch = self._schema_memo.pop(key, None)
+            if sch is not None:
+                self._schema_memo[key] = sch  # re-insert: LRU recency
         if sch is not None:
             return self.spark.read.schema(sch).parquet(key)
         df = self.spark.read.parquet(key)
-        self._schema_memo[key] = df.schema
+        with self._pv_lock:
+            self._schema_memo[key] = df.schema
+            while len(self._schema_memo) > self.SCHEMA_MEMO_MAX:
+                self._schema_memo.pop(next(iter(self._schema_memo)))
         return df
 
     def exists(self, table: str) -> bool:
@@ -1191,6 +1237,61 @@ class TableStore:
             df = df.filter(F.col(BUCKET_COL).isin(list(buckets)))
         return df
 
+    @staticmethod
+    def _arrow_safe(schema) -> bool:
+        """True when every column round-trips bit-identically through
+        toArrow() -> pyarrow.parquet -> spark.read.parquet: primitives
+        plus arrays of primitives.  Anything else (structs, maps, nested
+        arrays, null-typed columns) keeps the Spark write path."""
+        from pyspark.sql import types as T
+
+        prim = (
+            T.BooleanType, T.ByteType, T.ShortType, T.IntegerType,
+            T.LongType, T.FloatType, T.DoubleType, T.StringType,
+            T.BinaryType, T.DateType, T.TimestampType, T.TimestampNTZType,
+            T.DecimalType,
+        )
+        for f in schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.ArrayType):
+                dt = dt.elementType
+                if not isinstance(dt, prim):
+                    return False
+            elif not isinstance(dt, prim):
+                return False
+        return True
+
+    def _driver_write(self, table: str, df: DataFrame, out: Path) -> bool:
+        """Driver-side parquet write for a ``driver_bounded`` table: one
+        Arrow collect (the same job the Spark write would run to compute
+        the frame) and a ~1 ms pyarrow file write — no write-stage tasks,
+        no output-committer temp-dir dance, no second job.  Returns False
+        (caller runs the normal Spark write) when the table has no
+        contract, the schema is not arrow-safe, or the frame exceeds its
+        row bound — the collect is capped via ``limit(bound+1)``, so a
+        violated contract can never blow driver memory, only fall back.
+        ``sorted_by`` is honored driver-side (pyarrow sort) so row-group
+        min/max statistics stay as sharp as the Spark path's."""
+        cap = self.driver_bounded.get(table)
+        if cap is None or not self._arrow_safe(df.schema):
+            return False
+        try:
+            tbl = df.limit(cap + 1).toArrow()
+        except Exception:
+            return False  # anything exotic: let the Spark writer handle it
+        if tbl.num_rows > cap:
+            return False
+        import pyarrow.parquet as _pq
+
+        sort_cols = [c for c in self.sorted_by.get(table, ()) if c in tbl.column_names]
+        if sort_cols and tbl.num_rows > 1:
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+        out.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            tbl, out / "part-00000-driver.parquet", compression="snappy"
+        )
+        return True
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Atomic full replace: write to a tmp dir, swap, drop the old.
 
@@ -1218,15 +1319,16 @@ class TableStore:
             if self._is_managed(table):
                 self._write_layer(table, self._prep(table, df), reset=True)
                 return
-            df_out = df
-            if self.write_partitions is not None:
-                df_out = df_out.coalesce(self.write_partitions)
             vdir = f"{table}.v-{self._token}-{uuid.uuid4().hex[:8]}"
             with self._pv_lock:
                 self._inflight_vdirs.add(vdir)  # spare from concurrent GC
-            self._sorted(table, df_out).write.mode("overwrite").parquet(
-                str(self.root / vdir)
-            )
+            if not self._driver_write(table, df, self.root / vdir):
+                df_out = df
+                if self.write_partitions is not None:
+                    df_out = df_out.coalesce(self.write_partitions)
+                self._sorted(table, df_out).write.mode("overwrite").parquet(
+                    str(self.root / vdir)
+                )
             with self._pv_lock:
                 self._pending_versions[table] = vdir
             return
@@ -1239,12 +1341,13 @@ class TableStore:
             pcols = self._managed_pcols(table)
             if pcols:
                 df = self._prep(table, df)
-            if self.write_partitions is not None:
-                df = df.coalesce(self.write_partitions)
-            w = self._sorted(table, df).write.mode("overwrite")
-            if pcols:
-                w = w.partitionBy(*pcols)
-            w.parquet(str(tmp))
+            if pcols or not self._driver_write(table, df, tmp):
+                if self.write_partitions is not None:
+                    df = df.coalesce(self.write_partitions)
+                w = self._sorted(table, df).write.mode("overwrite")
+                if pcols:
+                    w = w.partitionBy(*pcols)
+                w.parquet(str(tmp))
             if target.exists():
                 os.replace(target, old)
             os.replace(tmp, target)

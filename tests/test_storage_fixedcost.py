@@ -96,3 +96,73 @@ def test_schema_memo_hits_and_versions(spark, tmp_path):
     r3 = store.read("tm")
     assert set(r3.columns) == {"k", "n", "b"}
     assert r3.count() == 2
+
+
+def test_driver_bounded_write_roundtrip(spark, tmp_path):
+    """driver_bounded tables: the pyarrow driver-side write publishes a
+    file Spark reads back with the IDENTICAL schema and rows the Spark
+    writer would have produced; over-bound frames fall back silently."""
+    rows = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("txt"),
+        F.array(F.col("id"), F.col("id") * 2).alias("arr"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    store = _store(
+        spark, tmp_path, driver_bounded={"tiny": 1000, "overcap": 10},
+        sorted_by={"tiny": ["doc_id"]},
+    )
+    ctl = TableStore(
+        spark, tmp_path / "ctl", snapshot_isolation=True, write_partitions=1
+    )
+    store.begin_commit("dw", ["tiny", "overcap", "empty"])
+    store.overwrite("tiny", rows)
+    store.overwrite("overcap", rows)  # 50 > 10: Spark-write fallback
+    store.overwrite("empty", rows.filter("doc_id < 0"))
+    store.end_commit()
+    ctl.begin_commit("dw", ["tiny"])
+    ctl.overwrite("tiny", rows)
+    ctl.end_commit()
+    a, b = store.read("tiny"), ctl.read("tiny")
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert store.read("overcap").count() == 50
+    e = store.read("empty")
+    assert e.count() == 0 and e.schema == b.schema
+    # the fast path actually engaged (and only where contracted)
+    droot = tmp_path / "store"
+    assert list(droot.glob("tiny.v-*/part-00000-driver.parquet"))
+    assert not list(droot.glob("overcap.v-*/part-*driver*.parquet"))
+
+
+def test_driver_bounded_merge_rides_overwrite(spark, tmp_path):
+    """merge_upsert / merge_insert_missing on an unmanaged bounded table
+    go through the driver-side write and keep merge semantics exact."""
+    store = _store(spark, tmp_path, driver_bounded={"m": 1000})
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    ups = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    store.begin_commit("m1", ["m"])
+    store.overwrite("m", base)
+    store.merge_upsert("m", ups, ["k"])
+    store.end_commit()
+    got = {(r.k, r.v) for r in store.read("m").collect()}
+    assert got == {(k, "old") for k in range(5)} | {
+        (k, "new") for k in range(5, 15)
+    }
+    store.begin_commit("m2", ["m"])
+    store.merge_insert_missing(
+        "m",
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit("ins").alias("v")
+        ),
+        ["k"],
+    )
+    store.end_commit()
+    got = {(r.k, r.v) for r in store.read("m").collect()}
+    assert got == {(k, "old") for k in range(5)} | {
+        (k, "new") for k in range(5, 15)
+    } | {(k, "ins") for k in range(15, 20)}
