@@ -1538,10 +1538,16 @@ def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmod(" + _H.format(x="concat('smpl|', cast(doc_id as string))") + ", 10000)"
     )
     thr = F.when(F.col("predicted_lang") == "en", 2500).otherwise(10000)
-    # fit and score share ONE cached feature pass (the corpus-wide
+    # fit and score share ONE materialized feature pass (the corpus-wide
     # unigram+bigram bucket aggregation would otherwise run twice —
-    # identical rows, selection.py fit_dsir docstring)
-    feats = hashed_ngram_features(docs).cache()
+    # identical rows, selection.py fit_dsir docstring).  localCheckpoint,
+    # not cache: the r12 A/B (5 trials, q1 control steady) measured
+    # cache 7.9 s / plain recompute 6.5 s / localCheckpoint 4.9 s —
+    # the cache-manager plan rewrite + storage bookkeeping cost more
+    # than the saved pass, while the checkpoint truncates the lineage
+    # AND skips the InMemoryRelation overhead.  Built inside the timed
+    # query every trial (no cross-run state).
+    feats = hashed_ngram_features(docs).localCheckpoint(eager=True)
     model = fit_dsir(docs, F.col("lang") == "en", feats=feats)
     weights = dsir_weights(docs, model, feats=feats)
     keep = F.broadcast(

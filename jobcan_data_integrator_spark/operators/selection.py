@@ -82,6 +82,21 @@ def hashed_ngram_features(
     )
 
 
+def _check_feats(feats: DataFrame) -> DataFrame:
+    """Guard for the precomputed-``feats`` override (fit_dsir /
+    dsir_weights): the frame must be a ``hashed_ngram_features`` result —
+    callers passing one built with a different ``n_buckets`` than the
+    model would get silently inconsistent bucketing, so at least the
+    shape contract is asserted (ADVICE r11)."""
+    if set(feats.columns) != {"doc_id", "bucket", "f"}:
+        raise ValueError(
+            "feats must be a hashed_ngram_features frame with columns "
+            f"{{doc_id, bucket, f}}; got {feats.columns} — and it must "
+            "have been built with the same n_buckets as the model"
+        )
+    return feats
+
+
 @dataclass
 class DsirModel:
     """Fitted model, tiny: ``delta_q`` = (bucket, dq) — the per-bucket
@@ -125,6 +140,8 @@ def fit_dsir(
     not twice.  Same rows either way."""
     if feats is None:
         feats = hashed_ngram_features(docs, text_col, n_buckets)
+    else:
+        feats = _check_feats(feats)
     feats = feats.join(
         docs.select("doc_id", is_target.alias("_is_target")), "doc_id"
     )
@@ -168,6 +185,8 @@ def dsir_weights(
     ``fit_dsir``)."""
     if feats is None:
         feats = hashed_ngram_features(docs, text_col, n_buckets)
+    else:
+        feats = _check_feats(feats)
     scored = (
         feats.join(F.broadcast(model.delta_q), "bucket", "left")
         .crossJoin(F.broadcast(model.floor_dq))
