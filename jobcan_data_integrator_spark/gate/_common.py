@@ -37,6 +37,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents for the Arrow-boundary (mapInPandas) gates: spread by
+    INPUT BYTES, never by core count.
+
+    ``_docs``' core-count repartition is right for the hash/shingle
+    gates (CPU-heavy JVM work per row) but wrong for the mm_* Python
+    stages: at sf0.1 it fanned 0.6 MB of payload into 32 concurrent
+    Python workers, so per-task worker startup dominated — the r11
+    driver measured the mm gates ANTI-scaling (3x faster on 8 cores
+    than 32), and the r12 A/B measured the un-repartitioned scan 6.5x
+    faster than the 32-way spread (mm metadata 0.37 s vs 2.36 s).
+    Deriving the spread from input size (one task per ~64 MB, the
+    guide's scan-split economics) fixes the local shape and is a no-op
+    at real scale, where the scan already has thousands of splits and
+    the conditional never fires."""
+    import math
+    import os
+
+    df = load_table(spark, sf_dir, "documents")
+    try:
+        n_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        n_bytes = 0
+    target = min(
+        max(1, math.ceil(n_bytes / (64 << 20))),
+        spark.sparkContext.defaultParallelism,
+    )
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "doc_id")
+    return df
+
+
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) rows: 3-gram word shingles built in-row
     (operators/minhash.shingle_rows — array transform + explode, zero

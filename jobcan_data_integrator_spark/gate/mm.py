@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jobcan_data_integrator_spark.gate import gate
-from jobcan_data_integrator_spark.gate._common import _BUCKET_CTE, _COSINE_DUCK, _docs
+from jobcan_data_integrator_spark.gate._common import (
+    _BUCKET_CTE,
+    _COSINE_DUCK,
+    _media_docs,
+)
 
 
 @gate(
@@ -47,7 +51,7 @@ from jobcan_data_integrator_spark.gate._common import _BUCKET_CTE, _COSINE_DUCK,
 def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import extract_binary_metadata
 
-    media = _docs(spark, sf_dir).select(
+    media = _media_docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"), F.lit("text/plain").alias("mime")
     )
     return extract_binary_metadata(media)
@@ -75,7 +79,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import resize_media
 
-    media = _docs(spark, sf_dir).select(
+    media = _media_docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     resized = resize_media(media, width=64, height=64)
@@ -121,7 +125,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import sample_frames
 
-    media = _docs(spark, sf_dir).select(
+    media = _media_docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return sample_frames(media, every_n=5).select(
@@ -176,7 +180,7 @@ def mm_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jobcan_data_integrator_spark.operators.multimodal import extract_features
     from jobcan_data_integrator_spark.operators.similarity import ann_topk_lsh
 
-    media = _docs(spark, sf_dir).select(
+    media = _media_docs(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     emb = extract_features(media, dim=16).select(
