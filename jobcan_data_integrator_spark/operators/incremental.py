@@ -276,27 +276,26 @@ def build_minhash_index(
     pairs = verify_candidate_pairs(cands, sh, sizes).localCheckpoint(
         eager=True
     )
-    store.begin_commit("mh-index-build", list(INDEX_TABLES))
+    with store.commit_bracket("mh-index-build", list(INDEX_TABLES)):
 
-    def _write() -> None:
-        try:
-            # independent tables, inputs cached above: overlap the
-            # per-job fixed cost (snapshot mode publishes atomically)
-            store.merge_batch([
-                lambda: store.overwrite("mh_bands", bands),
-                lambda: store.overwrite("mh_shingles", sh),
-                lambda: store.overwrite("mh_sizes", sizes),
-                lambda: store.overwrite("mh_pairs", pairs),
-            ])
-        finally:
-            # all four tables written: drop the scratch caches (runs on
-            # the scheduler thread AFTER the writes, never before)
-            bands.unpersist()
-            sh.unpersist()
-            hashed.unpersist()
+        def _write() -> None:
+            try:
+                # independent tables, inputs cached above: overlap the
+                # per-job fixed cost (snapshot mode publishes atomically)
+                store.merge_batch([
+                    lambda: store.overwrite("mh_bands", bands),
+                    lambda: store.overwrite("mh_shingles", sh),
+                    lambda: store.overwrite("mh_sizes", sizes),
+                    lambda: store.overwrite("mh_pairs", pairs),
+                ])
+            finally:
+                # all four tables written: drop the scratch caches (runs on
+                # the scheduler thread AFTER the writes, never before)
+                bands.unpersist()
+                sh.unpersist()
+                hashed.unpersist()
 
-    store.submit_op(_write, reads=INDEX_TABLES, writes=INDEX_TABLES)
-    store.end_commit()
+        store.submit_op(_write, reads=INDEX_TABLES, writes=INDEX_TABLES)
     return pairs
 
 
@@ -405,28 +404,27 @@ def extend_index(
     # mode-independent contract.
     new_pairs = new_pairs.localCheckpoint(eager=True)
     new_sh = new_hashed_shingles.select("doc_id", "shingle").distinct().cache()
-    store.begin_commit("mh-index-extend", list(INDEX_TABLES))
-    store.submit_op(
-        lambda: store.merge_batch([
-            lambda: store.merge_insert_missing(
-                "mh_bands",
-                band_rows(new_hashed_shingles, n_hashes, band_size),
-                ["doc_id", "band_idx"],
-            ),
-            lambda: store.merge_insert_missing(
-                "mh_shingles", new_sh, ["doc_id", "shingle"]
-            ),
-            lambda: store.merge_insert_missing(
-                "mh_sizes", shingle_sizes(new_sh), ["doc_id"]
-            ),
-            lambda: store.merge_upsert(
-                "mh_pairs", new_pairs, ["doc_a", "doc_b"]
-            ),
-        ]),
-        reads=INDEX_TABLES,
-        writes=INDEX_TABLES,
-    )
-    store.end_commit()
+    with store.commit_bracket("mh-index-extend", list(INDEX_TABLES)):
+        store.submit_op(
+            lambda: store.merge_batch([
+                lambda: store.merge_insert_missing(
+                    "mh_bands",
+                    band_rows(new_hashed_shingles, n_hashes, band_size),
+                    ["doc_id", "band_idx"],
+                ),
+                lambda: store.merge_insert_missing(
+                    "mh_shingles", new_sh, ["doc_id", "shingle"]
+                ),
+                lambda: store.merge_insert_missing(
+                    "mh_sizes", shingle_sizes(new_sh), ["doc_id"]
+                ),
+                lambda: store.merge_upsert(
+                    "mh_pairs", new_pairs, ["doc_a", "doc_b"]
+                ),
+            ]),
+            reads=INDEX_TABLES,
+            writes=INDEX_TABLES,
+        )
 
 
 def read_pairs(store: TableStore) -> DataFrame:
@@ -470,75 +468,74 @@ def compact_minhash_drops(store: TableStore) -> None:
     drops = [t for t in OOO_DROP_TABLES if store.exists(t)]
     if not drops:
         return
-    store.begin_commit(
+    with store.commit_bracket(
         "mh-drops-compact", list(INDEX_TABLES) + list(OOO_DROP_TABLES)
-    )
-    # partition-SCOPED folds (TableStore.prune_keys): each mask rewrites
-    # only the bucket/band segments containing its rows — mask-bounded
-    # cost, not corpus-bounded.  Folds of DIFFERENT tables run as
-    # concurrent chains (merge_batch); prunes of the SAME table stay
-    # sequential inside their chain.
-    doc_drops = (
-        store.read("mh_doc_drops") if store.exists("mh_doc_drops") else None
-    )
+    ):
+        # partition-SCOPED folds (TableStore.prune_keys): each mask rewrites
+        # only the bucket/band segments containing its rows — mask-bounded
+        # cost, not corpus-bounded.  Folds of DIFFERENT tables run as
+        # concurrent chains (merge_batch); prunes of the SAME table stay
+        # sequential inside their chain.
+        doc_drops = (
+            store.read("mh_doc_drops") if store.exists("mh_doc_drops") else None
+        )
 
-    def _fold_bands() -> None:
+        def _fold_bands() -> None:
+            if doc_drops is not None:
+                store.prune_keys("mh_bands", doc_drops, ["doc_id"])
+            if store.exists("mh_band_drops"):
+                store.prune_keys(
+                    "mh_bands",
+                    store.read("mh_band_drops"),
+                    ["doc_id", "band_idx", "band_key"],
+                )
+
+        def _fold_pairs() -> None:
+            if doc_drops is not None and store.exists("mh_pairs"):
+                store.prune_keys(
+                    "mh_pairs",
+                    doc_drops.select(F.col("doc_id").alias("doc_a")),
+                    ["doc_a"],
+                )
+                store.prune_keys(
+                    "mh_pairs",
+                    doc_drops.select(F.col("doc_id").alias("doc_b")),
+                    ["doc_b"],
+                )
+            if store.exists("mh_pair_drops"):
+                store.prune_keys(
+                    "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
+                )
+
+        store.submit_op(
+            _fold_bands,
+            reads=("mh_bands", "mh_doc_drops", "mh_band_drops"),
+            writes=("mh_bands",),
+        )
+        store.submit_op(
+            _fold_pairs,
+            reads=("mh_pairs", "mh_doc_drops", "mh_pair_drops"),
+            writes=("mh_pairs",),
+        )
         if doc_drops is not None:
-            store.prune_keys("mh_bands", doc_drops, ["doc_id"])
-        if store.exists("mh_band_drops"):
-            store.prune_keys(
-                "mh_bands",
-                store.read("mh_band_drops"),
-                ["doc_id", "band_idx", "band_key"],
+            store.submit_op(
+                lambda: store.prune_keys("mh_shingles", doc_drops, ["doc_id"]),
+                reads=("mh_shingles", "mh_doc_drops"),
+                writes=("mh_shingles",),
             )
-
-    def _fold_pairs() -> None:
-        if doc_drops is not None and store.exists("mh_pairs"):
-            store.prune_keys(
-                "mh_pairs",
-                doc_drops.select(F.col("doc_id").alias("doc_a")),
-                ["doc_a"],
+            store.submit_op(
+                lambda: store.prune_keys("mh_sizes", doc_drops, ["doc_id"]),
+                reads=("mh_sizes", "mh_doc_drops"),
+                writes=("mh_sizes",),
             )
-            store.prune_keys(
-                "mh_pairs",
-                doc_drops.select(F.col("doc_id").alias("doc_b")),
-                ["doc_b"],
+        # the clears declare a WRITE of each drop table, so the scheduler's
+        # WAR edges order them after every fold above that READS it
+        for t in drops:
+            store.submit_op(
+                lambda t=t: store.overwrite(t, store.read(t).limit(0)),
+                reads=(t,),
+                writes=(t,),
             )
-        if store.exists("mh_pair_drops"):
-            store.prune_keys(
-                "mh_pairs", store.read("mh_pair_drops"), ["doc_a", "doc_b"]
-            )
-
-    store.submit_op(
-        _fold_bands,
-        reads=("mh_bands", "mh_doc_drops", "mh_band_drops"),
-        writes=("mh_bands",),
-    )
-    store.submit_op(
-        _fold_pairs,
-        reads=("mh_pairs", "mh_doc_drops", "mh_pair_drops"),
-        writes=("mh_pairs",),
-    )
-    if doc_drops is not None:
-        store.submit_op(
-            lambda: store.prune_keys("mh_shingles", doc_drops, ["doc_id"]),
-            reads=("mh_shingles", "mh_doc_drops"),
-            writes=("mh_shingles",),
-        )
-        store.submit_op(
-            lambda: store.prune_keys("mh_sizes", doc_drops, ["doc_id"]),
-            reads=("mh_sizes", "mh_doc_drops"),
-            writes=("mh_sizes",),
-        )
-    # the clears declare a WRITE of each drop table, so the scheduler's
-    # WAR edges order them after every fold above that READS it
-    for t in drops:
-        store.submit_op(
-            lambda t=t: store.overwrite(t, store.read(t).limit(0)),
-            reads=(t,),
-            writes=(t,),
-        )
-    store.end_commit()
 
 
 def retire_from_minhash(store: TableStore, doc_ids: DataFrame) -> DataFrame:
@@ -673,48 +670,47 @@ def resign_minhash(
     new_pairs = dedup_increment(store, hashed, n_hashes, band_size)
     new_pairs = new_pairs.localCheckpoint(eager=True)
 
-    store.begin_commit("mh-resign", list(INDEX_TABLES) + ["mh_pair_drops"])
-    # five independent per-table update groups: each rides the scheduler
-    store.submit_op(
-        lambda: store.sync_children("mh_shingles", new_sh, ["doc_id"]),
-        reads=("mh_shingles",),
-        writes=("mh_shingles",),
-    )
-    store.submit_op(
-        lambda: store.merge_upsert("mh_sizes", shingle_sizes(new_sh), ["doc_id"]),
-        reads=("mh_sizes",),
-        writes=("mh_sizes",),
-    )
-    store.submit_op(
-        lambda: store.merge_insert_missing(
-            "mh_bands", new_bands, ["doc_id", "band_idx", "band_key"]
-        ),
-        reads=("mh_bands",),
-        writes=("mh_bands",),
-    )
-    stale_pairs = old_pairs.join(
-        new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-    ).localCheckpoint(eager=True)
-
-    def _pair_drops() -> None:
-        store.merge_insert_missing(
-            "mh_pair_drops", stale_pairs.select("doc_a", "doc_b"),
-            ["doc_a", "doc_b"],
+    with store.commit_bracket("mh-resign", list(INDEX_TABLES) + ["mh_pair_drops"]):
+        # five independent per-table update groups: each rides the scheduler
+        store.submit_op(
+            lambda: store.sync_children("mh_shingles", new_sh, ["doc_id"]),
+            reads=("mh_shingles",),
+            writes=("mh_shingles",),
         )
-        store.delete_scope(
-            "mh_pair_drops", new_pairs.select("doc_a", "doc_b"),
-            ["doc_a", "doc_b"],
+        store.submit_op(
+            lambda: store.merge_upsert("mh_sizes", shingle_sizes(new_sh), ["doc_id"]),
+            reads=("mh_sizes",),
+            writes=("mh_sizes",),
         )
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                "mh_bands", new_bands, ["doc_id", "band_idx", "band_key"]
+            ),
+            reads=("mh_bands",),
+            writes=("mh_bands",),
+        )
+        stale_pairs = old_pairs.join(
+            new_pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+        ).localCheckpoint(eager=True)
 
-    store.submit_op(
-        _pair_drops, reads=("mh_pair_drops",), writes=("mh_pair_drops",)
-    )
-    store.submit_op(
-        lambda: store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"]),
-        reads=("mh_pairs",),
-        writes=("mh_pairs",),
-    )
-    store.end_commit()
+        def _pair_drops() -> None:
+            store.merge_insert_missing(
+                "mh_pair_drops", stale_pairs.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+            )
+            store.delete_scope(
+                "mh_pair_drops", new_pairs.select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+            )
+
+        store.submit_op(
+            _pair_drops, reads=("mh_pair_drops",), writes=("mh_pair_drops",)
+        )
+        store.submit_op(
+            lambda: store.merge_upsert("mh_pairs", new_pairs, ["doc_a", "doc_b"]),
+            reads=("mh_pairs",),
+            writes=("mh_pairs",),
+        )
     return new_pairs, stale_pairs
 
 
@@ -732,23 +728,22 @@ def build_cluster_index(store: TableStore, pairs: DataFrame) -> None:
     )
 
     pairs = pairs.localCheckpoint(eager=True)
-    store.begin_commit("cc-index-build", ["cc_labels"])
-    # the iterative CC compute AND its write ride the scheduler: inside
-    # an orchestrated batch they overlap the other families' writes, and
-    # any later cc_labels read barriers automatically
-    store.submit_op(
-        lambda: store.overwrite(
-            "cc_labels",
-            connected_components(
-                pairs.select(
-                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                )
+    with store.commit_bracket("cc-index-build", ["cc_labels"]):
+        # the iterative CC compute AND its write ride the scheduler: inside
+        # an orchestrated batch they overlap the other families' writes, and
+        # any later cc_labels read barriers automatically
+        store.submit_op(
+            lambda: store.overwrite(
+                "cc_labels",
+                connected_components(
+                    pairs.select(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    )
+                ),
             ),
-        ),
-        reads=("cc_labels",),
-        writes=("cc_labels",),
-    )
-    store.end_commit()
+            reads=("cc_labels",),
+            writes=("cc_labels",),
+        )
 
 
 def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
@@ -791,22 +786,20 @@ def extend_clusters(store: TableStore, new_pairs: DataFrame) -> DataFrame:
         # upsert there would read+rewrite the whole table anyway, twice.
         changed, remap = _cluster_label_delta(store, new_pairs)
         if changed.head(1):
-            store.begin_commit("cc-index-extend", ["cc_labels"])
-            store.submit_op(
-                lambda: store.merge_upsert("cc_labels", changed, ["doc_id"]),
-                reads=("cc_labels",),
-                writes=("cc_labels",),
-            )
-            store.end_commit()
+            with store.commit_bracket("cc-index-extend", ["cc_labels"]):
+                store.submit_op(
+                    lambda: store.merge_upsert("cc_labels", changed, ["doc_id"]),
+                    reads=("cc_labels",),
+                    writes=("cc_labels",),
+                )
         return remap
     out, remap = merged_cluster_labels(store.read("cc_labels"), new_pairs)
-    store.begin_commit("cc-index-extend", ["cc_labels"])
-    store.submit_op(
-        lambda: store.overwrite("cc_labels", out),
-        reads=("cc_labels",),
-        writes=("cc_labels",),
-    )
-    store.end_commit()
+    with store.commit_bracket("cc-index-extend", ["cc_labels"]):
+        store.submit_op(
+            lambda: store.overwrite("cc_labels", out),
+            reads=("cc_labels",),
+            writes=("cc_labels",),
+        )
     return remap
 
 
@@ -1045,16 +1038,15 @@ def build_exact_index(store: TableStore, docs: DataFrame) -> DataFrame:
     (``submit_op``) inside an orchestrated batch."""
     hashes = _doc_hashes(docs).localCheckpoint(eager=True)
     groups = _hash_groups(hashes).localCheckpoint(eager=True)
-    store.begin_commit("ex-index-build", list(EXACT_TABLES))
-    store.submit_op(
-        lambda: store.merge_batch([
-            lambda: store.overwrite("ex_docs", hashes),
-            lambda: store.overwrite("ex_groups", groups),
-        ]),
-        reads=EXACT_TABLES,
-        writes=EXACT_TABLES,
-    )
-    store.end_commit()
+    with store.commit_bracket("ex-index-build", list(EXACT_TABLES)):
+        store.submit_op(
+            lambda: store.merge_batch([
+                lambda: store.overwrite("ex_docs", hashes),
+                lambda: store.overwrite("ex_groups", groups),
+            ]),
+            reads=EXACT_TABLES,
+            writes=EXACT_TABLES,
+        )
     return groups
 
 
@@ -1086,20 +1078,19 @@ def extend_exact_index(
     replay inserts nothing) and upsert the recomputed affected groups
     (materialized first — it scans the tables being rewritten)."""
     merged_groups = merged_groups.localCheckpoint(eager=True)
-    store.begin_commit("ex-index-extend", list(EXACT_TABLES))
-    store.submit_op(
-        lambda: store.merge_batch([
-            lambda: store.merge_insert_missing(
-                "ex_docs", _doc_hashes(new_docs), ["doc_id"]
-            ),
-            lambda: store.merge_upsert(
-                "ex_groups", merged_groups, ["text_md5"]
-            ),
-        ]),
-        reads=EXACT_TABLES,
-        writes=EXACT_TABLES,
-    )
-    store.end_commit()
+    with store.commit_bracket("ex-index-extend", list(EXACT_TABLES)):
+        store.submit_op(
+            lambda: store.merge_batch([
+                lambda: store.merge_insert_missing(
+                    "ex_docs", _doc_hashes(new_docs), ["doc_id"]
+                ),
+                lambda: store.merge_upsert(
+                    "ex_groups", merged_groups, ["text_md5"]
+                ),
+            ]),
+            reads=EXACT_TABLES,
+            writes=EXACT_TABLES,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1271,26 +1262,25 @@ def build_simhash_index(
     _sh_validate_geometry(g)
     blocks = _sh_block_rows(sig, g).cache()
     pairs = _sh_near_dup_pairs(blocks, None, g)
-    store.begin_commit("sh-index-build", list(SIMHASH_TABLES))
+    with store.commit_bracket("sh-index-build", list(SIMHASH_TABLES)):
 
-    def _write() -> None:
-        try:
-            store.merge_batch([
-                lambda: store.overwrite("sh_signatures", sig),
-                lambda: store.overwrite("sh_blocks", blocks),
-                lambda: store.overwrite("sh_pairs", pairs),
-                lambda: store.overwrite(
-                    "sh_geometry", _sh_geometry_df(store, g)
-                ),
-            ])
-        finally:
-            blocks.unpersist()
-            sig.unpersist()
+        def _write() -> None:
+            try:
+                store.merge_batch([
+                    lambda: store.overwrite("sh_signatures", sig),
+                    lambda: store.overwrite("sh_blocks", blocks),
+                    lambda: store.overwrite("sh_pairs", pairs),
+                    lambda: store.overwrite(
+                        "sh_geometry", _sh_geometry_df(store, g)
+                    ),
+                ])
+            finally:
+                blocks.unpersist()
+                sig.unpersist()
 
-    store.submit_op(
-        _write, reads=tuple(SIMHASH_TABLES), writes=tuple(SIMHASH_TABLES)
-    )
-    store.end_commit()
+        store.submit_op(
+            _write, reads=tuple(SIMHASH_TABLES), writes=tuple(SIMHASH_TABLES)
+        )
 
 
 def _sh_resolve_geometry(
@@ -1382,15 +1372,14 @@ def extend_simhash_index(
     _ensure_sh_backfills(store, g)
     new_pairs = new_pairs.localCheckpoint(eager=True)
     sig = new_signatures.localCheckpoint(eager=True)
-    store.begin_commit("sh-index-extend", list(SIMHASH_TABLES))
-    store.merge_batch([
-        lambda: store.merge_insert_missing("sh_signatures", sig, ["doc_id"]),
-        lambda: store.merge_insert_missing(
-            "sh_blocks", _sh_block_rows(sig, g), ["doc_id", "b"]
-        ),
-        lambda: store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"]),
-    ], tables=tuple(SIMHASH_TABLES))
-    store.end_commit()
+    with store.commit_bracket("sh-index-extend", list(SIMHASH_TABLES)):
+        store.merge_batch([
+            lambda: store.merge_insert_missing("sh_signatures", sig, ["doc_id"]),
+            lambda: store.merge_insert_missing(
+                "sh_blocks", _sh_block_rows(sig, g), ["doc_id", "b"]
+            ),
+            lambda: store.merge_upsert("sh_pairs", new_pairs, ["doc_a", "doc_b"]),
+        ], tables=tuple(SIMHASH_TABLES))
 
 
 def resign_simhash_index(
@@ -1495,9 +1484,8 @@ def resign_simhash_index(
     if new["n_blocks"] != old["n_blocks"]:
         pairs = _sh_near_dup_pairs(blocks, None, new)
         ops.append(lambda: store.overwrite("sh_pairs", pairs))
-    store.begin_commit("sh-index-resign", list(SIMHASH_TABLES))
-    store.merge_batch(ops, tables=tuple(SIMHASH_TABLES))
-    store.end_commit()
+    with store.commit_bracket("sh-index-resign", list(SIMHASH_TABLES)):
+        store.merge_batch(ops, tables=tuple(SIMHASH_TABLES))
     return new
 
 
@@ -1587,16 +1575,15 @@ def build_ivf_index(
         keep=("embedding",),
     )
     assign = assign.localCheckpoint(eager=True)
-    store.begin_commit("ivf-index-build", list(IVF_TABLES) + [IVF_CELL_STATS])
-    store.merge_batch([
-        lambda: store.overwrite("ivf_codebook", cent),
-        lambda: store.overwrite("ivf_assignments", assign),
-        lambda: store.overwrite(
-            IVF_CELL_STATS,
-            assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs")),
-        ),
-    ], tables=tuple(IVF_TABLES) + (IVF_CELL_STATS,))
-    store.end_commit()
+    with store.commit_bracket("ivf-index-build", list(IVF_TABLES) + [IVF_CELL_STATS]):
+        store.merge_batch([
+            lambda: store.overwrite("ivf_codebook", cent),
+            lambda: store.overwrite("ivf_assignments", assign),
+            lambda: store.overwrite(
+                IVF_CELL_STATS,
+                assign.groupBy("cell_id").agg(F.count("*").alias("n_vecs")),
+            ),
+        ], tables=tuple(IVF_TABLES) + (IVF_CELL_STATS,))
 
 
 def assign_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
@@ -1621,14 +1608,13 @@ def extend_ivf_index(store: TableStore, new_assignments: DataFrame) -> None:
     commit."""
     new_assignments = new_assignments.localCheckpoint(eager=True)
     stats = _cell_stat_rows(store, new_assignments)
-    store.begin_commit("ivf-index-extend", ["ivf_assignments", IVF_CELL_STATS])
-    store.merge_batch([
-        lambda: store.merge_insert_missing(
-            "ivf_assignments", new_assignments, ["vec_id"]
-        ),
-        lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
-    ], tables=("ivf_assignments", IVF_CELL_STATS))
-    store.end_commit()
+    with store.commit_bracket("ivf-index-extend", ["ivf_assignments", IVF_CELL_STATS]):
+        store.merge_batch([
+            lambda: store.merge_insert_missing(
+                "ivf_assignments", new_assignments, ["vec_id"]
+            ),
+            lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
+        ], tables=("ivf_assignments", IVF_CELL_STATS))
 
 
 #: advisory sidecar (deliberately NOT in IVF_TABLES — retraction /
@@ -1875,29 +1861,28 @@ def build_embedding_index(
 
     emb = emb.cache()
     pairs = embedding_near_dup_pairs(emb, threshold, n_planes, dim, n_bands)
-    store.begin_commit("eb-index-build", list(EMBEDDING_TABLES))
+    with store.commit_bracket("eb-index-build", list(EMBEDDING_TABLES)):
 
-    def _write() -> None:
-        try:
-            store.merge_batch([
-                lambda: store.overwrite("eb_vectors", emb),
-                lambda: store.overwrite(
-                    "eb_buckets",
-                    bucket_rows(emb, n_planes, dim, n_bands).select(
-                        "vec_id", "band", "bucket"
+        def _write() -> None:
+            try:
+                store.merge_batch([
+                    lambda: store.overwrite("eb_vectors", emb),
+                    lambda: store.overwrite(
+                        "eb_buckets",
+                        bucket_rows(emb, n_planes, dim, n_bands).select(
+                            "vec_id", "band", "bucket"
+                        ),
                     ),
-                ),
-                lambda: store.overwrite("eb_pairs", pairs),
-            ])
-        finally:
-            emb.unpersist()
+                    lambda: store.overwrite("eb_pairs", pairs),
+                ])
+            finally:
+                emb.unpersist()
 
-    store.submit_op(
-        _write,
-        reads=tuple(EMBEDDING_TABLES),
-        writes=tuple(EMBEDDING_TABLES),
-    )
-    store.end_commit()
+        store.submit_op(
+            _write,
+            reads=tuple(EMBEDDING_TABLES),
+            writes=tuple(EMBEDDING_TABLES),
+        )
 
 
 def embedding_increment(
@@ -1997,19 +1982,18 @@ def extend_embedding_index(
     from jobcan_data_integrator_spark.operators.similarity import bucket_rows
 
     new_pairs = new_pairs.localCheckpoint(eager=True)
-    store.begin_commit("eb-index-extend", list(EMBEDDING_TABLES))
-    store.merge_batch([
-        lambda: store.merge_insert_missing("eb_vectors", new_emb, ["vec_id"]),
-        lambda: store.merge_insert_missing(
-            "eb_buckets",
-            bucket_rows(new_emb, n_planes, dim, n_bands).select(
-                "vec_id", "band", "bucket"
+    with store.commit_bracket("eb-index-extend", list(EMBEDDING_TABLES)):
+        store.merge_batch([
+            lambda: store.merge_insert_missing("eb_vectors", new_emb, ["vec_id"]),
+            lambda: store.merge_insert_missing(
+                "eb_buckets",
+                bucket_rows(new_emb, n_planes, dim, n_bands).select(
+                    "vec_id", "band", "bucket"
+                ),
+                ["vec_id", "band"],
             ),
-            ["vec_id", "band"],
-        ),
-        lambda: store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"]),
-    ], tables=tuple(EMBEDDING_TABLES))
-    store.end_commit()
+            lambda: store.merge_upsert("eb_pairs", new_pairs, ["vec_a", "vec_b"]),
+        ], tables=tuple(EMBEDDING_TABLES))
 
 
 # ---------------------------------------------------------------------------
@@ -2082,15 +2066,14 @@ def build_semantic_index(
     instead of re-running `semantic_dedup` corpus-wide."""
     build_ivf_index(store, emb, n_cells=n_cells, iters=iters)
     assign = store.read("ivf_assignments")
-    store.begin_commit("sd-index-build", ["sd_pairs"])
-    store.submit_op(
-        lambda: store.overwrite(
-            "sd_pairs", _cell_pairs(assign, None, threshold)
-        ),
-        reads=("sd_pairs",),
-        writes=("sd_pairs",),
-    )
-    store.end_commit()
+    with store.commit_bracket("sd-index-build", ["sd_pairs"]):
+        store.submit_op(
+            lambda: store.overwrite(
+                "sd_pairs", _cell_pairs(assign, None, threshold)
+            ),
+            reads=("sd_pairs",),
+            writes=("sd_pairs",),
+        )
 
 
 def semantic_increment(
@@ -2130,15 +2113,14 @@ def extend_semantic_index(
     new_pairs = new_pairs.localCheckpoint(eager=True)
     inc = assign_increment(store, new_emb).localCheckpoint(eager=True)
     stats = _cell_stat_rows(store, inc)
-    store.begin_commit(
+    with store.commit_bracket(
         "sd-index-extend", list(SEMANTIC_TABLES) + [IVF_CELL_STATS]
-    )
-    store.merge_batch([
-        lambda: store.merge_insert_missing("ivf_assignments", inc, ["vec_id"]),
-        lambda: store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"]),
-        lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
-    ], tables=tuple(SEMANTIC_TABLES) + (IVF_CELL_STATS,))
-    store.end_commit()
+    ):
+        store.merge_batch([
+            lambda: store.merge_insert_missing("ivf_assignments", inc, ["vec_id"]),
+            lambda: store.merge_upsert("sd_pairs", new_pairs, ["vec_a", "vec_b"]),
+            lambda: store.merge_upsert(IVF_CELL_STATS, stats, ["cell_id"]),
+        ], tables=tuple(SEMANTIC_TABLES) + (IVF_CELL_STATS,))
 
 
 # ---------------------------------------------------------------------------
@@ -2220,21 +2202,20 @@ def build_span_index(
     groups = _span_hash_groups(occ).cache()
     # materializing the flags populates both scratch caches on the way
     flags = _span_flags(occ, groups).localCheckpoint(eager=True)
-    store.begin_commit("sp-index-build", list(SPAN_TABLES))
+    with store.commit_bracket("sp-index-build", list(SPAN_TABLES)):
 
-    def _write() -> None:
-        try:
-            store.merge_batch([
-                lambda: store.overwrite("sp_occs", occ),
-                lambda: store.overwrite("sp_hashes", groups),
-                lambda: store.overwrite("sp_flags", flags),
-            ])
-        finally:
-            groups.unpersist()
-            occ.unpersist()
+        def _write() -> None:
+            try:
+                store.merge_batch([
+                    lambda: store.overwrite("sp_occs", occ),
+                    lambda: store.overwrite("sp_hashes", groups),
+                    lambda: store.overwrite("sp_flags", flags),
+                ])
+            finally:
+                groups.unpersist()
+                occ.unpersist()
 
-    store.submit_op(_write, reads=SPAN_TABLES, writes=SPAN_TABLES)
-    store.end_commit()
+        store.submit_op(_write, reads=SPAN_TABLES, writes=SPAN_TABLES)
     return flags
 
 
@@ -2283,33 +2264,32 @@ def extend_span_index(
     merged_hashes = merged_hashes.localCheckpoint(eager=True)
     flags = flags.localCheckpoint(eager=True)
     has_drops = store.exists(FLAG_DROPS)
-    store.begin_commit("sp-index-extend", list(SPAN_TABLES))
-    store.submit_op(
-        lambda: store.merge_batch([
-            lambda: store.merge_insert_missing(
-                "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
-            ),
-            lambda: store.merge_upsert("sp_hashes", merged_hashes, ["h"]),
-            lambda: store.merge_insert_missing(
-                "sp_flags", flags, ["doc_id", "pos"]
-            ),
-            # a flag retracted by a past retraction and now re-asserted
-            # (the span re-duplicated) is present-but-masked in sp_flags —
-            # the insert is a keyed no-op there, so unmask it too
-            (
+    with store.commit_bracket("sp-index-extend", list(SPAN_TABLES)):
+        store.submit_op(
+            lambda: store.merge_batch([
+                lambda: store.merge_insert_missing(
+                    "sp_occs", _span_occ_rows(new_docs, span), ["doc_id", "pos"]
+                ),
+                lambda: store.merge_upsert("sp_hashes", merged_hashes, ["h"]),
+                lambda: store.merge_insert_missing(
+                    "sp_flags", flags, ["doc_id", "pos"]
+                ),
+                # a flag retracted by a past retraction and now re-asserted
+                # (the span re-duplicated) is present-but-masked in sp_flags —
+                # the insert is a keyed no-op there, so unmask it too
                 (
-                    lambda: store.delete_scope(
-                        FLAG_DROPS, flags, ["doc_id", "pos"]
+                    (
+                        lambda: store.delete_scope(
+                            FLAG_DROPS, flags, ["doc_id", "pos"]
+                        )
                     )
-                )
-                if has_drops
-                else None
-            ),
-        ]),
-        reads=tuple(SPAN_TABLES) + (FLAG_DROPS,),
-        writes=tuple(SPAN_TABLES) + (FLAG_DROPS,),
-    )
-    store.end_commit()
+                    if has_drops
+                    else None
+                ),
+            ]),
+            reads=tuple(SPAN_TABLES) + (FLAG_DROPS,),
+            writes=tuple(SPAN_TABLES) + (FLAG_DROPS,),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -2335,20 +2315,19 @@ def build_lm_index(store: TableStore, docs: DataFrame) -> None:
     from jobcan_data_integrator_spark.operators.lm import train_ngram_lm
 
     lm = train_ngram_lm(docs)
-    store.begin_commit("lm-index-build", list(LM_TABLES))
-    store.merge_batch([
-        lambda: store.overwrite("lm_uni", lm.uni),
-        lambda: store.overwrite("lm_bi", lm.bi),
-        lambda: store.overwrite("lm_tri", lm.tri),
-        lambda: store.overwrite("lm_tot", lm.totals),
-        lambda: store.overwrite(
-            "lm_batches",
-            docs.sparkSession.range(1).select(
-                F.lit("lm-index-build").alias("batch_id")
+    with store.commit_bracket("lm-index-build", list(LM_TABLES)):
+        store.merge_batch([
+            lambda: store.overwrite("lm_uni", lm.uni),
+            lambda: store.overwrite("lm_bi", lm.bi),
+            lambda: store.overwrite("lm_tri", lm.tri),
+            lambda: store.overwrite("lm_tot", lm.totals),
+            lambda: store.overwrite(
+                "lm_batches",
+                docs.sparkSession.range(1).select(
+                    F.lit("lm-index-build").alias("batch_id")
+                ),
             ),
-        ),
-    ], tables=tuple(LM_TABLES))
-    store.end_commit()
+        ], tables=tuple(LM_TABLES))
 
 
 def lm_from_store(store: TableStore):
@@ -2462,60 +2441,59 @@ def extend_lm_index(
     )
     inc_tokens = inc.totals.first()["n_tokens"]
     old = store.read("lm_tot").first()
-    store.begin_commit(batch_id, list(LM_TABLES))
+    with store.commit_bracket(batch_id, list(LM_TABLES)):
 
-    def _level(table: str, counts: DataFrame) -> None:
-        counts = counts.localCheckpoint(eager=True)
-        stored = store.read_for_keys(table, counts.select("h")).join(
-            F.broadcast(counts.select("h").distinct()), "h", "leftsemi"
-        )
-        merged = (
-            stored.unionByName(counts)
-            .groupBy("h")
-            .agg(F.sum("c").cast("bigint").alias("c"))
-            .localCheckpoint(eager=True)
-        )
-        store.merge_upsert(table, merged, ["h"])
+        def _level(table: str, counts: DataFrame) -> None:
+            counts = counts.localCheckpoint(eager=True)
+            stored = store.read_for_keys(table, counts.select("h")).join(
+                F.broadcast(counts.select("h").distinct()), "h", "leftsemi"
+            )
+            merged = (
+                stored.unionByName(counts)
+                .groupBy("h")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            store.merge_upsert(table, merged, ["h"])
 
-    # the three count levels touch disjoint tables — each level's whole
-    # probe+merge rides the scheduler as one op
-    for table, counts in (
-        ("lm_uni", inc.uni),
-        ("lm_bi", inc.bi),
-        ("lm_tri", inc.tri),
-    ):
+        # the three count levels touch disjoint tables — each level's whole
+        # probe+merge rides the scheduler as one op
+        for table, counts in (
+            ("lm_uni", inc.uni),
+            ("lm_bi", inc.bi),
+            ("lm_tri", inc.tri),
+        ):
+            store.submit_op(
+                lambda t=table, c=counts: _level(t, c),
+                reads=(table,),
+                writes=(table,),
+            )
         store.submit_op(
-            lambda t=table, c=counts: _level(t, c),
-            reads=(table,),
-            writes=(table,),
+            lambda: store.overwrite(
+                "lm_tot",
+                new_docs.sparkSession.range(1).select(
+                    F.lit(old["n_tokens"] + inc_tokens)
+                    .cast("bigint")
+                    .alias("n_tokens"),
+                    F.lit(old["n_vocab"] + new_vocab)
+                    .cast("bigint")
+                    .alias("n_vocab"),
+                ),
+            ),
+            reads=("lm_tot",),
+            writes=("lm_tot",),
         )
-    store.submit_op(
-        lambda: store.overwrite(
-            "lm_tot",
-            new_docs.sparkSession.range(1).select(
-                F.lit(old["n_tokens"] + inc_tokens)
-                .cast("bigint")
-                .alias("n_tokens"),
-                F.lit(old["n_vocab"] + new_vocab)
-                .cast("bigint")
-                .alias("n_vocab"),
+        store.submit_op(
+            lambda: store.merge_insert_missing(
+                "lm_batches",
+                new_docs.sparkSession.range(1).select(
+                    F.lit(batch_id).alias("batch_id")
+                ),
+                ["batch_id"],
             ),
-        ),
-        reads=("lm_tot",),
-        writes=("lm_tot",),
-    )
-    store.submit_op(
-        lambda: store.merge_insert_missing(
-            "lm_batches",
-            new_docs.sparkSession.range(1).select(
-                F.lit(batch_id).alias("batch_id")
-            ),
-            ["batch_id"],
-        ),
-        reads=("lm_batches",),
-        writes=("lm_batches",),
-    )
-    store.end_commit()
+            reads=("lm_batches",),
+            writes=("lm_batches",),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -2549,19 +2527,18 @@ def build_line_index(
     from jobcan_data_integrator_spark.operators import lines as L
 
     mc = L.DEFAULT_MIN_LINE_CHARS if min_line_chars is None else min_line_chars
-    store.begin_commit(batch_id, list(LINE_TABLES))
-    store.merge_batch([
-        lambda: store.overwrite(
-            "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
-        ),
-        lambda: store.overwrite(
-            "bl_batches",
-            docs.sparkSession.range(1).select(
-                F.lit(batch_id).alias("batch_id")
+    with store.commit_bracket(batch_id, list(LINE_TABLES)):
+        store.merge_batch([
+            lambda: store.overwrite(
+                "bl_stats", L.boilerplate_line_stats(docs, min_line_chars=mc)
             ),
-        ),
-    ], tables=tuple(LINE_TABLES))
-    store.end_commit()
+            lambda: store.overwrite(
+                "bl_batches",
+                docs.sparkSession.range(1).select(
+                    F.lit(batch_id).alias("batch_id")
+                ),
+            ),
+        ], tables=tuple(LINE_TABLES))
 
 
 def clean_increment(
@@ -2646,18 +2623,17 @@ def extend_line_index(
         .agg(F.sum("df").cast("bigint").alias("df"))
         .localCheckpoint(eager=True)
     )
-    store.begin_commit(batch_id, list(LINE_TABLES))
-    store.merge_batch([
-        lambda: store.merge_upsert("bl_stats", merged, ["line_hash"]),
-        lambda: store.merge_insert_missing(
-            "bl_batches",
-            new_docs.sparkSession.range(1).select(
-                F.lit(batch_id).alias("batch_id")
+    with store.commit_bracket(batch_id, list(LINE_TABLES)):
+        store.merge_batch([
+            lambda: store.merge_upsert("bl_stats", merged, ["line_hash"]),
+            lambda: store.merge_insert_missing(
+                "bl_batches",
+                new_docs.sparkSession.range(1).select(
+                    F.lit(batch_id).alias("batch_id")
+                ),
+                ["batch_id"],
             ),
-            ["batch_id"],
-        ),
-    ], tables=tuple(LINE_TABLES))
-    store.end_commit()
+        ], tables=tuple(LINE_TABLES))
 
 
 # ---------------------------------------------------------------------------
@@ -2686,12 +2662,11 @@ def build_pq_index(
     from jobcan_data_integrator_spark.operators.pq import pq_encode, train_pq
 
     cb = train_pq(emb, m=m, k=k, iters=iters).localCheckpoint(eager=True)
-    store.begin_commit("pq-index-build", list(PQ_TABLES))
-    store.merge_batch([
-        lambda: store.overwrite("pq_codebooks", cb),
-        lambda: store.overwrite("pq_codes", pq_encode(emb, cb, m=m)),
-    ], tables=tuple(PQ_TABLES))
-    store.end_commit()
+    with store.commit_bracket("pq-index-build", list(PQ_TABLES)):
+        store.merge_batch([
+            lambda: store.overwrite("pq_codebooks", cb),
+            lambda: store.overwrite("pq_codes", pq_encode(emb, cb, m=m)),
+        ], tables=tuple(PQ_TABLES))
 
 
 def encode_pq_increment(store: TableStore, new_emb: DataFrame) -> DataFrame:
@@ -2709,13 +2684,12 @@ def extend_pq_index(store: TableStore, new_codes: DataFrame) -> None:
     """Absorb an increment's codes — keyed by vec_id, so replays insert
     nothing (plain idempotent-merge contract, no batch ledger needed)."""
     new_codes = new_codes.localCheckpoint(eager=True)
-    store.begin_commit("pq-index-extend", list(PQ_TABLES))
-    store.submit_op(
-        lambda: store.merge_insert_missing("pq_codes", new_codes, ["vec_id"]),
-        reads=("pq_codes",),
-        writes=("pq_codes",),
-    )
-    store.end_commit()
+    with store.commit_bracket("pq-index-extend", list(PQ_TABLES)):
+        store.submit_op(
+            lambda: store.merge_insert_missing("pq_codes", new_codes, ["vec_id"]),
+            reads=("pq_codes",),
+            writes=("pq_codes",),
+        )
 
 
 def refresh_embedding_codebooks(

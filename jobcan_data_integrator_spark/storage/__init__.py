@@ -1737,6 +1737,44 @@ class TableStore:
         (self.root / self.MANIFEST).unlink(missing_ok=True)
         self._release_lease()
 
+    def abort_commit(self) -> None:
+        """Abandon an open standalone ``begin_commit``/``end_commit``
+        bracket: drain in-flight background writes (swallowing their
+        errors — the bracket is already failing), discard the bracket's
+        unpublished versioned dirs, clear the commit flags, and release
+        the lease — exactly ``batch_commit``'s except path (ADVICE r11:
+        without this, an exception inside a standalone bracket left
+        ``_in_commit`` set with queued background ops, and a later
+        unrelated ``end_commit`` on the same instance could publish the
+        failed bracket's pending writes).  No-op inside ``batch_commit``
+        (the context manager owns the abort) and safe to call when no
+        bracket is open."""
+        if self._suspended:
+            return
+        self.flush_writes(swallow=True)
+        self._in_commit = False
+        self._pending_versions = {}
+        self._inflight_vdirs = set()
+        self._release_lease()
+
+    @contextmanager
+    def commit_bracket(self, batch_id: str, tables: list[str]):
+        """``begin_commit``/``end_commit`` with the abort path wired:
+        the body's exception triggers ``abort_commit`` instead of
+        leaving a poisoned half-open bracket.  Standalone operator
+        commits should prefer this over raw begin/end pairs; inside a
+        ``batch_commit`` all three calls are no-ops exactly like the
+        raw pair."""
+        self.begin_commit(batch_id, tables)
+        try:
+            yield self
+            # end_commit inside the try: a background-write failure
+            # re-raised at its drain must abort like a body exception
+            self.end_commit()
+        except BaseException:
+            self.abort_commit()
+            raise
+
     #: snapshot-manifest history: one tiny JSON per published version,
     #: appended immediately before each pointer swap — the structural
     #: record ``snapshot_history``/``read_version``/``rollback`` resolve

@@ -166,3 +166,41 @@ def test_driver_bounded_merge_rides_overwrite(spark, tmp_path):
     assert got == {(k, "old") for k in range(5)} | {
         (k, "new") for k in range(5, 15)
     } | {(k, "ins") for k in range(15, 20)}
+
+
+def test_abort_commit_clears_failed_bracket(spark, tmp_path):
+    """An exception inside a standalone bracket must not leave pending
+    background writes that a LATER unrelated commit would publish."""
+    store = _store(spark, tmp_path)
+    good = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.commit_bracket("bad", ["ta"]):
+            store.submit_op(
+                lambda: store.overwrite("ta", good),
+                reads=("ta",), writes=("ta",),
+            )
+            raise RuntimeError("boom")
+    assert not store._in_commit
+    assert not store._pending_versions
+    # the failed bracket's write never became visible, and a fresh
+    # bracket works normally
+    assert not store.exists("ta")
+    with store.commit_bracket("ok", ["tb"]):
+        store.overwrite("tb", good)
+    assert store.read("tb").count() == 3
+    assert not store.exists("ta")
+
+
+def test_commit_bracket_background_failure_aborts(spark, tmp_path):
+    """A background write failure surfaces at the bracket exit AND the
+    bracket aborts (no half-published state)."""
+    store = _store(spark, tmp_path)
+
+    def boom():
+        raise ValueError("bg fail")
+
+    with pytest.raises(ValueError, match="bg fail"):
+        with store.commit_bracket("bg-bad", ["ta"]):
+            store.submit_op(boom, reads=("ta",), writes=("ta",))
+    assert not store._in_commit
+    assert not store._pending_versions
