@@ -92,7 +92,15 @@ class InvertedIndex:
         corpus token explode (postings feeds term_stats AND the score
         join; doc_stats and postings both re-derive ``toks`` — measured
         3-4 token passes per ad-hoc build+query).  Identical frames,
-        compute-once."""
+        compute-once.
+
+        Lifetime (ADVICE r11): nothing here unpersists — the ad-hoc
+        index has no end-of-query hook, so the frames rely on the
+        session's LRU storage eviction (and the bench clears the cache
+        between trials).  A long-lived application composing many
+        ad-hoc indexes should unpersist the four frames when done, or
+        use the persisted ``bm25_*`` family, which is the
+        write-once/query-many path."""
         return InvertedIndex(
             self.postings.cache(),
             self.doc_stats.cache(),
