@@ -374,3 +374,20 @@ def test_audio_segments_slice_real_pcm(spark):
     # unrecognized payload keeps the deterministic fake contract
     fake = [r for r in out.collect() if r.doc_id == 2]
     assert len(fake) >= 1 and all(len(bytes(r.payload)) == 32 for r in fake)
+
+
+def test_media_docs_spread_is_bytes_adaptive(spark):
+    """_media_docs must not fan a tiny corpus across the core count:
+    at smoke scale the input is well under one 64 MB task, so the
+    frame keeps the scan's native partitioning (no exchange)."""
+    import os
+
+    from jobcan_data_integrator_spark.gate._common import _media_docs
+    from jobcan_data_integrator_spark.session import load_table
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"
+    )
+    df = _media_docs(spark, sf_dir)
+    native = load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
+    assert df.rdd.getNumPartitions() == native
